@@ -1,0 +1,144 @@
+package graft.relational
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Telemetry-stream parity operators, run in batch over the `events`
+  * table (TESTDATA.md: events stands in for the device stream).
+  *
+  * Each op mirrors a reference behavior (SURVEY.md §2 ids cited per
+  * query). The same column logic is reused by the streaming path in
+  * `graft.streaming` — Spark's unified batch/stream DataFrame API means
+  * one definition serves both; the oracle checks the batch rendering.
+  */
+object EventOps {
+  private val D2 = "decimal(38,2)"
+
+  val qs: Seq[Q] = Seq(
+    // ---- q20: incremental watermark scan (S5/P5/O1):
+    //      SELECT ... WHERE enqueuedTime > @lastProcessedTime ORDER BY ...
+    //      (reference azure-function/PushTelemetryFunction.cs:109-116) ----
+    Q(
+      "q20_incremental_scan",
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY ts, event_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    },
+
+    // ---- q21: event-time tumbling window aggregate (streaming §2.10 T4
+    //      batch rendering; window().start == hour bucket) ----
+    Q(
+      "q21_window_hourly",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(38,2))) AS total,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).as("total"),
+          min("value").as("min_v"),
+          max("value").as("max_v"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("total"), col("min_v"), col("max_v"))
+        .orderBy("hour", "event_type")
+    },
+
+    // ---- q22: running MAX watermark per key (A2 parity:
+    //      PushTelemetryFunction.cs:127-135 running max enqueuedTime) ----
+    Q(
+      "q22_running_max",
+      """SELECT user_id, event_id, ts,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_seen
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          max("value").over(w).as("high_water"),
+          count(lit(1)).over(w).as("n_seen"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // ---- q23: trailing-history z-score anomaly flag — the oracle-checkable
+    //      batch analog of W1 (AnomalyDetection_SpikeAndDip; the full
+    //      detector with its 60s/85-event contract is q24, ScalaTest-pinned).
+    //      Partitioned by event_type → distributed state at scale (SURVEY
+    //      §7.4 deliberate deviation from the reference's global model). ----
+    Q(
+      "q23_anomaly_zscore",
+      """SELECT event_id, event_type,
+        |  CASE WHEN n >= 20 AND abs(value - m) > 3*sd THEN 1 ELSE 0 END AS anomaly
+        |FROM (
+        |  SELECT event_id, event_type, value,
+        |    avg(value) OVER w AS m,
+        |    stddev_samp(value) OVER w AS sd,
+        |    count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("event_type"), col("value"),
+          avg("value").over(w).as("m"),
+          stddev_samp("value").over(w).as("sd"),
+          count(lit(1)).over(w).as("n"))
+        .select(
+          col("event_id"), col("event_type"),
+          when(col("n") >= 20 && abs(col("value") - col("m")) > lit(3) * col("sd"), 1)
+            .otherwise(0).as("anomaly"))
+        .orderBy("event_id")
+    },
+
+    // ---- q25: JSON property extraction (ingest-normalization parity,
+    //      SURVEY §2.9; Spark get_json_object vs regexp oracle) ----
+    Q(
+      "q25_json_extract",
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ---- q26: first-seen dedup-upsert (S3 Devices-sink semantics: PK gives
+    //      at-most-one-row-per-device; we keep the earliest event-time row) ----
+    Q(
+      "q26_first_seen_dedup",
+      """SELECT user_id, event_type AS first_event_type, ts AS first_ts FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_event_type"),
+          col("ts").as("first_ts"))
+        .orderBy("user_id")
+    },
+  )
+}

@@ -1,0 +1,388 @@
+package graft.relational
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` relational surface (SURVEY.md §2.3/§2.4/§2.5/§2.6/§2.7):
+  * joins, aggregates, windows, sorts/top-k, set ops, subqueries — all
+  * Catalyst built-ins, oracle-checked against DuckDB.
+  *
+  * Scale design notes (100 TB):
+  *  - dimension joins (`nation`, `region`, scalar aggregates) are
+  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once and
+  *    AQE handles skew;
+  *  - aggregations are partial (map-side combine) by construction of
+  *    `groupBy().agg` — no `collect()` anywhere;
+  *  - window queries partition by a key (`o_custkey`) so state is
+  *    distributed; the one global window (pagination parity op q08) is
+  *    documented as driver-bound by the reference's own semantics
+  *    (PushTelemetryFunction.cs:220-229 pages a global ORDER BY).
+  */
+object Relational {
+  private val D2 = "decimal(38,2)"
+  private val D4 = "decimal(38,4)"
+  private val D6 = "decimal(38,6)"
+  private val A6 = "decimal(18,6)"
+
+  val qs: Seq[Q] = Seq(
+    // ---- q01: full-scan grouped aggregate (TPC-H Q1 shape; SURVEY §2.4) ----
+    Q(
+      "q01_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+        |  sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS sum_charge,
+        |  CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
+        |  CAST(avg(l_extendedprice) AS DECIMAL(18,6)) AS avg_price,
+        |  CAST(avg(l_discount) AS DECIMAL(18,6)) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4))
+            .as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast(D6)).as("sum_charge"),
+          avg("l_quantity").cast(A6).as("avg_qty"),
+          avg("l_extendedprice").cast(A6).as("avg_price"),
+          avg("l_discount").cast(A6).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- q02: selective filter + scan-level pushdown (TPC-H Q6 shape) ----
+    Q(
+      "q02_filter_revenue",
+      """SELECT sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,4))) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast(D4)).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- q03: snowflake dimension chain, both joins broadcast ----
+    Q(
+      "q03_join_dims",
+      """SELECT r_name, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(38,2))) AS total_bal,
+        |  count(DISTINCT n_name) AS n_nations
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(D2)).as("total_bal"),
+          countDistinct("n_name").as("n_nations"))
+        .orderBy("r_name")
+    },
+
+    // ---- q04: fact⋈fact shuffle join (the one big shuffle; AQE-skew safe) ----
+    Q(
+      "q04_join_facts",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct("o_orderkey").as("n_orders"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q05: left-semi join (EXISTS) ----
+    Q(
+      "q05_semi_join",
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .join(
+          Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- q06: left-anti join (NOT EXISTS); right side pre-filtered so the
+    //      result is non-empty at every sf ----
+    Q(
+      "q06_anti_join",
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 350000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- q07: global top-k (TakeOrderedAndProject, no full sort) ----
+    Q(
+      "q07_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q08: sorted pagination (S6/O2 parity: OFFSET/FETCH page) ----
+    Q(
+      "q08_pagination",
+      """SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS rn,
+        |         o_orderkey, o_totalprice
+        |  FROM orders)
+        |WHERE rn > 500 AND rn <= 1000 ORDER BY rn""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          row_number().over(Window.orderBy("o_orderkey")).as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .filter(col("rn") > 500 && col("rn") <= 1000)
+        .orderBy("rn")
+    },
+
+    // ---- q09: partitioned window suite: row_number / running sum / lag ----
+    Q(
+      "q09_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,2)))
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+        |  lag(o_totalprice) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          sum(col("o_totalprice").cast(D2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_spend"),
+          lag("o_totalprice", 1).over(w).as("prev_price"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- q10: set operations union / intersect / except ----
+    Q(
+      "q10_setops",
+      """SELECT 'e' AS op, * FROM
+        |  ((SELECT DISTINCT c_nationkey AS nk FROM customer)
+        |    EXCEPT (SELECT DISTINCT s_nationkey FROM supplier))
+        |UNION ALL
+        |SELECT 'i' AS op, * FROM
+        |  ((SELECT DISTINCT c_nationkey FROM customer)
+        |    INTERSECT (SELECT DISTINCT s_nationkey FROM supplier))
+        |UNION ALL
+        |SELECT 'u' AS op, * FROM
+        |  ((SELECT c_nationkey FROM customer) UNION (SELECT s_nationkey FROM supplier))
+        |ORDER BY op, nk""".stripMargin,
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val p = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      val e = c.distinct().except(p.distinct()).select(lit("e").as("op"), col("nk"))
+      val i = c.distinct().intersect(p.distinct()).select(lit("i").as("op"), col("nk"))
+      val u = c.union(p).distinct().select(lit("u").as("op"), col("nk"))
+      e.union(i).union(u).orderBy("op", "nk")
+    },
+
+    // ---- q11: distinct aggregate ----
+    Q(
+      "q11_distinct_agg",
+      """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(countDistinct("c_mktsegment").as("n_segments"), count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- q12: ROLLUP grouping sets ----
+    Q(
+      "q12_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast(D2)).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ---- q13: CUBE grouping sets ----
+    Q(
+      "q13_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // ---- q14: HAVING post-aggregate filter ----
+    Q(
+      "q14_having",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,2))) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(D2)).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+
+    // ---- q15: scalar subquery → broadcast of a 1-row aggregate ----
+    Q(
+      "q15_scalar_subquery",
+      """SELECT p_brand, count(*) AS n FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    ) { (s, d) =>
+      val part = Tables.part(s, d)
+      val avgPrice = part.agg(avg("p_retailprice").as("ap"))
+      part.join(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // ---- q16: correlated subquery ≡ partitioned window aggregate ----
+    Q(
+      "q16_correlated_subquery",
+      """SELECT s_suppkey, s_name FROM supplier s1
+        |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s1.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("s_nationkey")
+      Tables.supplier(s, d)
+        .withColumn("nation_avg", avg("s_acctbal").over(w))
+        .filter(col("s_acctbal") > col("nation_avg"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // ---- q17: CASE WHEN bucketing (E4 parity) ----
+    Q(
+      "q17_case_bucket",
+      """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+        |            WHEN o_totalprice >= 150000 THEN 'mid'
+        |            ELSE 'low' END AS bucket,
+        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") >= 300000, "high")
+            .when(col("o_totalprice") >= 150000, "mid")
+            .otherwise("low"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(D2)).as("total"))
+        .orderBy("bucket")
+    },
+
+    // ---- q18: string function suite (E6/E7-adjacent scalar surface) ----
+    Q(
+      "q18_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |  substring(p_name, 1, 8) AS name8, length(p_name) AS name_len,
+        |  concat(p_brand, '|', p_type) AS brand_type,
+        |  CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  regexp_extract(p_type, '(\w+)$', 1) AS type_last
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"),
+          when(col("p_name").like("%green%"), 1).otherwise(0).as("is_green"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"),
+          regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_last"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- q19: date/time functions + temporal grouping (E2/E6 parity) ----
+    Q(
+      "q19_date_funcs",
+      """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(extract(month FROM o_orderdate) AS INT) AS m,
+        |  count(*) AS n, min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt,
+        |  sum(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_orderdate").as("first_dt"),
+          max("o_orderdate").as("last_dt"),
+          sum(col("o_totalprice").cast(D2)).as("total"))
+        .orderBy("y", "m")
+    },
+  )
+}
