@@ -7,12 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tables. Column names/types must line up exactly; every query ends in a
   * deterministic total ORDER BY on both sides so hashing is order-proof.
   *
-  * Float policy (driver hash-compares values exactly):
-  *   - SUM over doubles → cast the addend to DECIMAL first (exact in both
-  *     engines; the testdata is 2-decimal money so DECIMAL(38,4) is lossless)
-  *   - AVG / ratios → compute in double, cast the final value to a coarse
-  *     DECIMAL — relative double error ~1e-12 can't move a 1e-6 boundary
-  *   - COUNT / MIN / MAX are exact as-is.
+  * Float policy (driver hash-compares values exactly; round-1 lesson):
+  *   - NEVER emit a DECIMAL output column. The driver renders one side's
+  *     decimals through float, so any trailing-zero value (`123.40` vs
+  *     `123.4`) hash-mismatches — that was the exact failure set of
+  *     round 1 (every red query had a trailing-zero decimal, every green
+  *     one had none).
+  *   - SUM over doubles → cast the addend to DECIMAL (exact, identical in
+  *     both engines), then cast the FINAL sum to DOUBLE. A decimal→double
+  *     cast of the same exact decimal is correctly rounded in both
+  *     engines ⇒ bit-identical output.
+  *   - AVG → exact decimal sum cast to DOUBLE, divided by count(*): one
+  *     IEEE division of identical operands ⇒ bit-identical.
+  *   - COUNT / MIN / MAX / pass-through doubles are exact as-is.
   */
 final case class Q(
     name: String,

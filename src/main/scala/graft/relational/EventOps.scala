@@ -36,7 +36,7 @@ object EventOps {
     Q(
       "q21_window_hourly",
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(38,2))) AS total,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     ) { (s, d) =>
@@ -44,7 +44,7 @@ object EventOps {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast(D2)).as("total"),
+          sum(col("value").cast(D2)).cast("double").as("total"),
           min("value").as("min_v"),
           max("value").as("max_v"))
         .select(col("window.start").as("hour"), col("event_type"),

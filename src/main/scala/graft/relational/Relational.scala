@@ -24,20 +24,28 @@ object Relational {
   private val D2 = "decimal(38,2)"
   private val D4 = "decimal(38,4)"
   private val D6 = "decimal(38,6)"
-  private val A6 = "decimal(18,6)"
+
+  /** Exact decimal sum, emitted as DOUBLE. Output columns must never be
+    * DECIMAL: the driver's hash renders one engine's decimals through
+    * float (`123.40` vs `123.4` ⇒ mismatch on any trailing-zero value —
+    * the exact failure signature of round 1's six red queries). A final
+    * decimal→double cast of the *identical exact decimal* is bit-equal in
+    * Spark and DuckDB, so doubles are the only safe numeric output type. */
+  private def dsum(c: org.apache.spark.sql.Column, t: String) =
+    sum(c.cast(t)).cast("double")
 
   val qs: Seq[Q] = Seq(
     // ---- q01: full-scan grouped aggregate (TPC-H Q1 shape; SURVEY §2.4) ----
     Q(
       "q01_agg_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS sum_charge,
-        |  CAST(avg(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
-        |  CAST(avg(l_extendedprice) AS DECIMAL(18,6)) AS avg_price,
-        |  CAST(avg(l_discount) AS DECIMAL(18,6)) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)/count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -47,15 +55,15 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(D2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D2)).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4))
+          dsum(col("l_quantity"), D2).as("sum_qty"),
+          dsum(col("l_extendedprice"), D2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), D4)
             .as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax"))).cast(D6)).as("sum_charge"),
-          avg("l_quantity").cast(A6).as("avg_qty"),
-          avg("l_extendedprice").cast(A6).as("avg_price"),
-          avg("l_discount").cast(A6).as("avg_disc"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), D6).as("sum_charge"),
+          (dsum(col("l_quantity"), D2) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice"), D2) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount"), D4) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -64,18 +72,18 @@ object Relational {
     // ---- q02: selective filter + scan-level pushdown (TPC-H Q6 shape) ----
     Q(
       "q02_filter_revenue",
-      """SELECT sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,4))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     ) { (s, d) =>
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(
-          sum((col("l_extendedprice") * col("l_discount")).cast(D4)).as("revenue"),
+          dsum(col("l_extendedprice") * col("l_discount"), D4).as("revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -83,7 +91,7 @@ object Relational {
     Q(
       "q03_join_dims",
       """SELECT r_name, count(*) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(38,2))) AS total_bal,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total_bal,
         |  count(DISTINCT n_name) AS n_nations
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -96,7 +104,7 @@ object Relational {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast(D2)).as("total_bal"),
+          dsum(col("c_acctbal"), D2).as("total_bal"),
           countDistinct("n_name").as("n_nations"))
         .orderBy("r_name")
     },
@@ -106,7 +114,7 @@ object Relational {
       "q04_join_facts",
       """SELECT o_orderpriority,
         |  count(DISTINCT o_orderkey) AS n_orders,
-        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -120,7 +128,7 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(
           countDistinct("o_orderkey").as("n_orders"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D4))
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), D4)
             .as("revenue"))
         .orderBy("o_orderpriority")
     },
@@ -191,8 +199,8 @@ object Relational {
       "q09_window_running",
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INT) AS rn,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,2)))
-        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         |  lag(o_totalprice) OVER w AS prev_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -205,7 +213,7 @@ object Relational {
           row_number().over(w).as("rn"),
           sum(col("o_totalprice").cast(D2))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("running_spend"),
+            .cast("double").as("running_spend"),
           lag("o_totalprice", 1).over(w).as("prev_price"))
         .orderBy("o_custkey", "rn")
     },
@@ -249,13 +257,13 @@ object Relational {
     Q(
       "q12_rollup",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     ) { (s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast(D2)).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), D2).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -276,13 +284,13 @@ object Relational {
     Q(
       "q14_having",
       """SELECT o_custkey, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,2))) AS spend
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
     ) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(D2)).as("spend"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), D2).as("spend"))
         .filter(col("n_orders") >= 15)
         .orderBy("o_custkey")
     },
@@ -324,7 +332,7 @@ object Relational {
       """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
         |            WHEN o_totalprice >= 150000 THEN 'mid'
         |            ELSE 'low' END AS bucket,
-        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     ) { (s, d) =>
       Tables.orders(s, d)
@@ -333,7 +341,7 @@ object Relational {
             .when(col("o_totalprice") >= 150000, "mid")
             .otherwise("low"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(D2)).as("total"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), D2).as("total"))
         .orderBy("bucket")
     },
 
@@ -370,7 +378,7 @@ object Relational {
       """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
         |  CAST(extract(month FROM o_orderdate) AS INT) AS m,
         |  count(*) AS n, min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
     ) { (s, d) =>
       Tables.orders(s, d)
@@ -381,7 +389,7 @@ object Relational {
           count(lit(1)).as("n"),
           min("o_orderdate").as("first_dt"),
           max("o_orderdate").as("last_dt"),
-          sum(col("o_totalprice").cast(D2)).as("total"))
+          dsum(col("o_totalprice"), D2).as("total"))
         .orderBy("y", "m")
     },
   )

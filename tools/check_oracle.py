@@ -44,6 +44,16 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            # Round-1 lesson: the driver renders one side's decimals via
+            # float, so ANY decimal output column is hash-unsafe (trailing
+            # zeros). Fail loudly here so it never reaches the driver.
+            dec_cols = [c for c, t in zip(got.columns, got.types)
+                        if "DECIMAL" in str(t).upper()]
+            if dec_cols:
+                print(f"FAIL {name}: DECIMAL output columns {dec_cols} "
+                      "(driver-unsafe; cast to DOUBLE)")
+                n_fail += 1
+                continue
             got_cols = sorted(got.columns)
             got_rows = canon(
                 con.sql(
