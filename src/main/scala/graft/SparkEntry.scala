@@ -14,7 +14,11 @@ object SparkEntry {
   /** All verifiable operators, in registration order. */
   def registry: Seq[Q] =
     relational.Relational.qs ++
-      relational.EventOps.qs
+      relational.EventOps.qs ++
+      llmdata.Dedup.qs ++
+      llmdata.Similarity.qs ++
+      llmdata.TextAnalysis.qs ++
+      llmdata.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate: exercises scan, broadcast joins, partial

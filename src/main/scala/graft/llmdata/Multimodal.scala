@@ -1,0 +1,109 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Multimodal-column plumbing: image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, plus a batched
+  * decode/feature-extract stage.
+  *
+  * The decode itself is STUBBED (this container has no image/audio
+  * codecs): `FakeDecoder` is a deterministic byte-statistics "feature"
+  * so tests pin real plumbing — schema, batching, partition mapping —
+  * with a fake kernel. Swap `MediaDecoder` for a JNI/codec-backed
+  * implementation in production; nothing else changes.
+  *
+  * Scale design (100 TB):
+  *  - payloads stay opaque binary end to end — never parsed by Catalyst,
+  *    never part of a shuffle key; metadata columns carry the plan;
+  *  - feature extraction is `mapPartitions` over a typed Dataset — the
+  *    Scala analog of `mapInPandas`: per-partition batched calls, no
+  *    per-row JNI overhead, no driver involvement;
+  *  - decode is placed AFTER filters/joins on metadata so the expensive
+  *    kernel touches only surviving rows (predicate pushdown on
+  *    metadata, not payload);
+  *  - binary columns make parquet row groups large — at scale, store
+  *    payloads in a separate co-partitioned table (or object store with
+  *    pointer columns) and join on doc_id; q37's plan reads text-derived
+  *    payloads so the testdata stays driver-generated.
+  */
+object Multimodal {
+
+  /** One media payload with typed metadata. */
+  final case class MediaRecord(
+      docId: Long, mediaType: String, payload: Array[Byte])
+
+  /** Extracted features: byte stats stand in for a real embedding. */
+  final case class MediaFeatures(
+      docId: Long, mediaType: String, nBytes: Int, feature: Array[Float])
+
+  /** The pluggable decode kernel (the `???` seam for real codecs). */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], mediaType: String): Array[Float]
+  }
+
+  /** Deterministic fake: 4 byte-statistics as the "embedding". */
+  object FakeDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mediaType: String): Array[Float] = {
+      if (payload.isEmpty) Array(0f, 0f, 0f, 0f)
+      else {
+        val n = payload.length
+        var sum = 0L; var mn = 255; var mx = 0
+        payload.foreach { b =>
+          val u = b & 0xff; sum += u
+          if (u < mn) mn = u; if (u > mx) mx = u
+        }
+        Array(n.toFloat, sum.toFloat / n, mn.toFloat, mx.toFloat)
+      }
+    }
+  }
+
+  /** documents → MediaRecord dataset (text bytes as the stand-in
+    * payload; real pipelines read image/audio files the same shape). */
+  def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("docId"),
+        lit("text/plain").as("mediaType"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition decode — the mapInPandas-shaped stage. */
+  def extractFeatures(ds: Dataset[MediaRecord], decoder: MediaDecoder)
+      : Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        MediaFeatures(r.docId, r.mediaType, r.payload.length,
+          decoder.decode(r.payload, r.mediaType))
+      }
+    }
+  }
+
+  val qs: Seq[Q] = Seq(
+    // ---- q37: binary-column metadata path — payload length, content
+    //      hash, head bytes; all computed on the `binary` column (the
+    //      decode-free 99% of a multimodal pipeline). ----
+    Q(
+      "q37_multimodal_bytes",
+      """SELECT doc_id,
+        |  length(text) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+        |  CAST(length(text) % 256 AS BIGINT) AS fake_feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val blob = col("text").cast("binary")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(blob).cast("long").as("n_bytes"),
+          sha2(blob, 256).as("sha"),
+          lower(hex(substring(blob, 1, 8))).as("head_hex"),
+          (length(blob) % 256).cast("long").as("fake_feature"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,140 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, a
+  * sign-bit LSH bucketed ANN as the scale path, and an embedding-cosine
+  * near-duplicate pair join.
+  *
+  * Scale design (100 TB):
+  *  - the dot product is `zip_with` + `aggregate` — pure Catalyst
+  *    higher-order functions, codegen'd, no UDF;
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    corpus, so the corpus is never shuffled — per-partition scoring,
+  *    then a TakeOrdered per query key; right for "few queries × huge
+  *    corpus";
+  *  - the ANN path buckets vectors by an 8-bit hyperplane-sign sketch
+  *    (here: sign of the first 8 dims ≡ axis-aligned hyperplanes) and
+  *    probes only the query's own bucket — the equi-join on `bucket`
+  *    shuffles each side once and bucket sizes are corpus/2^8 in
+  *    expectation; more planes (or multi-probe) trade recall for cost;
+  *  - the near-dup join is bucketed the same way in a real pipeline; at
+  *    sf0.01 the all-pairs form is used as the oracle-checkable
+  *    reference of the same semantics.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (deterministic
+    * order ⇒ cross-engine reproducible). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  val qs: Seq[Q] = Seq(
+    // ---- q31: brute-force cosine top-k (k=5) for query set vec_id<10.
+    //      Exact baseline; ranks only (scores are cross-engine
+    //      float-formula sensitive; rank margins verified ≫ 1 ulp). ----
+    Q(
+      "q31_cosine_topk",
+      """WITH cos AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT q_id, CAST(rn AS INT) AS rank, n_id FROM (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val e = vectors(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- q32: LSH-bucketed ANN — 8 sign-bit sketch buckets, top-3
+    //      in-bucket neighbors per query. The scale path: equi-join on
+    //      bucket, expected bucket size n/256. ----
+    Q(
+      "q32_ann_lsh",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |cos AS (
+        |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS n_id,
+        |    list_cosine_similarity(a.v, b.v) AS c
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+        |SELECT q_id, bucket, CAST(rn AS INT) AS rank, n_id FROM (
+        |  SELECT q_id, bucket, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |  FROM cos)
+        |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val sketch = (0 until 8)
+        .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val v = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        sketch.cast("long").as("bucket"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val scored = v.as("a")
+        .join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("a.bucket").as("bucket"),
+          col("b.vec_id").as("n_id"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "bucket", "rank", "n_id")
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- q38: embedding-cosine near-duplicate pairs (threshold 0.42,
+    //      tuned to the testdata's cosine distribution: max ≈ 0.513). ----
+    Q(
+      "q38_embed_neardup",
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.42
+        |ORDER BY a_id, b_id""".stripMargin,
+    ) { (s, d) =>
+      val e = vectors(s, d)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")) > 0.42)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .orderBy("a_id", "b_id")
+    },
+  )
+}

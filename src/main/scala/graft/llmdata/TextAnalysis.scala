@@ -1,0 +1,134 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Text-analysis operators for training-data curation:
+  * stopword-profile language ID, quality scoring (length / type-token /
+  * stopword ratios), and token counting (whitespace + regex lexer).
+  *
+  * Scale design (100 TB): all three are single-pass
+  * tokenize→groupBy(doc_id) pipelines — one shuffle keyed on doc_id,
+  * partial aggregation map-side, no UDFs. The language-ID profile table
+  * is a broadcast (5 langs × 5 stopwords); real profile tables (ngram →
+  * lang weights, ~1e5 rows) broadcast the same way.
+  *
+  * All ratio outputs are int/int IEEE divisions — bit-identical across
+  * engines (see Q.scala float policy).
+  */
+object TextAnalysis {
+
+  /** (lang, stopword) profiles — deterministic fixture; on the synthetic
+    * corpus only 'the'/'a' occur, which is fine: the operator contract
+    * (argmax of profile hits with lexicographic tie-break) is what the
+    * oracle pins, not real-world accuracy. */
+  val profiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "et", "fr" -> "des",
+    "es" -> "el", "es" -> "los", "es" -> "las", "es" -> "y", "es" -> "una",
+    "zh" -> "de_", "zh" -> "shi", "zh" -> "le_", "zh" -> "zai", "zh" -> "you",
+  )
+
+  private def sqlProfileValues: String =
+    profiles.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+    // ---- q33: language ID — argmax of stopword-profile hits per doc,
+    //      ties broken lexicographically (deterministic contract). ----
+    Q(
+      "q33_lang_id",
+      s"""WITH prof(plang, w) AS (VALUES $sqlProfileValues),
+        |toks AS (${Text.SqlTokens}),
+        |hits AS (SELECT doc_id, plang, count(*) AS h
+        |         FROM toks JOIN prof USING (w) GROUP BY 1, 2),
+        |allc AS (SELECT d.doc_id, p.plang
+        |         FROM (SELECT DISTINCT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT DISTINCT plang FROM prof) p),
+        |sc AS (SELECT a.doc_id, a.plang, coalesce(h.h, 0) AS hits
+        |       FROM allc a LEFT JOIN hits h
+        |         ON h.doc_id = a.doc_id AND h.plang = a.plang)
+        |SELECT doc_id, plang AS pred_lang, hits FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) = 1
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val prof = profiles.toDF("plang", "w")
+      val hits = Text.tokens(s, d)
+        .join(broadcast(prof), "w")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("h"))
+      val allc = Tables.documents(s, d).select("doc_id")
+        .crossJoin(broadcast(prof.select("plang").distinct()))
+      val sc = allc.join(hits, Seq("doc_id", "plang"), "left")
+        .select(col("doc_id"), col("plang"), coalesce(col("h"), lit(0L)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred_lang"), col("hits"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q34: quality scoring — token counts, type-token ratio, mean
+    //      word length, stopword ratio, bucketed verdict. ----
+    Q(
+      "q34_quality_score",
+      s"""WITH toks AS (${Text.SqlTokens}),
+        |ag AS (SELECT doc_id, count(*) AS n_tokens,
+        |         count(DISTINCT w) AS n_distinct,
+        |         sum(length(w)) AS sum_len,
+        |         sum(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) AS stop
+        |       FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE)/n_tokens AS ttr,
+        |  CAST(sum_len AS DOUBLE)/n_tokens AS avg_word_len,
+        |  CAST(stop AS DOUBLE)/n_tokens AS stopword_ratio,
+        |  CASE WHEN CAST(stop AS DOUBLE)/n_tokens > 0.12 THEN 'low'
+        |       WHEN CAST(n_distinct AS DOUBLE)/n_tokens < 0.45 THEN 'mid'
+        |       ELSE 'high' END AS quality_bucket
+        |FROM ag ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val ag = Text.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct("w").as("n_distinct"),
+          sum(length(col("w"))).as("sum_len"),
+          sum(when(col("w").isin("the", "a"), 1).otherwise(0)).as("stop"))
+      val ttr = col("n_distinct").cast("double") / col("n_tokens")
+      val stopRatio = col("stop").cast("double") / col("n_tokens")
+      ag.select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ttr.as("ttr"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_word_len"),
+        stopRatio.as("stopword_ratio"),
+        when(stopRatio > 0.12, "low")
+          .when(ttr < 0.45, "mid")
+          .otherwise("high").as("quality_bucket"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q35: token counting — whitespace split vs regex lexer vs
+    //      stored metadata consistency check. ----
+    Q(
+      "q35_token_count",
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        |  length(text) AS n_chars_computed,
+        |  CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS meta_consistent
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+            .as("alpha_tokens"),
+          length(col("text")).cast("long").as("n_chars_computed"),
+          when(length(col("text")) === col("n_chars"), 1).otherwise(0)
+            .as("meta_consistent"))
+        .orderBy("doc_id")
+    },
+  )
+}
