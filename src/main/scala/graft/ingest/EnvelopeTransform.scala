@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object EnvelopeTransform {
   /** Entry value for sensor `name` in the raw telemetry name/value array,
-    * as a variant (null when absent — from_entries null semantics). */
+    * as a variant (null when absent — from_entries null semantics).
+    * `try_element_at`: a sensor entirely missing from the array (not just
+    * value-less) must surface as null, not an ANSI index error. */
   private def entry(tel: Column, name: String): Column =
     variant_get(
-      element_at(
-        filter(tel, e => variant_get(e, "$.name", "string") === lit(name)), 1),
+      try_element_at(
+        filter(tel, e => variant_get(e, "$.name", "string") === lit(name)),
+        lit(1)),
       "$.value", "variant")
 
   private def xyz(v: Column): Column = struct(

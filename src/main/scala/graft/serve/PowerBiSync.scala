@@ -1,0 +1,139 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The serving edge (reference: `azure-function/PushTelemetryFunction.cs`)
+  * — incremental watermark-gated sync of curated telemetry to a push
+  * dataset, re-expressed over the telemetry table.
+  *
+  * Reference semantics reproduced:
+  *  - S5 incremental scan: `enqueuedTime > lastProcessedTime ORDER BY
+  *    enqueuedTime` (PushTelemetryFunction.cs:109-116);
+  *  - E6 timestamp format `yyyy-MM-dd'T'HH:mm:ss.SSS'Z'` (:346-354);
+  *  - E7 null coalescing AT THE EDGE ONLY: numerics→0.0, deviceId→"",
+  *    Anomaly→1.0/0.0 (:336-400 — upstream nulls survive untouched);
+  *  - E8 compact JSON array batches of `batchSize` (default 500,
+  *    :192-195) POSTed per batch (S7);
+  *  - T6 watermark advances only after every batch in the tick
+  *    succeeds; a failed POST leaves it unmoved so the next tick
+  *    retries the same range ⇒ at-least-once;
+  *  - S8 watermark store with cold-start fallback (caller supplies the
+  *    default, reference uses now-1h).
+  *
+  * Scale note: this is a serving edge rate-limited by the downstream
+  * push API (500 rows / 10 s in the reference), not a data-scale path —
+  * the global ORDER BY + driver-side iteration is therefore the
+  * *correct* shape (matches S6's OFFSET/FETCH pagination); the firehose
+  * path at scale is `foreachPartition` HTTP fan-out, which drops the
+  * global-order guarantee the reference contract requires.
+  */
+object PowerBiSync {
+
+  /** Injectable POST seam (tests capture payloads; prod wraps an HTTP
+    * client). Returns success. */
+  trait HttpSink extends Serializable { def post(jsonArrayBody: String): Boolean }
+
+  /** One-row watermark state store (S8). */
+  trait WatermarkStore {
+    def read(): java.sql.Timestamp
+    def write(ts: java.sql.Timestamp): Unit
+  }
+
+  /** File-backed store: a single ISO-8601 line; missing/corrupt file →
+    * `default` (the reference's UtcNow-1h fallback, :288-306). */
+  final class FileWatermarkStore(path: String, default: => java.sql.Timestamp)
+      extends WatermarkStore {
+    def read(): java.sql.Timestamp =
+      try java.sql.Timestamp.valueOf(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8").trim)
+      catch { case _: Exception => default }
+    def write(ts: java.sql.Timestamp): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, ts.toString.getBytes("UTF-8"))
+    }
+  }
+
+  /** The push-payload projection with the edge null rules (E6/E7).
+    * Field list = the documented Power BI dataset (README.MD:182). */
+  def payload(c: String => Column = col): Column = {
+    def num(n: String): Column = coalesce(c(n).cast("double"), lit(0.0))
+    to_json(struct(
+      coalesce(c("deviceId"), lit("")).as("deviceId"),
+      date_format(c("enqueuedTime"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .as("enqueuedTime"),
+      num("battery").as("battery"),
+      num("barometer").as("barometer"),
+      num("AccelMagnitude").as("AccelMagnitude"),
+      coalesce(c("Anomaly").cast("double"), lit(0.0)).as("Anomaly"),
+      num("latitude").as("latitude"),
+      num("longitude").as("longitude")))
+  }
+
+  /** One sync tick (reference `ProcessNewTelemetryData`). Returns rows
+    * pushed. Watermark advances only if every batch POSTed. */
+  def syncOnce(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
+      batchSize: Int = 500): Long = {
+    val wm = store.read()
+    val pending = telemetry
+      .filter(col("enqueuedTime") > lit(wm))
+      .orderBy("enqueuedTime")
+      .select(payload().as("j"), col("enqueuedTime"))
+    var maxTs: java.sql.Timestamp = wm
+    var pushed = 0L
+    val it = pending.toLocalIterator() // sorted, driver-side bounded buffer
+    val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    def flush(): Boolean = {
+      if (buf.isEmpty) true
+      else {
+        val ok = sink.post(buf.mkString("[", ",", "]"))
+        if (ok) { pushed += buf.length; buf.clear() }
+        ok
+      }
+    }
+    while (it.hasNext) {
+      val r = it.next()
+      buf += r.getString(0)
+      val ts = r.getTimestamp(1)
+      if (ts.after(maxTs)) maxTs = ts
+      if (buf.length >= batchSize && !flush()) return pushed // wm unmoved (T6)
+    }
+    if (flush() && pushed > 0) store.write(maxTs)
+    pushed
+  }
+
+  /** Initial bulk load (reference `ProcessInitialLoad`): full sorted
+    * scan in `batchSize` pages, watermark written once at the end; a
+    * mid-load failure leaves it unset so a rerun restarts from scratch
+    * (reference behavior, PushTelemetryFunction.cs:260,271-274). */
+  def initialLoad(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
+      batchSize: Int = 500): Long = {
+    val epoch = new java.sql.Timestamp(0L)
+    val all = telemetry
+      .orderBy("enqueuedTime")
+      .select(payload().as("j"), col("enqueuedTime"))
+    var maxTs = epoch
+    var pushed = 0L
+    val it = all.toLocalIterator()
+    val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    def flush(): Unit = {
+      if (buf.nonEmpty) {
+        if (!sink.post(buf.mkString("[", ",", "]")))
+          throw new RuntimeException(s"push failed after $pushed rows")
+        pushed += buf.length; buf.clear()
+      }
+    }
+    while (it.hasNext) {
+      val r = it.next()
+      buf += r.getString(0)
+      val ts = r.getTimestamp(1)
+      if (ts.after(maxTs)) maxTs = ts
+      if (buf.length >= batchSize) flush()
+    }
+    flush()
+    if (pushed > 0) store.write(maxTs)
+    pushed
+  }
+}

@@ -1,0 +1,220 @@
+package graft.streaming
+
+import graft.anomaly.SpikeAndDip
+import graft.enrich.Enrich
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The reference's single stream job re-expressed as one Structured
+  * Streaming query with a three-sink `foreachBatch` fan-out
+  * (reference: `stream-analytics/iot-stream-analytics-query.sql` — one
+  * input CTE, three outputs: raw→bronze archive :49-50, device
+  * metadata→Devices :53-61, enriched+anomaly-flagged→Telemetry :64-83).
+  *
+  * Topology: envelope stream → enrich (pure projection) → stateful
+  * spike-and-dip (`flatMapGroupsWithState`) → `foreachBatch { persist;
+  * bronze append; devices dedup-merge; telemetry append }`. One scan
+  * per micro-batch feeds all three sinks (ASA's multi-output atomicity,
+  * which separate streaming queries would not give).
+  *
+  * Scale design (100 TB/day stream):
+  *  - state is partitioned by device key by default (`perDevice=true`)
+  *    — the reference's no-PARTITION-BY global model (SURVEY §7.4) is
+  *    available as `perDevice=false` for parity but funnels all state
+  *    through one task; per-device is the deliberate, documented
+  *    deviation that scales with the key space;
+  *  - per-key state is a bounded ring (window duration × history cap ≤
+  *    85 entries/signal), so state size is O(devices), not O(events);
+  *  - event-time watermark bounds both state retention and late data
+  *    (reference ASA: 60 s late-arrival tolerance, T2/T3);
+  *  - the bronze write is the untouched input batch — an append-only
+  *    columnar archive partitionable by ingest date at scale.
+  */
+object CuratedPipeline {
+
+  /** One enriched event entering the stateful anomaly stage. `raw`
+    * carries the original envelope JSON for the bronze sink; device
+    * metadata rides along for the Devices sink. */
+  final case class PipeEvent(
+      raw: String,
+      deviceId: String,
+      applicationId: String,
+      templateId: String,
+      component: String,
+      module: String,
+      enqueuedTime: java.sql.Timestamp,
+      battery: Option[Long],
+      barometer: Option[Double],
+      latitude: Option[Double],
+      longitude: Option[Double],
+      altitude: Option[Double],
+      accelMagnitude: Option[Double],
+      gyroMagnitude: Option[Double],
+      magMagnitude: Option[Double])
+
+  /** PipeEvent + the 0/1 anomaly flag (E4). */
+  final case class PipeOut(
+      raw: String,
+      deviceId: String,
+      applicationId: String,
+      templateId: String,
+      component: String,
+      module: String,
+      enqueuedTime: java.sql.Timestamp,
+      battery: Option[Long],
+      barometer: Option[Double],
+      latitude: Option[Double],
+      longitude: Option[Double],
+      altitude: Option[Double],
+      accelMagnitude: Option[Double],
+      gyroMagnitude: Option[Double],
+      magMagnitude: Option[Double],
+      anomaly: Int)
+
+  /** Per-signal history ring: event-time µs + value, ascending ts. */
+  final case class SignalBuf(ts: Vector[Long], v: Vector[Double]) {
+    def add(t: Long, x: Double, windowMicros: Long, cap: Int): SignalBuf = {
+      val keepFrom = t - windowMicros
+      val i = ts.indexWhere(_ > keepFrom) match { case -1 => ts.length; case k => k }
+      val (nt, nv) = (ts.drop(i) :+ t, v.drop(i) :+ x)
+      // ring cap: the scorer only ever reads the most recent `cap`
+      // entries, so state stays O(historySize) regardless of rate.
+      if (nt.length > cap) SignalBuf(nt.takeRight(cap), nv.takeRight(cap))
+      else SignalBuf(nt, nv)
+    }
+    /** history strictly before `t`, inside the window, newest `cap`. */
+    def history(t: Long, windowMicros: Long, cap: Int): Array[Double] = {
+      val lo = t - windowMicros
+      val picked = ts.zip(v).filter { case (bt, _) => bt > lo && bt < t }
+      (if (picked.length > cap) picked.takeRight(cap) else picked)
+        .map(_._2).toArray
+    }
+  }
+  object SignalBuf { val empty: SignalBuf = SignalBuf(Vector.empty, Vector.empty) }
+
+  final case class DevState(
+      battery: SignalBuf, barometer: SignalBuf, accel: SignalBuf)
+  object DevState {
+    val empty: DevState = DevState(SignalBuf.empty, SignalBuf.empty, SignalBuf.empty)
+  }
+
+  /** Envelope DataFrame (batch or stream) → PipeEvent dataset. */
+  def toPipeEvents(envelopes: DataFrame): Dataset[PipeEvent] = {
+    import envelopes.sparkSession.implicits._
+    envelopes.select(
+      coalesce(to_json(struct(envelopes.columns.map(col): _*)), lit("")).as("raw"),
+      col("deviceId"),
+      col("applicationId"), col("templateId"), col("component"), col("module"),
+      to_timestamp(col("enqueuedTime")).as("enqueuedTime"),
+      col("telemetry.battery").as("battery"),
+      col("telemetry.barometer").as("barometer"),
+      col("telemetry.geolocation.lat").as("latitude"),
+      col("telemetry.geolocation.lon").as("longitude"),
+      col("telemetry.geolocation.alt").as("altitude"),
+      Enrich.magnitude(col("telemetry.accelerometer")).as("accelMagnitude"),
+      Enrich.magnitude(col("telemetry.gyroscope")).as("gyroMagnitude"),
+      Enrich.magnitude(col("telemetry.magnetometer")).as("magMagnitude"),
+    ).filter(col("deviceId").isNotNull).as[PipeEvent]
+  }
+
+  /** The stateful spike-and-dip stage. Works identically on batch
+    * Datasets (state lives for the single batch) and streams (state
+    * checkpointed across micro-batches) — the test suite pins
+    * batch-path equivalence against `SpikeAndDip.batch`. */
+  def anomalyStage(events: Dataset[PipeEvent],
+      params: SpikeAndDip.Params = SpikeAndDip.Params(),
+      perDevice: Boolean = true): Dataset[PipeOut] = {
+    import events.sparkSession.implicits._
+    val windowMicros = params.windowMillis * 1000L
+    val cap = params.historySize
+    def scoreOne(buf: SignalBuf, t: Long, v: Option[Double]): Int = v match {
+      case Some(x) =>
+        SpikeAndDip.score(buf.history(t, windowMicros, cap), x, params)._1
+      case None => 0
+    }
+    val fn: (String, Iterator[PipeEvent], GroupState[DevState]) => Iterator[PipeOut] =
+      (_, it, state) => {
+        var st = state.getOption.getOrElse(DevState.empty)
+        // ASA's compat-1.2 reorder buffer delivers the window in event-time
+        // order; we sort each micro-batch the same way before folding.
+        val out = it.toVector.sortBy(e => (e.enqueuedTime.getTime, e.raw)).map { e =>
+          val t = e.enqueuedTime.getTime * 1000L
+          val bat = e.battery.map(_.toDouble)
+          val flags = Seq(
+            scoreOne(st.battery, t, bat),
+            scoreOne(st.barometer, t, e.barometer),
+            scoreOne(st.accel, t, e.accelMagnitude))
+          st = DevState(
+            bat.fold(st.battery)(x => st.battery.add(t, x, windowMicros, cap)),
+            e.barometer.fold(st.barometer)(x => st.barometer.add(t, x, windowMicros, cap)),
+            e.accelMagnitude.fold(st.accel)(x => st.accel.add(t, x, windowMicros, cap)))
+          PipeOut(e.raw, e.deviceId, e.applicationId, e.templateId, e.component,
+            e.module, e.enqueuedTime, e.battery, e.barometer, e.latitude,
+            e.longitude, e.altitude, e.accelMagnitude, e.gyroMagnitude,
+            e.magMagnitude, if (flags.exists(_ == 1)) 1 else 0)
+        }
+        state.update(st)
+        out.iterator
+      }
+    events
+      .groupByKey(e => if (perDevice) e.deviceId else "")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Curated Telemetry projection (DDL column names, README.MD:167-175). */
+  def telemetryColumns(out: Dataset[PipeOut]): DataFrame =
+    out.select(
+      col("deviceId"), col("enqueuedTime"), col("battery"), col("barometer"),
+      col("latitude"), col("longitude"), col("altitude"),
+      col("accelMagnitude").as("AccelMagnitude"),
+      col("gyroMagnitude").as("GyroMagnitude"),
+      col("magMagnitude").as("MagMagnitude"),
+      col("anomaly").as("Anomaly"))
+
+  /** Devices-sink dedup-merge: at-most-one-row-per-device (the PK
+    * semantics the reference gets from constraint violations, S3). */
+  def mergeDevices(batch: DataFrame, devicesDir: String): Unit = {
+    val spark = batch.sparkSession
+    val newDevs = batch
+      .select("deviceId", "applicationId", "templateId", "component", "module")
+      .filter(col("deviceId").isNotNull)
+      .dropDuplicates("deviceId")
+    val existing =
+      try spark.read.parquet(devicesDir).select("deviceId")
+      catch { case _: Exception => spark.emptyDataFrame.withColumn("deviceId", lit("")) }
+    newDevs.join(existing, Seq("deviceId"), "left_anti")
+      .write.mode("append").parquet(devicesDir)
+  }
+
+  /** Start the full three-sink pipeline on an envelope stream. */
+  def start(envelopes: DataFrame, bronzeDir: String, devicesDir: String,
+      telemetryDir: String, checkpointDir: String,
+      params: SpikeAndDip.Params = SpikeAndDip.Params(),
+      perDevice: Boolean = true,
+      lateness: String = "60 seconds",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds") // T7 cadence
+  ): StreamingQuery = {
+    val events = toPipeEvents(envelopes)
+      .withWatermark("enqueuedTime", lateness)
+      .as[PipeEvent](org.apache.spark.sql.Encoders.product[PipeEvent])
+    val out = anomalyStage(events, params, perDevice)
+    out.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[PipeOut], _: Long) =>
+        batch.persist()
+        try {
+          // S2 bronze: untouched input envelopes, append-only.
+          batch.select("raw").write.mode("append").text(bronzeDir)
+          // S3 devices: dedup-merge.
+          mergeDevices(batch.toDF(), devicesDir)
+          // S4 telemetry: enriched + flagged fact rows.
+          telemetryColumns(batch).write.mode("append").parquet(telemetryDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+}

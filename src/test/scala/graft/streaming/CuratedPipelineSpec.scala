@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.anomaly.SpikeAndDip
+import graft.ingest.EnvelopeTransform
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class CuratedPipelineSpec extends SparkSpec {
+
+  /** Envelope JSON in the post-transform shape (what the stream carries). */
+  private def rawJson(dev: String, ts: String, battery: Long,
+      barometer: Double, ax: Double = 0.1, ay: Double = 0.2, az: Double = 0.3) =
+    s"""{"applicationId":"app","component":"sensors","enqueuedTime":"$ts",
+       |"messageSource":"telemetry","device":{"id":"$dev","templateId":"tpl"},
+       |"telemetry":[{"name":"battery","value":$battery},
+       |{"name":"barometer","value":$barometer},
+       |{"name":"accelerometer","value":{"x":$ax,"y":$ay,"z":$az}},
+       |{"name":"geolocation","value":{"lat":1.5,"lon":2.5,"alt":3.5}}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def envelopes(jsons: Seq[String]) = {
+    import spark.implicits._
+    EnvelopeTransform.fromJson(jsons.toDF("value"), "value")
+  }
+
+  test("stateful stage (batch mode) matches the window-function batch path") {
+    // 2 devices × 40 events, deliberately shuffled (out of order): the
+    // stage sorts by event time per key before folding state.
+    val events = scala.util.Random.shuffle((0 until 80).toList).map { k =>
+      val dev = s"dev${k % 2}"; val i = k / 2
+      val v = if (i == 30) 9999L else 100L + (i % 4)
+      rawJson(dev, f"2024-01-01T00:00:${i * 0.7}%06.3fZ".replace(",", "."), v, 1013.0 + (i % 3))
+    }
+    val env = envelopes(events)
+    val streamed = CuratedPipeline
+      .anomalyStage(CuratedPipeline.toPipeEvents(env), perDevice = true)
+      .select(col("deviceId"), col("enqueuedTime"), col("anomaly"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getInt(2))
+      .toMap
+    val batch = SpikeAndDip.telemetryAnomalies(
+      graft.enrich.Enrich.telemetry(env), partitionCols = Seq("deviceId"))
+      .select(col("deviceId"), col("enqueuedTime"), col("Anomaly"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getInt(2))
+      .toMap
+    assert(streamed.size == 80 && batch.size == 80)
+    assert(streamed == batch)
+    assert(streamed.values.sum >= 2) // the injected spikes were flagged
+  }
+
+  test("three-sink fan-out: bronze append, devices dedup-merge, telemetry append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curated").toString
+    val input = MemoryStream[String](spark)
+    val q = CuratedPipeline.start(
+      EnvelopeTransform.fromJson(input.toDF(), "value"),
+      s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      input.addData(
+        rawJson("devA", "2024-01-01T00:00:01Z", 90, 1010.0),
+        rawJson("devA", "2024-01-01T00:00:02Z", 91, 1011.0),
+        rawJson("devB", "2024-01-01T00:00:03Z", 80, 1000.0))
+      q.processAllAvailable()
+      // second micro-batch repeats devA: the dedup-merge must not re-add it
+      input.addData(
+        rawJson("devA", "2024-01-01T00:00:04Z", 92, 1012.0),
+        rawJson("devC", "2024-01-01T00:00:05Z", 70, 990.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.text(s"$dir/bronze").count() == 5) // untouched archive
+    val devs = spark.read.parquet(s"$dir/devices")
+    assert(devs.count() == 3) // at-most-one-row-per-device (PK semantics)
+    assert(devs.select("deviceId").as[String].collect().sorted.toSeq ==
+      Seq("devA", "devB", "devC"))
+    val tel = spark.read.parquet(s"$dir/telemetry")
+    assert(tel.count() == 5)
+    assert(tel.columns.toSeq == Seq("deviceId", "enqueuedTime", "battery",
+      "barometer", "latitude", "longitude", "altitude", "AccelMagnitude",
+      "GyroMagnitude", "MagMagnitude", "Anomaly"))
+    // enrichment reached the sink: magnitude of (0.1, 0.2, 0.3)
+    val m = tel.select("AccelMagnitude").as[Double].head()
+    assert(math.abs(m - math.sqrt(0.01 + 0.04 + 0.09)) < 1e-12)
+  }
+
+  test("state persists across micro-batches (anomaly only detectable with carried history)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curated2").toString
+    val input = MemoryStream[String](spark)
+    val q = CuratedPipeline.start(
+      EnvelopeTransform.fromJson(input.toDF(), "value"),
+      s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: 30 calm events — builds history, no anomaly
+      input.addData((0 until 30).map(i =>
+        rawJson("dev", f"2024-01-01T00:00:$i%02d.000Z", 100 + (i % 3), 1013.0)): _*)
+      q.processAllAvailable()
+      // batch 2: one wild spike — only flaggable if batch-1 state survived
+      input.addData(rawJson("dev", "2024-01-01T00:00:31.000Z", 99999, 1013.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.read.parquet(s"$dir/telemetry")
+      .filter(col("battery") === 99999).select("Anomaly").as[Int].head()
+    assert(flagged == 1)
+  }
+}
