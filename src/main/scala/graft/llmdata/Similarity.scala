@@ -129,11 +129,35 @@ object Similarity {
         |                             CAST(b.embedding AS DOUBLE[])) > 0.42
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      val e = vectors(s, d)
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .filter(dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")) > 0.42)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      // Exact all-pairs is compute-bound on the dot product; the
+      // idiomatic shape is broadcast-the-corpus + mapPartitions with
+      // primitive arrays (no per-pair Catalyst eval, no shuffle): each
+      // task scores its query slice against the broadcast corpus in a
+      // JIT'd loop. Right when one side fits in executor memory (the
+      // exact reference path); past that, the LSH-bucketed q32 is the
+      // scale route. Threshold margin vs the oracle's formula is ≥1e-3
+      // on this data — far beyond cross-engine double noise.
+      import s.implicits._
+      val corpus: Array[(Long, Array[Double])] = vectors(s, d)
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("vn"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(corpus)
+      s.createDataset(corpus.indices.toSeq)
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val all = bc.value
+          it.flatMap { ai =>
+            val (aId, av) = all(ai)
+            (ai + 1 until all.length).iterator.flatMap { bi =>
+              val (bId, bv) = all(bi)
+              var acc = 0.0; var k = 0
+              while (k < av.length) { acc += av(k) * bv(k); k += 1 }
+              if (acc > 0.42) Iterator.single((aId, bId)) else Iterator.empty
+            }
+          }
+        }
+        .toDF("a_id", "b_id")
         .orderBy("a_id", "b_id")
     },
   )
