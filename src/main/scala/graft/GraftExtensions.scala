@@ -1,0 +1,60 @@
+package graft
+
+import graft.anomaly.SpikeAndDip
+import graft.functions.SpikeScore
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Session extensions: registers the engine's custom SQL surface.
+  *
+  * Usage: `spark.sql.extensions=graft.GraftExtensions` at session build
+  * (GraftSession does this), or `GraftExtensions.register(spark)` on an
+  * externally created session (Verify/Bench).
+  *
+  * SQL forms:
+  *   spike_score(history, value)                        — reference params (95/85)
+  *   spike_score(history, value, confidence, historySize, mode)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftExtensions.spikeScoreFn)
+}
+
+object GraftExtensions {
+  private def str(e: Expression): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"spike_score: literal argument expected, got $other")
+  }
+  private def num(e: Expression): Double = str(e).toDouble
+
+  val spikeScoreFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("spike_score"),
+    new ExpressionInfo(classOf[SpikeScore].getName, "spike_score"),
+    (args: Seq[Expression]) => {
+      // SQL numeric literals arrive as decimals — coerce like a
+      // built-in would (ExpectsInputTypes is private[sql] in Spark 4).
+      def hd(e: Expression) = Cast(e, ArrayType(DoubleType))
+      def vd(e: Expression) = Cast(e, DoubleType)
+      args match {
+        case Seq(h, v) => SpikeScore(hd(h), vd(v))
+        case Seq(h, v, conf, hist, mode) => SpikeScore(hd(h), vd(v),
+          SpikeAndDip.Params(
+            confidence = num(conf),
+            historySize = num(hist).toInt,
+            mode = str(mode)))
+        case other => throw new IllegalArgumentException(
+          s"spike_score expects 2 or 5 arguments, got ${other.length}")
+      }
+    },
+  )
+
+  /** Programmatic registration for sessions built without the
+    * extensions config. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = spikeScoreFn
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -16,6 +16,7 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -40,6 +41,9 @@ object GraftSession {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.adaptive.enabled", "true")
+    // custom SQL functions for sessions built without the extensions
+    // config (Verify/Bench construct their own session)
+    GraftExtensions.register(s)
     s
   }
 }

@@ -118,28 +118,22 @@ object SpikeAndDip {
   def batch(df: DataFrame, tsCol: String, valueCol: String,
       partitionCols: Seq[String] = Nil, outCol: String = "anom",
       params: Params = Params()): DataFrame = {
-    val p = params
-    val scoreUdf = udf { (hist: Seq[Double], ts: Seq[Long], v: java.lang.Double) =>
-      if (v == null) (0, 0.0)
-      else {
-        // keep the most recent `historySize` events of the frame
-        val capped =
-          if (hist.length <= p.historySize) hist.toArray
-          else hist.zip(ts).sortBy(-_._2).take(p.historySize).map(_._1).toArray
-        score(capped, v, p)
-      }
-    }.asNondeterministic() // stop Catalyst from duplicating the heavy call
+    import org.apache.spark.sql.{GraftSqlBridge => ExpressionUtils}
     val usCol = unix_micros(col(tsCol))
     val w0 =
       if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
       else Window.partitionBy()
     val w = w0.orderBy(usCol)
       .rangeBetween(-params.windowMillis * 1000L, -1L)
+    // the frame is collected in orderBy (event-time) order, so the
+    // native expression caps history by taking the array tail; the
+    // scorer itself is the codegen'd SpikeScore Expression, not a UDF.
+    val hist = collect_list(col(valueCol).cast("double")).over(w)
     df.withColumn(outCol,
-      scoreUdf(
-        collect_list(col(valueCol)).over(w),
-        collect_list(usCol).over(w),
-        col(valueCol)).cast("struct<isAnomaly:int,score:double>"))
+      ExpressionUtils.column(graft.functions.SpikeScore(
+        ExpressionUtils.expression(hist),
+        ExpressionUtils.expression(col(valueCol).cast("double")),
+        params)))
   }
 
   /** The three reference scores + combined flag over an enriched telemetry

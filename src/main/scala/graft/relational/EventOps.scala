@@ -107,6 +107,25 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- q24: the full spike-and-dip detector (W1: the reference's
+    //      AnomalyDetection_SpikeAndDip contract — 95% confidence, 85
+    //      events, 60 s trailing event-time window) over the events
+    //      stream, partitioned per event_type (distributed state; the
+    //      reference's global-model mode is SpikeAndDip(partitionCols=
+    //      Nil)). MAD-median scoring is not DuckDB-expressible → rows-
+    //      only driver check; value-level behavior is ScalaTest-pinned
+    //      (SpikeAndDipSpec) and the z-score analog is oracle-checked
+    //      as q23. ----
+    Q.rowsOnly("q24_spike_dip") { (s, d) =>
+      graft.anomaly.SpikeAndDip
+        .batch(Tables.events(s, d), "ts", "value",
+          partitionCols = Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          col("anom.isAnomaly").as("anomaly"),
+          col("anom.score").as("score"))
+        .orderBy("event_id")
+    },
+
     // ---- q25: JSON property extraction (ingest-normalization parity,
     //      SURVEY §2.9; Spark get_json_object vs regexp oracle) ----
     Q(

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape checks — the 100 TB design assertions: filters
+  * reach the parquet scan, scans prune columns, dimension joins
+  * broadcast, top-k avoids a global sort. A plan regression here is a
+  * scale bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: predicates push into the parquet scan; scan prunes columns") {
+    val p = planOf(SparkEntry.queries("q02_filter_revenue")(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_shipdate"), "shipdate range must reach the scan")
+    // projection needs only 4 columns — the 11-column lineitem schema
+    // must not be read wholesale
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"))
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q03: snowflake dimension joins broadcast (no fact shuffle)") {
+    val p = planOf(SparkEntry.queries("q03_join_dims")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q07: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf(SparkEntry.queries("q07_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = planOf(SparkEntry.queries("q01_agg_pricing")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate")
+  }
+
+  test("q31: query side broadcasts against the corpus (no corpus shuffle)") {
+    val p = planOf(SparkEntry.queries("q31_cosine_topk")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
