@@ -141,6 +141,88 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- q39: sessionization — gap-based session assignment (the batch
+    //      rendering of a session window: new session when the per-user
+    //      event-time gap exceeds 6 h; streaming twin is
+    //      `session_window`/`flatMapGroupsWithState`). Scale: two
+    //      windows + one aggregate, all partitioned by user_id. ----
+    Q(
+      "q39_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(lag("ts", 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) >
+              21600000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("sess_start"), max("ts").as("sess_end"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    // ---- q40: event-time interval join — click→purchase attribution
+    //      within 24 h per user (the batch rendering of a stream-stream
+    //      join with an event-time range condition; streaming twin uses
+    //      watermarked `join` with time-bound predicates). Equi-key on
+    //      user_id carries the shuffle; the range is a post-filter. ----
+    Q(
+      "q40_interval_join",
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + 86400000000
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("a_us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("b_user"), unix_micros(col("ts")).as("b_us"))
+      clicks.join(buys,
+        col("user_id") === col("b_user") &&
+          col("b_us") >= col("a_us") &&
+          col("b_us") < col("a_us") + 86400000000L)
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    },
+
+    // ---- q41: approximate distinct counting (HLL). Spark's HLL++ and
+    //      DuckDB's approx_count_distinct are different sketches → no
+    //      value-level oracle; the driver records the rows-only check,
+    //      and the exact counterpart is oracle-checked in q11. ----
+    Q.rowsOnly("q41_approx_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")
+    },
+
     // ---- q26: first-seen dedup-upsert (S3 Devices-sink semantics: PK gives
     //      at-most-one-row-per-device; we keep the earliest event-time row) ----
     Q(
