@@ -57,7 +57,9 @@ object PowerBiSync {
   }
 
   /** The push-payload projection with the edge null rules (E6/E7).
-    * Field list = the documented Power BI dataset (README.MD:182). */
+    * Field list and order = the reference's BuildTelemetryObject
+    * (PushTelemetryFunction.cs:336-400): deviceId, enqueuedTime, the
+    * eight numeric fields, then the bool-or-number Anomaly. */
   def payload(c: String => Column = col): Column = {
     def num(n: String): Column = coalesce(c(n).cast("double"), lit(0.0))
     to_json(struct(
@@ -66,10 +68,13 @@ object PowerBiSync {
         .as("enqueuedTime"),
       num("battery").as("battery"),
       num("barometer").as("barometer"),
-      num("AccelMagnitude").as("AccelMagnitude"),
-      coalesce(c("Anomaly").cast("double"), lit(0.0)).as("Anomaly"),
       num("latitude").as("latitude"),
-      num("longitude").as("longitude")))
+      num("longitude").as("longitude"),
+      num("altitude").as("altitude"),
+      num("AccelMagnitude").as("AccelMagnitude"),
+      num("GyroMagnitude").as("GyroMagnitude"),
+      num("MagMagnitude").as("MagMagnitude"),
+      coalesce(c("Anomaly").cast("double"), lit(0.0)).as("Anomaly")))
   }
 
   /** One sync tick (reference `ProcessNewTelemetryData`). Returns rows

@@ -94,9 +94,11 @@ object CuratedPipeline {
   object SignalBuf { val empty: SignalBuf = SignalBuf(Vector.empty, Vector.empty) }
 
   final case class DevState(
-      battery: SignalBuf, barometer: SignalBuf, accel: SignalBuf)
+      battery: SignalBuf, barometer: SignalBuf, accel: SignalBuf,
+      maxTsMicros: Long)
   object DevState {
-    val empty: DevState = DevState(SignalBuf.empty, SignalBuf.empty, SignalBuf.empty)
+    val empty: DevState =
+      DevState(SignalBuf.empty, SignalBuf.empty, SignalBuf.empty, Long.MinValue)
   }
 
   /** Envelope DataFrame (batch or stream) → PipeEvent dataset. */
@@ -124,10 +126,12 @@ object CuratedPipeline {
     * batch-path equivalence against `SpikeAndDip.batch`. */
   def anomalyStage(events: Dataset[PipeEvent],
       params: SpikeAndDip.Params = SpikeAndDip.Params(),
-      perDevice: Boolean = true): Dataset[PipeOut] = {
+      perDevice: Boolean = true,
+      adjustMillis: Option[Long] = None): Dataset[PipeOut] = {
     import events.sparkSession.implicits._
     val windowMicros = params.windowMillis * 1000L
     val cap = params.historySize
+    val adjustMicros = adjustMillis.map(_ * 1000L)
     def scoreOne(buf: SignalBuf, t: Long, v: Option[Double]): Int = v match {
       case Some(x) =>
         SpikeAndDip.score(buf.history(t, windowMicros, cap), x, params)._1
@@ -139,7 +143,18 @@ object CuratedPipeline {
         // ASA's compat-1.2 reorder buffer delivers the window in event-time
         // order; we sort each micro-batch the same way before folding.
         val out = it.toVector.sortBy(e => (e.enqueuedTime.getTime, e.raw)).map { e =>
-          val t = e.enqueuedTime.getTime * 1000L
+          val rawT = e.enqueuedTime.getTime * 1000L
+          // ASA "Adjust" (T2): an event older than the key's event-time
+          // high watermark minus the tolerance has its timestamp clamped
+          // forward to that bound (reference job config: 30 s,
+          // terraform/main-example.tf:134-135). Unset → no clamping.
+          val t = adjustMicros match {
+            case Some(adj) if st.maxTsMicros != Long.MinValue &&
+              rawT < st.maxTsMicros - adj => st.maxTsMicros - adj
+            case _ => rawT
+          }
+          val outTs = if (t == rawT) e.enqueuedTime
+            else new java.sql.Timestamp(t / 1000L)
           val bat = e.battery.map(_.toDouble)
           val flags = Seq(
             scoreOne(st.battery, t, bat),
@@ -148,9 +163,10 @@ object CuratedPipeline {
           st = DevState(
             bat.fold(st.battery)(x => st.battery.add(t, x, windowMicros, cap)),
             e.barometer.fold(st.barometer)(x => st.barometer.add(t, x, windowMicros, cap)),
-            e.accelMagnitude.fold(st.accel)(x => st.accel.add(t, x, windowMicros, cap)))
+            e.accelMagnitude.fold(st.accel)(x => st.accel.add(t, x, windowMicros, cap)),
+            math.max(st.maxTsMicros, t))
           PipeOut(e.raw, e.deviceId, e.applicationId, e.templateId, e.component,
-            e.module, e.enqueuedTime, e.battery, e.barometer, e.latitude,
+            e.module, outTs, e.battery, e.barometer, e.latitude,
             e.longitude, e.altitude, e.accelMagnitude, e.gyroMagnitude,
             e.magMagnitude, if (flags.exists(_ == 1)) 1 else 0)
         }
@@ -193,12 +209,13 @@ object CuratedPipeline {
       params: SpikeAndDip.Params = SpikeAndDip.Params(),
       perDevice: Boolean = true,
       lateness: String = "60 seconds",
+      adjustMillis: Option[Long] = Some(30000L), // ASA Adjust default (T2)
       trigger: Trigger = Trigger.ProcessingTime("10 seconds") // T7 cadence
   ): StreamingQuery = {
     val events = toPipeEvents(envelopes)
       .withWatermark("enqueuedTime", lateness)
       .as[PipeEvent](org.apache.spark.sql.Encoders.product[PipeEvent])
-    val out = anomalyStage(events, params, perDevice)
+    val out = anomalyStage(events, params, perDevice, adjustMillis)
     out.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

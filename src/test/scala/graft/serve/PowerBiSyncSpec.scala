@@ -46,6 +46,10 @@ class PowerBiSyncSpec extends SparkSpec {
     assert(body.contains(""""battery":0.0"""))               // null → 0.0
     assert(body.contains(""""Anomaly":0.0"""))               // null → 0.0
     assert(body.contains(""""enqueuedTime":"2024-03-05T06:07:08.123Z""""))
+    // full reference field list (BuildTelemetryObject): all 8 numerics
+    for (f <- Seq("barometer", "latitude", "longitude", "altitude",
+        "AccelMagnitude", "GyroMagnitude", "MagMagnitude"))
+      assert(body.contains(s""""$f":"""), s"missing payload field $f")
   }
 
   test("incremental scan honors the watermark and advances it to max(enqueuedTime)") {

@@ -84,6 +84,36 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(math.abs(m - math.sqrt(0.01 + 0.04 + 0.09)) < 1e-12)
   }
 
+  test("ASA 'Adjust' clamp: late event's timestamp is pulled to high-watermark minus tolerance") {
+    // The clamp acts at arrival (micro-batch) boundaries — within one
+    // batch the reorder buffer sorts, so lateness only exists across
+    // batches. Watermark is loosened so the late row reaches the clamp
+    // instead of being watermark-dropped (T3 vs T2 interplay).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("adjust").toString
+    val input = MemoryStream[String](spark)
+    val q = CuratedPipeline.start(
+      EnvelopeTransform.fromJson(input.toDF(), "value"),
+      s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
+      lateness = "2 hours", adjustMillis = Some(30000L),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      input.addData(
+        rawJson("dev", "2024-01-01T10:00:00Z", 100, 1013.0),
+        rawJson("dev", "2024-01-01T10:01:00Z", 101, 1013.0))
+      q.processAllAvailable()
+      // arrives a batch later, 1 h behind the key's 10:01 high watermark
+      input.addData(rawJson("dev", "2024-01-01T09:00:00Z", 102, 1013.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/telemetry")
+      .select("battery", "enqueuedTime").as[(Long, java.sql.Timestamp)]
+      .collect().map { case (b, t) => b -> t.toString }.toMap
+    assert(out(100L) == "2024-01-01 10:00:00.0") // in order: untouched
+    assert(out(101L) == "2024-01-01 10:01:00.0")
+    assert(out(102L) == "2024-01-01 10:00:30.0") // clamped to wm - 30 s
+  }
+
   test("state persists across micro-batches (anomaly only detectable with carried history)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("curated2").toString
