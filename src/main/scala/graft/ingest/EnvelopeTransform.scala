@@ -41,9 +41,15 @@ object EnvelopeTransform {
     variant_get(v, "$.y", "double").as("y"),
     variant_get(v, "$.z", "double").as("z"))
 
-  /** raw JSON string column → fixed envelope columns (FIXTURES.md §A2). */
+  /** raw JSON string column → fixed envelope columns (FIXTURES.md §A2).
+    * `try_parse_json`: a malformed event must not kill a streaming
+    * query (PERMISSIVE semantics, SURVEY §1.3); unparseable rows become
+    * a null variant and are dropped here — in production, route them to
+    * a dead-letter sink before this projection instead. */
   def fromJson(raw: DataFrame, jsonCol: String = "value"): DataFrame =
-    fromVariant(raw.select(parse_json(col(jsonCol)).as("v")))
+    fromVariant(raw
+      .select(try_parse_json(col(jsonCol)).as("v"))
+      .filter(col("v").isNotNull))
 
   /** variant column `v` holding the raw envelope → fixed envelope. */
   def fromVariant(parsed: DataFrame): DataFrame = {

@@ -30,6 +30,20 @@ class EnvelopeTransformSpec extends SparkSpec {
     assert(out.getAs[Map[String, String]]("enrichments") == null)
   }
 
+  test("malformed JSON is dropped, not fatal (PERMISSIVE edge)") {
+    import spark.implicits._
+    val mixed = Seq(
+      """{"device":{"id":"ok1"},"telemetry":[]}""",
+      "NOT JSON {{{",
+      "",
+      """{"device":{"id":"ok2"},"telemetry":[{"name":"battery","value":7}]}""")
+      .toDF("value")
+    val out = EnvelopeTransform.fromJson(mixed, "value")
+    assert(out.count() == 2) // both bad rows silently dropped
+    assert(out.select("deviceId").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("ok1", "ok2"))
+  }
+
   test("telemetry name/value array pivots to the fixed struct with explicit nulls") {
     val tel = out.getAs[Row]("telemetry")
     assert(tel.getAs[Long]("battery") == -570335521L)
