@@ -21,11 +21,12 @@ object SparkEntry {
       llmdata.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Snowflake join + aggregate: exercises scan, broadcast joins, partial
-    * aggregation, and sort in one plan. */
+    * Snowflake join + aggregate (q03): exercises scan, broadcast joins,
+    * partial aggregation, distinct-agg, and sort in one plan. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.tune(spark)
-    registry.head.run(spark, "/root/testdata/sf0.001")
+    registry.find(_.name == "q03_join_dims").get
+      .run(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -372,6 +372,30 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // ---- q42: exact percentiles with linear interpolation — verified
+    //      bit-identical to DuckDB's quantile_cont (same rank formula,
+    //      same IEEE interpolation). Exact percentile sorts per group —
+    //      the approximate path at scale is approx_percentile (q41's
+    //      sketch caveat applies: not cross-engine checkable). ----
+    Q(
+      "q42_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- q19: date/time functions + temporal grouping (E2/E6 parity) ----
     Q(
       "q19_date_funcs",
