@@ -194,18 +194,24 @@ object Dedup {
         .withColumn("mask",
           array((0 until nBuckets).map(b => col(s"m$b")): _*))
         .persist()
-      val bands = sets.select(col("doc_id"),
+      val bands = sets.select(col("doc_id"), col("nw"),
         explode(array(
           md5(concat(lit("0"), col("s0"), col("s1"), col("s2"), col("s3"))),
           md5(concat(lit("1"), col("s4"), col("s5"), col("s6"), col("s7")))))
           .as("band"))
       // salted band self-join (dense band buckets on this corpus would
-      // otherwise hot-spot), then exact bitmap verify — same values as
-      // the oracle's token-join verify. Candidates are deduped AFTER
-      // the cheap popcount filter (survivor set ≪ candidate set), and
-      // the verify joins broadcast the tiny bitmap table — the only
-      // shuffle left is the banded candidate generation itself.
+      // otherwise hot-spot) with the exact size-compatibility bound
+      // applied IN the join: J ≥ 0.9 forces min(|r|,|s|)/max(|r|,|s|)
+      // ≥ 0.9, i.e. 10·min ≥ 9·max in integers — pairs that fail can
+      // never survive the verify, so pruning here is output-preserving.
+      // Then exact bitmap verify — same values as the oracle's
+      // token-join verify. Candidates are deduped AFTER the cheap
+      // popcount filter (survivor set ≪ candidate set), and the verify
+      // joins broadcast the tiny bitmap table — the only shuffle left
+      // is the banded candidate generation itself.
       val cand = saltedPairs(bands, "band", 16)
+        .filter(least(col("nw_a"), col("nw_b")) * 10 >=
+          greatest(col("nw_a"), col("nw_b")) * 9)
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
       val ni = maskIntersect(col("mask_a"), col("mask_b"))
       cand
@@ -271,15 +277,19 @@ object Dedup {
         |  count(*) OVER (PARTITION BY fp_set) AS n_same_set
         |FROM f ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val t = split(col("text"), " ")
-      val f = Tables.documents(s, d).select(
-        col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(t)))).as("fp_set"),
-        when(size(t) >= 3,
-          array_min(transform(sequence(lit(1), size(t) - 2),
-            i => md5(concat_ws(" ",
-              element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))))
-          .otherwise(lit(null)).as("fp_shingle"))
+      // token array materialized once per row (an inline split(...)
+      // inside the lambda would re-tokenize per shingle)
+      val t = col("t")
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(t)))).as("fp_set"),
+          when(size(t) >= 3,
+            array_min(transform(sequence(lit(1), size(t) - 2),
+              i => md5(concat_ws(" ",
+                element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))))
+            .otherwise(lit(null)).as("fp_shingle"))
       f.withColumn("n_same_set", count(lit(1)).over(Window.partitionBy("fp_set")))
         .orderBy("doc_id")
     },

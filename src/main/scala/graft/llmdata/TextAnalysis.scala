@@ -108,6 +108,54 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- q43: vocabulary / n-gram frequency table — term frequency,
+    //      document frequency, and bigram counts (the corpus-statistics
+    //      pass every tokenizer/dedup pipeline starts from). One
+    //      tokenize, two grouped counts; df/tf ratio is int/int IEEE. ----
+    Q(
+      "q43_vocab_ngrams",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |uni AS (SELECT w AS gram, 1 AS n_order, count(*) AS tf,
+        |          count(DISTINCT doc_id) AS df
+        |        FROM toks GROUP BY w),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS gram, doc_id
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |bi AS (SELECT gram, 2 AS n_order, count(*) AS tf,
+        |         count(DISTINCT doc_id) AS df
+        |       FROM big GROUP BY gram)
+        |SELECT gram, n_order, tf, df,
+        |  CAST(tf AS DOUBLE)/df AS tf_per_doc
+        |FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |WHERE tf >= 5
+        |ORDER BY n_order, gram""".stripMargin,
+    ) { (s, d) =>
+      val toks = Text.tokens(s, d)
+      val uni = toks.groupBy(col("w").as("gram"))
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .withColumn("n_order", lit(1))
+      // materialize the token array once per row — referencing
+      // split(...) inside the lambda would re-tokenize per element
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ",
+              element_at(col("t"), i), element_at(col("t"), i + 1))))
+            .as("gram"))
+      val bi = big.groupBy("gram")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .withColumn("n_order", lit(2))
+      uni.unionByName(bi)
+        .filter(col("tf") >= 5)
+        .select(col("gram"), col("n_order"), col("tf"), col("df"),
+          (col("tf").cast("double") / col("df")).as("tf_per_doc"))
+        .orderBy("n_order", "gram")
+    },
+
     // ---- q35: token counting — whitespace split vs regex lexer vs
     //      stored metadata consistency check. ----
     Q(
