@@ -223,6 +223,28 @@ object EventOps {
         .orderBy("event_type")
     },
 
+    // ---- q44: pivot — daily event counts spread into one column per
+    //      event type (fixed value list ⇒ deterministic schema; Spark
+    //      plans a single pass, no per-type scans). Oracle uses the
+    //      equivalent conditional aggregation. ----
+    Q(
+      "q44_pivot",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("day")
+    },
+
     // ---- q26: first-seen dedup-upsert (S3 Devices-sink semantics: PK gives
     //      at-most-one-row-per-device; we keep the earliest event-time row) ----
     Q(
