@@ -396,6 +396,97 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ---- q45: multi-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) —
+    //      suppliers whose lineitems were the only late ones in a
+    //      multi-supplier order. Three correlated accesses to lineitem
+    //      decorrelate into two semi/anti self-joins on l_orderkey. ----
+    Q(
+      "q45_nested_exists",
+      """SELECT s_name, count(*) AS numwait FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+      val others = li.select(col("l_orderkey").as("o2_key"),
+        col("l_suppkey").as("s2_key"), col("l_returnflag").as("f2"))
+      val base = Tables.supplier(s, d)
+        .join(l1, col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+      base
+        .join(others,
+          col("o2_key") === col("l_orderkey") && col("s2_key") =!= col("l_suppkey"),
+          "left_semi")
+        .join(others.filter(col("f2") === "R"),
+          col("o2_key") === col("l_orderkey") && col("s2_key") =!= col("l_suppkey"),
+          "left_anti")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // ---- q46: decorrelated scalar aggregate + anti-join (TPC-H Q22
+    //      shape) — above-average-balance customers with no high-value
+    //      order, grouped by nation. The scalar subquery becomes a
+    //      broadcast 1-row join; NOT EXISTS an anti-join. (Every
+    //      customer has ≥1 order in this testdata, so the anti-join
+    //      targets orders > 300k to stay non-vacuous.) ----
+    Q(
+      "q46_global_filter_anti",
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY cntry""".stripMargin,
+    ) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("ab"))
+      cust
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), D2).as("totacctbal"))
+        .orderBy("cntry")
+    },
+
+    // ---- q47: unpivot/melt — wide per-part price+size columns to long
+    //      (attribute, value) rows; the inverse of q44's pivot. ----
+    Q(
+      "q47_unpivot",
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part)
+        |WHERE p_partkey <= 200 ORDER BY p_partkey, attr""".stripMargin,
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size_d"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice").as("retailprice"), col("p_size_d").as("size")),
+          "attr", "val")
+        .orderBy("p_partkey", "attr")
+    },
+
     // ---- q19: date/time functions + temporal grouping (E2/E6 parity) ----
     Q(
       "q19_date_funcs",
