@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.CuratedPipeline
+import org.apache.spark.sql.functions._
+
+/** Streaming-path throughput: events/second through the envelope →
+  * enrich → stateful spike-and-dip pipeline (the reference's entire
+  * ASA job). Prints one JSON line.
+  *
+  * The reference's operating envelope is ~50 rows/s sustained
+  * (500-row push batch per 10 s tick, BASELINE.md); this measures the
+  * same logical pipeline as a Spark job. Batch mode exercises the
+  * identical operators the streaming query runs per micro-batch, so
+  * rows/s here ≈ sustainable micro-batch throughput.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000000").toInt
+    val devices = 1000
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import spark.implicits._
+
+    // synthetic envelope stream: `devices` keys, 1 event/device/second,
+    // 1% battery spikes
+    val env = spark.range(n.toLong).select(
+      concat(lit("dev"), (col("id") % devices)).as("deviceId"),
+      lit("app").as("applicationId"), lit("tpl").as("templateId"),
+      lit("sensors").as("component"), lit(null).cast("string").as("module"),
+      timestamp_micros(lit(1700000000000000L) +
+        expr(s"id div $devices") * 1000000L).cast("string").as("enqueuedTime"),
+      struct(
+        // ~0.1% spikes, hash-spread so no device sees spikes as its norm
+        (lit(100) + (col("id") % 7) +
+          when(expr("pmod(hash(id), 997)") === 0, 5000).otherwise(0))
+          .cast("long").as("battery"),
+        (lit(1013.0) + (col("id") % 5)).as("barometer"),
+        struct(lit(0.1).as("x"), lit(0.2).as("y"), lit(0.3).as("z"))
+          .as("accelerometer"),
+        struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(0.0).as("z"))
+          .as("gyroscope"),
+        struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(0.0).as("z"))
+          .as("magnetometer"),
+        struct(lit(1.0).as("lat"), lit(2.0).as("lon"), lit(3.0).as("alt"))
+          .as("geolocation"),
+      ).as("telemetry"))
+
+    val events = CuratedPipeline.toPipeEvents(env)
+    val t0 = System.nanoTime()
+    val out = CuratedPipeline.anomalyStage(events)
+    val (rows, anomalies) = out.agg(
+      count(lit(1)), sum(col("anomaly"))).as[(Long, Long)].head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"metric":"stream_rows_per_sec","value":${(rows / sec).toLong},""" +
+        s""""unit":"rows/sec","rows":$rows,"anomalies":$anomalies,""" +
+        s""""seconds":${math.round(sec * 1000) / 1000.0},"devices":$devices}""")
+    spark.stop()
+  }
+}
