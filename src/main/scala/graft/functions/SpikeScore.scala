@@ -45,13 +45,16 @@ final case class SpikeScore(
   override def dataType: DataType = StructType(Seq(
     StructField("isAnomaly", IntegerType, nullable = false),
     StructField("score", DoubleType, nullable = false)))
-  override def nullable: Boolean = true
+  // a null value scores as not-anomalous (0, 0.0), never null — the
+  // reference's CASE treats absent signals as quiet, and consumers
+  // filter on isAnomaly = 0 without null traps
+  override def nullable: Boolean = false
   override def prettyName: String = "spike_score"
 
   override def eval(input: InternalRow): Any = {
     val h = history.eval(input)
     val v = value.eval(input)
-    if (v == null) null
+    if (v == null) SpikeScore.ZeroRow()
     else SpikeScore.score(
       if (h == null) SpikeScore.EmptyArray else h.asInstanceOf[ArrayData],
       v.asInstanceOf[Double], params)
@@ -63,13 +66,16 @@ final case class SpikeScore(
     val paramsRef = ctx.addReferenceObj("spikeParams", params,
       classOf[SpikeAndDip.Params].getName)
     val rowType = CodeGenerator.javaType(dataType)
-    ev.copy(code =
-      code"""
+    ev.copy(
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      code =
+        code"""
         |${hGen.code}
         |${vGen.code}
-        |boolean ${ev.isNull} = ${vGen.isNull};
-        |$rowType ${ev.value} = null;
-        |if (!${ev.isNull}) {
+        |$rowType ${ev.value};
+        |if (${vGen.isNull}) {
+        |  ${ev.value} = graft.functions.SpikeScore.ZeroRow();
+        |} else {
         |  ${ev.value} = graft.functions.SpikeScore.score(
         |    ${hGen.isNull} ? graft.functions.SpikeScore.EmptyArray()
         |                   : ${hGen.value},
@@ -87,6 +93,8 @@ object SpikeScore {
   private val Empty: ArrayData = new GenericArrayData(Array.empty[Double])
   /** Java-friendly accessor for generated code. */
   def EmptyArray(): ArrayData = Empty
+  /** (0, 0.0) — the not-anomalous result for null inputs. */
+  def ZeroRow(): InternalRow = InternalRow(0, 0.0)
 
   /** Static scoring kernel invoked from both interpreted and generated
     * paths. The frame array arrives in event-time order; only the tail

@@ -51,8 +51,10 @@ object EnvelopeTransform {
       .select(try_parse_json(col(jsonCol)).as("v"))
       .filter(col("v").isNotNull))
 
-  /** variant column `v` holding the raw envelope → fixed envelope. */
-  def fromVariant(parsed: DataFrame): DataFrame = {
+  /** variant column `v` holding the raw envelope → fixed envelope.
+    * `keep` columns of `parsed` are passed through untouched (e.g. the
+    * verbatim raw line for a bronze archive). */
+  def fromVariant(parsed: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val v = col("v")
     val tel = variant_get(v, "$.telemetry", "array<variant>")
     def sensorStruct(name: String, build: Column => Column): Column = {
@@ -61,7 +63,7 @@ object EnvelopeTransform {
       // golden output's literal `"accelerometer": null`.
       when(e.isNull, lit(null)).otherwise(build(e))
     }
-    parsed.select(
+    parsed.select(keep.map(col) ++ Seq(
       lit("default@v1").as("schema"),
       variant_get(v, "$.applicationId", "string").as("applicationId"),
       variant_get(v, "$.device.id", "string").as("deviceId"),
@@ -85,6 +87,6 @@ object EnvelopeTransform {
           variant_get(g, "$.alt", "double").as("alt"))).cast(Schemas.geo)
           .as("geolocation"),
       ).as("telemetry"),
-    )
+    ): _*)
   }
 }

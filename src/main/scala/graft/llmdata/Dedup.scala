@@ -28,18 +28,30 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-  /** Exact token-set bitmaps: (doc_id, lang, nw, mask array<long>).
+  /** The shared bitmap-encoding plan: tokens joined to the dictionary
+    * with per-token bucket/bit, plus the aggregate expressions that
+    * fold them into an exact token-set bitmap. q28 consumes it via
+    * `tokenBitmaps`; q29 appends its minhash aggregates to the same
+    * single groupBy pass.
     *
-    * Set similarity on this corpus is degenerate for inverted-index
-    * joins: the vocabulary is tiny (~31 words), so every token bucket
-    * holds most of the corpus and the token-token join is quadratic
-    * (measured 50 s at sf0.1). A dictionary-indexed bitmap makes the
-    * pair *verify* O(V/64) longs of AND+popcount — exact, not sketched.
-    * The dictionary is built with one small distinct-scan (real
-    * pipelines precompute it); generic over vocab size via one long per
-    * 64 ids. For open vocabularies where no dictionary fits, q29's
-    * MinHash+LSH path is the scale route. */
-  private def tokenBitmaps(s: SparkSession, d: String): DataFrame = {
+    * Why bitmaps: set similarity on this corpus is degenerate for
+    * inverted-index joins — the vocabulary is tiny (~31 words), so
+    * every token bucket holds most of the corpus and the token-token
+    * join is quadratic (measured 50 s at sf0.1). A dictionary-indexed
+    * bitmap makes the pair *verify* O(V/64) longs of AND+popcount —
+    * exact, not sketched. The dictionary is one small distinct-scan
+    * (real pipelines precompute it); generic over vocab size via one
+    * long per 64 ids. For open vocabularies where no dictionary fits,
+    * q29's MinHash+LSH banding is the scale route. */
+  private final case class BitmapPlan(bits: DataFrame, nBuckets: Int) {
+    def maskAggs: Seq[Column] = (0 until nBuckets).map(b =>
+      expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
+        .as(s"m$b")) :+ count(lit(1)).as("nw")
+    def maskCol: Column =
+      array((0 until nBuckets).map(b => col(s"m$b")): _*)
+  }
+
+  private def bitmapPlan(s: SparkSession, d: String): BitmapPlan = {
     val words = Text.tokenSet(s, d)
     val vocab = words.select("w").distinct()
       .withColumn("wid",
@@ -49,13 +61,15 @@ object Dedup {
     val bits = words.join(broadcast(vocab), "w")
       .withColumn("bucket", (col("wid") / 64).cast("int"))
       .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
-    val maskAggs = (0 until nBuckets).map(b =>
-      expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
-        .as(s"m$b")) :+ count(lit(1)).as("nw")
-    bits.groupBy("doc_id", "lang")
-      .agg(maskAggs.head, maskAggs.tail: _*)
-      .select(col("doc_id"), col("lang"), col("nw"),
-        array((0 until nBuckets).map(b => col(s"m$b")): _*).as("mask"))
+    BitmapPlan(bits, nBuckets)
+  }
+
+  private def tokenBitmaps(s: SparkSession, d: String): DataFrame = {
+    val p = bitmapPlan(s, d)
+    val aggs = p.maskAggs
+    p.bits.groupBy("doc_id", "lang")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("lang"), col("nw"), p.maskCol.as("mask"))
   }
 
   /** popcount of the AND of two bitmap arrays = |intersection|. */
@@ -172,27 +186,17 @@ object Dedup {
     ) { (s, d) =>
       // one tokenize + one shuffle: the per-doc groupBy computes the 8
       // minhash signatures, the exact token bitmap, and the set size in
-      // a single aggregation pass.
-      val words = Text.tokenSet(s, d).drop("lang")
-      val vocab = words.select("w").distinct()
-        .withColumn("wid",
-          row_number().over(Window.orderBy("w")).cast("long") - 1)
-      val nBuckets = math.max(1, ((vocab.count() + 63) / 64).toInt)
-      val bits = words.join(broadcast(vocab), "w")
-        .withColumn("bucket", (col("wid") / 64).cast("int"))
-        .withColumn("bit",
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
+      // a single aggregation pass (bitmap encoding shared with q28 via
+      // bitmapPlan).
+      val p = bitmapPlan(s, d)
       val aggs =
         (0 until 8).map(i =>
-          min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")) ++
-        (0 until nBuckets).map(b =>
-          expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
-            .as(s"m$b")) :+ count(lit(1)).as("nw")
+          min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")) ++ p.maskAggs
       // consumed three times (bands + both verify sides): persist the
-      // 1-row-per-doc result instead of recomputing the tokenize+agg.
-      val sets = bits.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .withColumn("mask",
-          array((0 until nBuckets).map(b => col(s"m$b")): _*))
+      // 1-row-per-doc result instead of recomputing the tokenize+agg
+      // (freed by the ContextCleaner once the plan is unreachable).
+      val sets = p.bits.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("mask", p.maskCol)
         .persist()
       val bands = sets.select(col("doc_id"), col("nw"),
         explode(array(

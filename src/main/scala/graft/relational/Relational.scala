@@ -448,14 +448,17 @@ object Relational {
       """SELECT c_nationkey AS cntry, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)/count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY 1 ORDER BY cntry""".stripMargin,
     ) { (s, d) =>
       val cust = Tables.customer(s, d)
+      // exact-decimal average (float policy): a plain double avg's
+      // partition-order-dependent sum could flip boundary rows
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(avg("c_acctbal").as("ab"))
+        .agg((dsum(col("c_acctbal"), D2) / count(lit(1))).as("ab"))
       cust
         .join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))

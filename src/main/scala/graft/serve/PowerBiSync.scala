@@ -81,14 +81,30 @@ object PowerBiSync {
     * pushed. Watermark advances only if every batch POSTed. */
   def syncOnce(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
       batchSize: Int = 500): Long = {
+    // payload()'s date_format renders in the session time zone but
+    // stamps a literal 'Z' — pin UTC so the instant is truthful even on
+    // sessions built without GraftSession's profile.
+    telemetry.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     val wm = store.read()
     val pending = telemetry
       .filter(col("enqueuedTime") > lit(wm))
       .orderBy("enqueuedTime")
       .select(payload().as("j"), col("enqueuedTime"))
-    var maxTs: java.sql.Timestamp = wm
+    val (pushed, maxTs, completed) = pump(pending, sink, batchSize)
+    // wm moves only on full success (T6); a failed batch leaves the
+    // whole range to be retried next tick ⇒ at-least-once
+    if (completed && pushed > 0) store.write(maxTs)
+    pushed
+  }
+
+  /** The shared batch pump: stream the sorted payload rows driver-side,
+    * POST in `batchSize` JSON arrays, track max event time. Returns
+    * (rowsPushed, maxTs, completedWithoutFailure). */
+  private def pump(rows: DataFrame, sink: HttpSink, batchSize: Int)
+      : (Long, java.sql.Timestamp, Boolean) = {
+    var maxTs: java.sql.Timestamp = new java.sql.Timestamp(0L)
     var pushed = 0L
-    val it = pending.toLocalIterator() // sorted, driver-side bounded buffer
+    val it = rows.toLocalIterator() // sorted, driver-side bounded buffer
     val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
     def flush(): Boolean = {
       if (buf.isEmpty) true
@@ -102,11 +118,11 @@ object PowerBiSync {
       val r = it.next()
       buf += r.getString(0)
       val ts = r.getTimestamp(1)
-      if (ts.after(maxTs)) maxTs = ts
-      if (buf.length >= batchSize && !flush()) return pushed // wm unmoved (T6)
+      if (ts != null && ts.after(maxTs)) maxTs = ts
+      if (buf.length >= batchSize && !flush()) return (pushed, maxTs, false)
     }
-    if (flush() && pushed > 0) store.write(maxTs)
-    pushed
+    val ok = flush() // must run BEFORE `pushed` is read into the tuple
+    (pushed, maxTs, ok)
   }
 
   /** Initial bulk load (reference `ProcessInitialLoad`): full sorted
@@ -115,29 +131,14 @@ object PowerBiSync {
     * (reference behavior, PushTelemetryFunction.cs:260,271-274). */
   def initialLoad(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
       batchSize: Int = 500): Long = {
-    val epoch = new java.sql.Timestamp(0L)
+    telemetry.sparkSession.conf.set("spark.sql.session.timeZone", "UTC") // as in syncOnce
     val all = telemetry
       .orderBy("enqueuedTime")
       .select(payload().as("j"), col("enqueuedTime"))
-    var maxTs = epoch
-    var pushed = 0L
-    val it = all.toLocalIterator()
-    val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
-    def flush(): Unit = {
-      if (buf.nonEmpty) {
-        if (!sink.post(buf.mkString("[", ",", "]")))
-          throw new RuntimeException(s"push failed after $pushed rows")
-        pushed += buf.length; buf.clear()
-      }
-    }
-    while (it.hasNext) {
-      val r = it.next()
-      buf += r.getString(0)
-      val ts = r.getTimestamp(1)
-      if (ts.after(maxTs)) maxTs = ts
-      if (buf.length >= batchSize) flush()
-    }
-    flush()
+    val (pushed, maxTs, completed) = pump(all, sink, batchSize)
+    // mid-load failure throws with the watermark unset, so a rerun
+    // restarts from scratch (reference behavior, :260,271-274)
+    if (!completed) throw new RuntimeException(s"push failed after $pushed rows")
     if (pushed > 0) store.write(maxTs)
     pushed
   }

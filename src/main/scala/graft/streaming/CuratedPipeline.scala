@@ -72,21 +72,24 @@ object CuratedPipeline {
       magMagnitude: Option[Double],
       anomaly: Int)
 
-  /** Per-signal history ring: event-time µs + value, ascending ts. */
+  /** Per-signal history ring: event-time µs + value, ascending ts.
+    * Window semantics mirror the batch frame `rangeBetween(-window, -1)`
+    * exactly: history = bt ∈ [t - window, t - 1], i.e. the lower bound
+    * is CLOSED and the current instant excluded. */
   final case class SignalBuf(ts: Vector[Long], v: Vector[Double]) {
     def add(t: Long, x: Double, windowMicros: Long, cap: Int): SignalBuf = {
       val keepFrom = t - windowMicros
-      val i = ts.indexWhere(_ > keepFrom) match { case -1 => ts.length; case k => k }
+      val i = ts.indexWhere(_ >= keepFrom) match { case -1 => ts.length; case k => k }
       val (nt, nv) = (ts.drop(i) :+ t, v.drop(i) :+ x)
       // ring cap: the scorer only ever reads the most recent `cap`
       // entries, so state stays O(historySize) regardless of rate.
       if (nt.length > cap) SignalBuf(nt.takeRight(cap), nv.takeRight(cap))
       else SignalBuf(nt, nv)
     }
-    /** history strictly before `t`, inside the window, newest `cap`. */
+    /** history in [t-window, t), newest `cap` (matches the batch frame). */
     def history(t: Long, windowMicros: Long, cap: Int): Array[Double] = {
       val lo = t - windowMicros
-      val picked = ts.zip(v).filter { case (bt, _) => bt > lo && bt < t }
+      val picked = ts.zip(v).filter { case (bt, _) => bt >= lo && bt < t }
       (if (picked.length > cap) picked.takeRight(cap) else picked)
         .map(_._2).toArray
     }
@@ -101,23 +104,30 @@ object CuratedPipeline {
       DevState(SignalBuf.empty, SignalBuf.empty, SignalBuf.empty, Long.MinValue)
   }
 
-  /** Envelope DataFrame (batch or stream) → PipeEvent dataset. */
-  def toPipeEvents(envelopes: DataFrame): Dataset[PipeEvent] = {
-    import envelopes.sparkSession.implicits._
-    envelopes.select(
-      coalesce(to_json(struct(envelopes.columns.map(col): _*)), lit("")).as("raw"),
-      col("deviceId"),
-      col("applicationId"), col("templateId"), col("component"), col("module"),
-      to_timestamp(col("enqueuedTime")).as("enqueuedTime"),
-      col("telemetry.battery").as("battery"),
-      col("telemetry.barometer").as("barometer"),
-      col("telemetry.geolocation.lat").as("latitude"),
-      col("telemetry.geolocation.lon").as("longitude"),
-      col("telemetry.geolocation.alt").as("altitude"),
-      Enrich.magnitude(col("telemetry.accelerometer")).as("accelMagnitude"),
-      Enrich.magnitude(col("telemetry.gyroscope")).as("gyroMagnitude"),
-      Enrich.magnitude(col("telemetry.magnetometer")).as("magMagnitude"),
-    ).filter(col("deviceId").isNotNull).as[PipeEvent]
+  /** Raw JSON line DataFrame (batch or stream) → PipeEvent dataset.
+    * The VERBATIM line rides along as `raw` for the bronze archive, and
+    * NO rows are dropped here — malformed/null-device lines carry null
+    * envelope fields so the archive stays complete; the curated sinks
+    * apply the reference's `deviceId IS NOT NULL` filter themselves. */
+  def toPipeEvents(raw: DataFrame, jsonCol: String = "value"): Dataset[PipeEvent] = {
+    import raw.sparkSession.implicits._
+    val parsed = raw.select(col(jsonCol).as("rawLine"),
+      try_parse_json(col(jsonCol)).as("v"))
+    graft.ingest.EnvelopeTransform.fromVariant(parsed, keep = Seq("rawLine"))
+      .select(
+        col("rawLine").as("raw"),
+        col("deviceId"),
+        col("applicationId"), col("templateId"), col("component"), col("module"),
+        to_timestamp(col("enqueuedTime")).as("enqueuedTime"),
+        col("telemetry.battery").as("battery"),
+        col("telemetry.barometer").as("barometer"),
+        col("telemetry.geolocation.lat").as("latitude"),
+        col("telemetry.geolocation.lon").as("longitude"),
+        col("telemetry.geolocation.alt").as("altitude"),
+        Enrich.magnitude(col("telemetry.accelerometer")).as("accelMagnitude"),
+        Enrich.magnitude(col("telemetry.gyroscope")).as("gyroMagnitude"),
+        Enrich.magnitude(col("telemetry.magnetometer")).as("magMagnitude"),
+      ).as[PipeEvent]
   }
 
   /** The stateful spike-and-dip stage. Works identically on batch
@@ -142,25 +152,38 @@ object CuratedPipeline {
         var st = state.getOption.getOrElse(DevState.empty)
         // ASA's compat-1.2 reorder buffer delivers the window in event-time
         // order; we sort each micro-batch the same way before folding.
-        val out = it.toVector.sortBy(e => (e.enqueuedTime.getTime, e.raw)).map { e =>
-          val rawT = e.enqueuedTime.getTime * 1000L
+        // full µs precision: Timestamp.getTime is ms-truncated; the
+        // batch path (unix_micros) sees µs, so equivalence needs them.
+        // Null event times (unparseable lines riding to bronze) sort
+        // first and are never scored or folded into state.
+        def micros(ts: java.sql.Timestamp): Long =
+          if (ts == null) Long.MinValue
+          else Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        val out = it.toVector.sortBy(e => (micros(e.enqueuedTime), e.raw)).map { e =>
+          val rawT = micros(e.enqueuedTime)
           // ASA "Adjust" (T2): an event older than the key's event-time
           // high watermark minus the tolerance has its timestamp clamped
           // forward to that bound (reference job config: 30 s,
           // terraform/main-example.tf:134-135). Unset → no clamping.
           val t = adjustMicros match {
-            case Some(adj) if st.maxTsMicros != Long.MinValue &&
+            case Some(adj) if rawT != Long.MinValue &&
+              st.maxTsMicros != Long.MinValue &&
               rawT < st.maxTsMicros - adj => st.maxTsMicros - adj
             case _ => rawT
           }
           val outTs = if (t == rawT) e.enqueuedTime
-            else new java.sql.Timestamp(t / 1000L)
+            else {
+              val adj = new java.sql.Timestamp(Math.floorDiv(t, 1000000L) * 1000L)
+              adj.setNanos((Math.floorMod(t, 1000000L) * 1000L).toInt)
+              adj
+            }
+          val scorable = t != Long.MinValue
           val bat = e.battery.map(_.toDouble)
-          val flags = Seq(
+          val flags = if (!scorable) Seq(0) else Seq(
             scoreOne(st.battery, t, bat),
             scoreOne(st.barometer, t, e.barometer),
             scoreOne(st.accel, t, e.accelMagnitude))
-          st = DevState(
+          if (scorable) st = DevState(
             bat.fold(st.battery)(x => st.battery.add(t, x, windowMicros, cap)),
             e.barometer.fold(st.barometer)(x => st.barometer.add(t, x, windowMicros, cap)),
             e.accelMagnitude.fold(st.accel)(x => st.accel.add(t, x, windowMicros, cap)),
@@ -174,13 +197,14 @@ object CuratedPipeline {
         out.iterator
       }
     events
-      .groupByKey(e => if (perDevice) e.deviceId else "")
+      .groupByKey(e => if (perDevice) Option(e.deviceId).getOrElse("") else "")
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
-  /** Curated Telemetry projection (DDL column names, README.MD:167-175). */
+  /** Curated Telemetry projection (DDL column names, README.MD:167-175;
+    * the reference's `WHERE deviceId IS NOT NULL`, :83). */
   def telemetryColumns(out: Dataset[PipeOut]): DataFrame =
-    out.select(
+    out.filter(col("deviceId").isNotNull).select(
       col("deviceId"), col("enqueuedTime"), col("battery"), col("barometer"),
       col("latitude"), col("longitude"), col("altitude"),
       col("accelMagnitude").as("AccelMagnitude"),
@@ -203,16 +227,18 @@ object CuratedPipeline {
       .write.mode("append").parquet(devicesDir)
   }
 
-  /** Start the full three-sink pipeline on an envelope stream. */
-  def start(envelopes: DataFrame, bronzeDir: String, devicesDir: String,
+  /** Start the full three-sink pipeline on a RAW JSON line stream (the
+    * pre-parse feed, so bronze archives the verbatim input). */
+  def start(raw: DataFrame, bronzeDir: String, devicesDir: String,
       telemetryDir: String, checkpointDir: String,
+      jsonCol: String = "value",
       params: SpikeAndDip.Params = SpikeAndDip.Params(),
       perDevice: Boolean = true,
       lateness: String = "60 seconds",
       adjustMillis: Option[Long] = Some(30000L), // ASA Adjust default (T2)
       trigger: Trigger = Trigger.ProcessingTime("10 seconds") // T7 cadence
   ): StreamingQuery = {
-    val events = toPipeEvents(envelopes)
+    val events = toPipeEvents(raw, jsonCol)
       .withWatermark("enqueuedTime", lateness)
       .as[PipeEvent](org.apache.spark.sql.Encoders.product[PipeEvent])
     val out = anomalyStage(events, params, perDevice, adjustMillis)
@@ -223,7 +249,8 @@ object CuratedPipeline {
       .foreachBatch { (batch: Dataset[PipeOut], _: Long) =>
         batch.persist()
         try {
-          // S2 bronze: untouched input envelopes, append-only.
+          // S2 bronze: the VERBATIM input lines, append-only — including
+          // malformed and null-device rows the curated sinks reject.
           batch.select("raw").write.mode("append").text(bronzeDir)
           // S3 devices: dedup-merge.
           mergeDevices(batch.toDF(), devicesDir)

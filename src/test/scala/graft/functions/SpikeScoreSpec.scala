@@ -20,12 +20,14 @@ class SpikeScoreSpec extends SparkSpec {
     assert(r.getAs[Row]("dirOnly").getInt(0) == 0) // dip, spikes-only mode
   }
 
-  test("null value → null result; empty/short history → not anomalous") {
+  test("null value → (0, 0.0); empty/short history → not anomalous") {
     val r = spark.sql(
       """SELECT spike_score(array(1.0D, 2.0D), CAST(NULL AS DOUBLE)) AS n,
         |       spike_score(array(1.0D, 2.0D), 100.0D) AS shortHist
         |""".stripMargin).collect().head
-    assert(r.isNullAt(0))
+    // a null signal is quiet, not null — the reference's CASE semantics
+    assert(r.getAs[Row]("n").getInt(0) == 0)
+    assert(r.getAs[Row]("n").getDouble(1) == 0.0)
     assert(r.getAs[Row]("shortHist").getInt(0) == 0)
   }
 

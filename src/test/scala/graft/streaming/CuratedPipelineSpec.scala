@@ -26,6 +26,7 @@ class CuratedPipelineSpec extends SparkSpec {
   }
 
   test("stateful stage (batch mode) matches the window-function batch path") {
+    import spark.implicits._
     // 2 devices × 40 events, deliberately shuffled (out of order): the
     // stage sorts by event time per key before folding state.
     val events = scala.util.Random.shuffle((0 until 80).toList).map { k =>
@@ -35,7 +36,8 @@ class CuratedPipelineSpec extends SparkSpec {
     }
     val env = envelopes(events)
     val streamed = CuratedPipeline
-      .anomalyStage(CuratedPipeline.toPipeEvents(env), perDevice = true)
+      .anomalyStage(CuratedPipeline.toPipeEvents(events.toDF("value")),
+        perDevice = true)
       .select(col("deviceId"), col("enqueuedTime"), col("anomaly"))
       .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getInt(2))
       .toMap
@@ -54,22 +56,28 @@ class CuratedPipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("curated").toString
     val input = MemoryStream[String](spark)
     val q = CuratedPipeline.start(
-      EnvelopeTransform.fromJson(input.toDF(), "value"),
+      input.toDF(),
       s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
       trigger = Trigger.ProcessingTime(0))
+    val garbage = "NOT JSON }{"
     try {
       input.addData(
         rawJson("devA", "2024-01-01T00:00:01Z", 90, 1010.0),
         rawJson("devA", "2024-01-01T00:00:02Z", 91, 1011.0),
         rawJson("devB", "2024-01-01T00:00:03Z", 80, 1000.0))
       q.processAllAvailable()
-      // second micro-batch repeats devA: the dedup-merge must not re-add it
+      // second micro-batch repeats devA (dedup-merge must not re-add it)
+      // and includes a malformed line (bronze-only)
       input.addData(
         rawJson("devA", "2024-01-01T00:00:04Z", 92, 1012.0),
-        rawJson("devC", "2024-01-01T00:00:05Z", 70, 990.0))
+        rawJson("devC", "2024-01-01T00:00:05Z", 70, 990.0),
+        garbage)
       q.processAllAvailable()
     } finally q.stop()
-    assert(spark.read.text(s"$dir/bronze").count() == 5) // untouched archive
+    // bronze = VERBATIM archive: all 6 input lines incl. the garbage one
+    val bronze = spark.read.text(s"$dir/bronze").as[String].collect()
+    assert(bronze.length == 6)
+    assert(bronze.contains(garbage)) // byte-for-byte, not re-serialized
     val devs = spark.read.parquet(s"$dir/devices")
     assert(devs.count() == 3) // at-most-one-row-per-device (PK semantics)
     assert(devs.select("deviceId").as[String].collect().sorted.toSeq ==
@@ -93,7 +101,7 @@ class CuratedPipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("adjust").toString
     val input = MemoryStream[String](spark)
     val q = CuratedPipeline.start(
-      EnvelopeTransform.fromJson(input.toDF(), "value"),
+      input.toDF(),
       s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
       lateness = "2 hours", adjustMillis = Some(30000L),
       trigger = Trigger.ProcessingTime(0))
@@ -119,7 +127,7 @@ class CuratedPipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("curated2").toString
     val input = MemoryStream[String](spark)
     val q = CuratedPipeline.start(
-      EnvelopeTransform.fromJson(input.toDF(), "value"),
+      input.toDF(),
       s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
       trigger = Trigger.ProcessingTime(0))
     try {
