@@ -119,6 +119,37 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // ---- q48: int8 vector quantization — symmetric max-abs scaling,
+    //      the storage-compression pass of an embedding pipeline (4×
+    //      smaller vectors for ANN shortlists; re-rank on full
+    //      precision). Emitted long-form (vec_id, dim, qval) for exact
+    //      cross-engine comparison; all math is per-row sequential
+    //      doubles + floor ⇒ bit-identical. ----
+    Q(
+      "q48_quantize_int8",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  CAST(floor(e[dim] * 127.0 / mx + 0.5) AS INT) AS qval
+        |FROM v, unnest(range(1, 9)) AS t(dim)
+        |WHERE mx > 0 AND vec_id < 100
+        |ORDER BY vec_id, dim""".stripMargin,
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+        .filter(col("mx") > 0)
+      e.select(col("vec_id"), explode(sequence(lit(1), lit(8))).as("dim"))
+        .join(e, "vec_id")
+        .select(col("vec_id"), col("dim").cast("int").as("dim"),
+          floor(element_at(col("e"), col("dim")) * lit(127.0) / col("mx") +
+            lit(0.5)).cast("int").as("qval"))
+        .orderBy("vec_id", "dim")
+    },
+
     // ---- q38: embedding-cosine near-duplicate pairs (threshold 0.42,
     //      tuned to the testdata's cosine distribution: max ≈ 0.513). ----
     Q(
