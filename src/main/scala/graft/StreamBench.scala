@@ -21,31 +21,27 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
 
-    // synthetic envelope stream: `devices` keys, 1 event/device/second,
-    // 1% battery spikes
-    val env = spark.range(n.toLong).select(
-      concat(lit("dev"), (col("id") % devices)).as("deviceId"),
-      lit("app").as("applicationId"), lit("tpl").as("templateId"),
-      lit("sensors").as("component"), lit(null).cast("string").as("module"),
-      timestamp_micros(lit(1700000000000000L) +
-        expr(s"id div $devices") * 1000000L).cast("string").as("enqueuedTime"),
-      struct(
-        // ~0.1% spikes, hash-spread so no device sees spikes as its norm
-        (lit(100) + (col("id") % 7) +
-          when(expr("pmod(hash(id), 997)") === 0, 5000).otherwise(0))
-          .cast("long").as("battery"),
-        (lit(1013.0) + (col("id") % 5)).as("barometer"),
-        struct(lit(0.1).as("x"), lit(0.2).as("y"), lit(0.3).as("z"))
-          .as("accelerometer"),
-        struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(0.0).as("z"))
-          .as("gyroscope"),
-        struct(lit(0.0).as("x"), lit(0.0).as("y"), lit(0.0).as("z"))
-          .as("magnetometer"),
-        struct(lit(1.0).as("lat"), lit(2.0).as("lon"), lit(3.0).as("alt"))
-          .as("geolocation"),
-      ).as("telemetry"))
+    // synthetic RAW envelope lines (the pre-parse feed toPipeEvents
+    // expects): `devices` keys, 1 event/device/second, ~0.1% battery
+    // spikes hash-spread so no device sees spikes as its norm
+    val raw = spark.range(n.toLong).select(format_string(
+      """{"applicationId":"app","component":"sensors","enqueuedTime":"%s",""" +
+        """"messageSource":"telemetry","device":{"id":"dev%d","templateId":"tpl"},""" +
+        """"telemetry":[{"name":"battery","value":%d},""" +
+        """{"name":"barometer","value":%.1f},""" +
+        """{"name":"accelerometer","value":{"x":0.1,"y":0.2,"z":0.3}},""" +
+        """{"name":"geolocation","value":{"lat":1.0,"lon":2.0,"alt":3.0}}]}""",
+      date_format(
+        timestamp_micros(lit(1700000000000000L) +
+          expr(s"id div $devices") * 1000000L),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+      col("id") % devices,
+      (lit(100) + (col("id") % 7) +
+        when(expr("pmod(hash(id), 997)") === 0, 5000).otherwise(0)).cast("long"),
+      lit(1013.0) + (col("id") % 5).cast("double"),
+    ).as("value"))
 
-    val events = CuratedPipeline.toPipeEvents(env)
+    val events = CuratedPipeline.toPipeEvents(raw)
     val t0 = System.nanoTime()
     val out = CuratedPipeline.anomalyStage(events)
     val (rows, anomalies) = out.agg(

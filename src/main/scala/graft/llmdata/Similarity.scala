@@ -137,13 +137,15 @@ object Similarity {
         |WHERE mx > 0 AND vec_id < 100
         |ORDER BY vec_id, dim""".stripMargin,
     ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      Tables.embeddings(s, d)
         .filter(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
         .filter(col("mx") > 0)
-      e.select(col("vec_id"), explode(sequence(lit(1), lit(8))).as("dim"))
-        .join(e, "vec_id")
+        // one generator alongside the carried columns — single pass,
+        // no self-join, embeddings scanned once
+        .select(col("vec_id"), col("e"), col("mx"),
+          explode(sequence(lit(1), lit(8))).as("dim"))
         .select(col("vec_id"), col("dim").cast("int").as("dim"),
           floor(element_at(col("e"), col("dim")) * lit(127.0) / col("mx") +
             lit(0.5)).cast("int").as("qval"))

@@ -81,20 +81,33 @@ object PowerBiSync {
     * pushed. Watermark advances only if every batch POSTed. */
   def syncOnce(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
       batchSize: Int = 500): Long = {
-    // payload()'s date_format renders in the session time zone but
-    // stamps a literal 'Z' — pin UTC so the instant is truthful even on
-    // sessions built without GraftSession's profile.
-    telemetry.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     val wm = store.read()
     val pending = telemetry
       .filter(col("enqueuedTime") > lit(wm))
       .orderBy("enqueuedTime")
       .select(payload().as("j"), col("enqueuedTime"))
-    val (pushed, maxTs, completed) = pump(pending, sink, batchSize)
+    val (pushed, maxTs, completed) = withUtcSession(telemetry) {
+      pump(pending, sink, batchSize)
+    }
     // wm moves only on full success (T6); a failed batch leaves the
     // whole range to be retried next tick ⇒ at-least-once
     if (completed && pushed > 0) store.write(maxTs)
     pushed
+  }
+
+  /** payload()'s date_format renders in the session time zone but
+    * stamps a literal 'Z' — pin UTC for the duration of the push (the
+    * lazy toLocalIterator evaluates inside `body`) and restore the
+    * caller's zone after, so a sync tick has no lasting side effect. */
+  private def withUtcSession[T](df: DataFrame)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption("spark.sql.session.timeZone")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    try body
+    finally prev match {
+      case Some(tz) => conf.set("spark.sql.session.timeZone", tz)
+      case None => conf.unset("spark.sql.session.timeZone")
+    }
   }
 
   /** The shared batch pump: stream the sorted payload rows driver-side,
@@ -131,11 +144,12 @@ object PowerBiSync {
     * (reference behavior, PushTelemetryFunction.cs:260,271-274). */
   def initialLoad(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
       batchSize: Int = 500): Long = {
-    telemetry.sparkSession.conf.set("spark.sql.session.timeZone", "UTC") // as in syncOnce
     val all = telemetry
       .orderBy("enqueuedTime")
       .select(payload().as("j"), col("enqueuedTime"))
-    val (pushed, maxTs, completed) = pump(all, sink, batchSize)
+    val (pushed, maxTs, completed) = withUtcSession(telemetry) {
+      pump(all, sink, batchSize)
+    }
     // mid-load failure throws with the watermark unset, so a rerun
     // restarts from scratch (reference behavior, :260,271-274)
     if (!completed) throw new RuntimeException(s"push failed after $pushed rows")

@@ -111,7 +111,9 @@ object CuratedPipeline {
     * apply the reference's `deviceId IS NOT NULL` filter themselves. */
   def toPipeEvents(raw: DataFrame, jsonCol: String = "value"): Dataset[PipeEvent] = {
     import raw.sparkSession.implicits._
-    val parsed = raw.select(col(jsonCol).as("rawLine"),
+    // coalesce: a null line (e.g. a log-compaction tombstone) must not
+    // break the bronze text sink or the in-batch tiebreak sort
+    val parsed = raw.select(coalesce(col(jsonCol), lit("")).as("rawLine"),
       try_parse_json(col(jsonCol)).as("v"))
     graft.ingest.EnvelopeTransform.fromVariant(parsed, keep = Seq("rawLine"))
       .select(
@@ -196,8 +198,13 @@ object CuratedPipeline {
         state.update(st)
         out.iterator
       }
+    // sentinel key: null-device rows (bronze-only) must not share state
+    // with a device whose id is literally "" — the NUL prefix cannot
+    // appear in a real JSON-sourced device id
     events
-      .groupByKey(e => if (perDevice) Option(e.deviceId).getOrElse("") else "")
+      .groupByKey(e =>
+        if (!perDevice) ""
+        else Option(e.deviceId).getOrElse("\u0000no-device"))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
