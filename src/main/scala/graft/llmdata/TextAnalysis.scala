@@ -156,6 +156,58 @@ object TextAnalysis {
         .orderBy("n_order", "gram")
     },
 
+    // ---- q49: Levenshtein fuzzy-dup pairs — edit distance on a fixed
+    //      64-char prefix, blocked by lang, small id window (the fuzzy
+    //      complement of q28's set-based Jaccard; O(m²) per pair, so at
+    //      scale it runs only on LSH candidates, never all pairs). ----
+    Q(
+      "q49_levenshtein",
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64)) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 60 AND b.doc_id < 60
+        |  AND levenshtein(substring(a.text, 1, 64), substring(b.text, 1, 64)) <= 40
+        |ORDER BY a_id, b_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 64).as("p"))
+      docs.as("a")
+        .join(broadcast(docs.as("b")),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          levenshtein(col("a.p"), col("b.p")).as("dist"))
+        .filter(col("dist") <= 40)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- q50: deterministic train/val/test split — md5-keyed bucket
+    //      assignment (stable across runs/engines/cluster sizes, the
+    //      correct way to split training data; never rand()). ----
+    Q(
+      "q50_train_val_split",
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 10 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 8 THEN 'train'
+        |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, min(doc_id) AS first_id
+        |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+        .orderBy("split", "lang")
+    },
+
     // ---- q35: token counting — whitespace split vs regex lexer vs
     //      stored metadata consistency check. ----
     Q(
