@@ -82,6 +82,53 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic byte-domain downsample to `targetBytes`
+    * by stride sampling — stands in for an image resize kernel (the
+    * Spark-side contract is what matters: payload→payload, row count
+    * preserved, bounded output size; swap the kernel for a codec). */
+  def resize(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        if (r.payload.length <= targetBytes) r
+        else {
+          val out = new Array[Byte](targetBytes)
+          val stride = r.payload.length.toDouble / targetBytes
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = r.payload((i * stride).toInt)
+            i += 1
+          }
+          r.copy(payload = out)
+        }
+      }
+    }
+  }
+
+  /** Frame-sample stub: split the payload into `nFrames` contiguous
+    * "frames" (video → frame list shape); one output row per frame with
+    * (docId, frameIdx) identity — the explode-heavy stage a video
+    * pipeline runs before per-frame decode. */
+  final case class MediaFrame(
+      docId: Long, mediaType: String, frameIdx: Int, payload: Array[Byte])
+
+  def sampleFrames(ds: Dataset[MediaRecord], nFrames: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      if (r.payload.isEmpty) Iterator.empty
+      else {
+        val k = math.min(nFrames, r.payload.length)
+        val size = r.payload.length / k
+        (0 until k).iterator.map { i =>
+          val from = i * size
+          val until = if (i == k - 1) r.payload.length else from + size
+          MediaFrame(r.docId, r.mediaType, i,
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q37: binary-column metadata path — payload length, content
     //      hash, head bytes; all computed on the `binary` column (the
