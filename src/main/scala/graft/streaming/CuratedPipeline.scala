@@ -132,36 +132,31 @@ object CuratedPipeline {
       ).as[PipeEvent]
   }
 
-  /** The stateful spike-and-dip stage. Works identically on batch
-    * Datasets (state lives for the single batch) and streams (state
-    * checkpointed across micro-batches) — the test suite pins
-    * batch-path equivalence against `SpikeAndDip.batch`. */
-  def anomalyStage(events: Dataset[PipeEvent],
-      params: SpikeAndDip.Params = SpikeAndDip.Params(),
-      perDevice: Boolean = true,
-      adjustMillis: Option[Long] = None): Dataset[PipeOut] = {
-    import events.sparkSession.implicits._
+  /** One micro-batch's per-key fold — shared verbatim by both stateful
+    * APIs (`flatMapGroupsWithState` and `transformWithState`), so the
+    * two stages cannot drift.
+    *
+    * ASA's compat-1.2 reorder buffer delivers the window in event-time
+    * order; we sort each micro-batch the same way before folding. Full
+    * µs precision (Timestamp.getTime is ms-truncated; the batch path's
+    * unix_micros sees µs, so equivalence needs them). Null event times
+    * (unparseable lines riding to bronze) sort first and are never
+    * scored or folded into state. */
+  private[streaming] def foldSorted(it: Iterator[PipeEvent], st0: DevState,
+      params: SpikeAndDip.Params, adjustMicros: Option[Long])
+      : (Vector[PipeOut], DevState) = {
     val windowMicros = params.windowMillis * 1000L
     val cap = params.historySize
-    val adjustMicros = adjustMillis.map(_ * 1000L)
     def scoreOne(buf: SignalBuf, t: Long, v: Option[Double]): Int = v match {
       case Some(x) =>
         SpikeAndDip.score(buf.history(t, windowMicros, cap), x, params)._1
       case None => 0
     }
-    val fn: (String, Iterator[PipeEvent], GroupState[DevState]) => Iterator[PipeOut] =
-      (_, it, state) => {
-        var st = state.getOption.getOrElse(DevState.empty)
-        // ASA's compat-1.2 reorder buffer delivers the window in event-time
-        // order; we sort each micro-batch the same way before folding.
-        // full µs precision: Timestamp.getTime is ms-truncated; the
-        // batch path (unix_micros) sees µs, so equivalence needs them.
-        // Null event times (unparseable lines riding to bronze) sort
-        // first and are never scored or folded into state.
-        def micros(ts: java.sql.Timestamp): Long =
-          if (ts == null) Long.MinValue
-          else Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-        val out = it.toVector.sortBy(e => (micros(e.enqueuedTime), e.raw)).map { e =>
+    var st = st0
+    def micros(ts: java.sql.Timestamp): Long =
+      if (ts == null) Long.MinValue
+      else Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val out = it.toVector.sortBy(e => (micros(e.enqueuedTime), e.raw)).map { e =>
           val rawT = micros(e.enqueuedTime)
           // ASA "Adjust" (T2): an event older than the key's event-time
           // high watermark minus the tolerance has its timestamp clamped
@@ -195,17 +190,73 @@ object CuratedPipeline {
             e.longitude, e.altitude, e.accelMagnitude, e.gyroMagnitude,
             e.magMagnitude, if (flags.exists(_ == 1)) 1 else 0)
         }
+    (out, st)
+  }
+
+  /** Sentinel key: null-device rows (bronze-only) must not share state
+    * with a device whose id is literally "" — the NUL prefix cannot
+    * appear in a real JSON-sourced device id. */
+  private def stateKey(perDevice: Boolean)(e: PipeEvent): String =
+    if (!perDevice) ""
+    else Option(e.deviceId).getOrElse("\u0000no-device")
+
+  /** The stateful spike-and-dip stage (`flatMapGroupsWithState`).
+    * Works identically on batch Datasets (state lives for the single
+    * batch) and streams (state checkpointed across micro-batches) —
+    * the test suite pins batch-path equivalence against
+    * `SpikeAndDip.batch`. */
+  def anomalyStage(events: Dataset[PipeEvent],
+      params: SpikeAndDip.Params = SpikeAndDip.Params(),
+      perDevice: Boolean = true,
+      adjustMillis: Option[Long] = None): Dataset[PipeOut] = {
+    import events.sparkSession.implicits._
+    val adjustMicros = adjustMillis.map(_ * 1000L)
+    val fn: (String, Iterator[PipeEvent], GroupState[DevState]) => Iterator[PipeOut] =
+      (_, it, state) => {
+        val (out, st) =
+          foldSorted(it, state.getOption.getOrElse(DevState.empty),
+            params, adjustMicros)
         state.update(st)
         out.iterator
       }
-    // sentinel key: null-device rows (bronze-only) must not share state
-    // with a device whose id is literally "" — the NUL prefix cannot
-    // appear in a real JSON-sourced device id
     events
-      .groupByKey(e =>
-        if (!perDevice) ""
-        else Option(e.deviceId).getOrElse("\u0000no-device"))
+      .groupByKey(stateKey(perDevice))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The same stage on Spark 4's `transformWithState` API (typed state
+    * handles, RocksDB-backed store). The fold is shared with
+    * `anomalyStage`, so both emit identical results; this is the
+    * forward path as transformWithState replaces flatMapGroupsWithState.
+    * Streaming queries need `spark.sql.streaming.stateStore.providerClass`
+    * = RocksDBStateStoreProvider. */
+  final class SpikeAndDipProcessor(
+      params: SpikeAndDip.Params, adjustMillis: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, PipeEvent, PipeOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[DevState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[DevState]("devState",
+        org.apache.spark.sql.Encoders.product[DevState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[PipeEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[PipeOut] = {
+      val st0 = Option(state.get()).getOrElse(DevState.empty)
+      val (out, st) = foldSorted(rows, st0, params, adjustMillis.map(_ * 1000L))
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def anomalyStageTws(events: Dataset[PipeEvent],
+      params: SpikeAndDip.Params = SpikeAndDip.Params(),
+      perDevice: Boolean = true,
+      adjustMillis: Option[Long] = None): Dataset[PipeOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(stateKey(perDevice))
+      .transformWithState(new SpikeAndDipProcessor(params, adjustMillis),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
   /** Curated Telemetry projection (DDL column names, README.MD:167-175;
