@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - AVG → exact decimal sum cast to DOUBLE, divided by count(*): one
   *     IEEE division of identical operands ⇒ bit-identical.
   *   - COUNT / MIN / MAX / pass-through doubles are exact as-is.
+  *   - No HUGEINT on the ORACLE side either (round-2 lesson, q30):
+  *     DuckDB's `sum(BIGINT)` widens to HUGEINT and the driver renders it
+  *     differently from Spark's BIGINT even when every value is equal —
+  *     wrap the final sum in `CAST(... AS BIGINT)`.
   */
 final case class Q(
     name: String,

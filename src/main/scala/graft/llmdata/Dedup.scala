@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - exact dedup is a single hash-shuffle on md5(text) with map-side
   *    partial aggregation — the canonical "group by content hash";
-  *  - the Jaccard join blocks candidate pairs by `lang` (a real pipeline
-  *    blocks by shard/domain) and joins on the token — an inverted-index
-  *    similarity join; common-token skew is the known hazard, which is
-  *    exactly why q29's MinHash+LSH path exists: its shuffle key is the
-  *    *band hash*, whose cardinality grows with corpus size, so bucket
-  *    sizes stay bounded and the verify step touches only candidates;
+  *  - the Jaccard join generates candidates by PPJoin-style prefix
+  *    filtering (rarest-token prefixes under a shared total order) — an
+  *    inverted index over PREFIX tokens only, sub-quadratic and exact;
+  *    q29's MinHash+LSH path is the open-vocabulary twin: its shuffle
+  *    key is the *band hash*, whose cardinality grows with corpus size,
+  *    so bucket sizes stay bounded and the verify touches candidates only;
   *  - SimHash reduces each doc to one 16-bit integer — near-dup search
   *    becomes an equi-join on simhash (or a small Hamming-ball probe),
   *    no pairwise scan;
@@ -53,23 +53,22 @@ object Dedup {
 
   private def bitmapPlan(s: SparkSession, d: String): BitmapPlan = {
     val words = Text.tokenSet(s, d)
-    val vocab = words.select("w").distinct()
-      .withColumn("wid",
-        row_number().over(Window.orderBy("w")).cast("long") - 1)
-    val nBuckets = math.max(1,
-      ((vocab.count() + 63) / 64).toInt) // tiny driver action: |vocab|
+    // Dense ids via zipWithIndex (per-partition offsets from one count
+    // job) instead of a global row_number() window — no single-partition
+    // sort at a real vocabulary size. Bit positions are internal: no
+    // output depends on which bit a word gets, only that the assignment
+    // is injective; sortWithinPartitions pins the within-partition order
+    // so a task retry cannot reshuffle ids mid-query.
+    val distinctW = words.select("w").distinct().persist()
+    val nWords = distinctW.count() // tiny driver action: |vocab|
+    val vocab = s.createDataFrame(
+      distinctW.sortWithinPartitions("w").rdd
+        .map(_.getString(0)).zipWithIndex()).toDF("w", "wid")
+    val nBuckets = math.max(1, ((nWords + 63) / 64).toInt)
     val bits = words.join(broadcast(vocab), "w")
       .withColumn("bucket", (col("wid") / 64).cast("int"))
       .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
     BitmapPlan(bits, nBuckets)
-  }
-
-  private def tokenBitmaps(s: SparkSession, d: String): DataFrame = {
-    val p = bitmapPlan(s, d)
-    val aggs = p.maskAggs
-    p.bits.groupBy("doc_id", "lang")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), col("lang"), col("nw"), p.maskCol.as("mask"))
   }
 
   /** popcount of the AND of two bitmap arrays = |intersection|. */
@@ -130,26 +129,58 @@ object Dedup {
         |WHERE CAST(ni AS DOUBLE)/(ca.nw + cb.nw - ni) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      // bitmap-accelerated exact set-similarity join (see tokenBitmaps):
-      // same result as the oracle's token-join rendering, but the pair
-      // verify is popcount on longs, and the blocked self-join
-      // broadcasts the bitmap table (tiny: one long + count per doc) so
-      // pair enumeration is map-side — no shuffle, no lang-key skew.
-      // When neither side fits in memory, saltedPairs is the shape.
-      val sets = tokenBitmaps(s, d)
-      val a = sets.toDF(sets.columns.map(_ + "_a"): _*)
-        .repartition(s.sparkContext.defaultParallelism)
-      val b = sets.toDF(sets.columns.map(_ + "_b"): _*)
-      val pairs = a.join(broadcast(b),
-        col("lang_a") === col("lang_b") && col("doc_id_a") < col("doc_id_b"))
+      // PPJoin-style prefix-filtered exact similarity join (Bayardo et
+      // al. "Scaling Up All Pairs", Xiao et al. PPJoin — public
+      // literature): under ANY total token order shared by both sides,
+      // two sets with J ≥ t MUST share a token among the first
+      // |x| − ⌈t·|x|⌉ + 1 tokens of each side — so candidate pairs come
+      // from an equi-join on *prefix* tokens only, never from
+      // enumerating n²/2 pairs per lang block. The order used is
+      // (doc-frequency asc, token), rarest-first, which makes prefix
+      // buckets the SMALLEST buckets of the inverted index — the
+      // anti-skew choice. Survivors are verified exactly with the
+      // shared bitmap popcount (O(V/64) longs per pair), so results are
+      // identical to the oracle's token-join rendering.
+      val p = bitmapPlan(s, d)
+      val tokDf = p.bits.groupBy("lang", "w").agg(count(lit(1)).as("df"))
+      val aggs = p.maskAggs :+
+        array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
+      val sets = p.bits.join(tokDf, Seq("lang", "w"))
+        .groupBy("doc_id", "lang")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("mask", p.maskCol)
+        // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
+        .withColumn("plen",
+          (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
+        .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
+        .select("doc_id", "lang", "nw", "mask", "pre")
+        .persist() // consumed three times: prefix explode + both verify sides
+      val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
+        explode(col("pre")).as("pw"))
+      val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
+      val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
+      // J ≥ 0.95 also forces 20·min(|a|,|b|) ≥ 19·max(|a|,|b|): prune
+      // size-incompatible pairs inside the join (output-preserving)
+      val cand = a.join(b,
+        col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
+          col("doc_id_a") < col("doc_id_b") &&
+          least(col("nw_a"), col("nw_b")) * 20 >=
+            greatest(col("nw_a"), col("nw_b")) * 19)
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+        .distinct()
+      // exact bitmap verify on candidates only; no broadcast hints —
+      // AQE picks broadcast while sets is small, shuffle join past that
       val ni = maskIntersect(col("mask_a"), col("mask_b"))
-      pairs
+      cand
+        .join(sets.select(col("doc_id").as("a_id"),
+          col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"),
+          col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
         .withColumn("ni", ni)
         .withColumn("jaccard",
           col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
         .filter(col("jaccard") >= 0.95)
-        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
-          col("jaccard"))
+        .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
     },
 
@@ -210,19 +241,21 @@ object Dedup {
       // never survive the verify, so pruning here is output-preserving.
       // Then exact bitmap verify — same values as the oracle's
       // token-join verify. Candidates are deduped AFTER the cheap
-      // popcount filter (survivor set ≪ candidate set), and the verify
-      // joins broadcast the tiny bitmap table — the only shuffle left
-      // is the banded candidate generation itself.
+      // popcount filter (survivor set ≪ candidate set). The verify
+      // joins carry NO broadcast hint: the per-doc bitmap table is
+      // corpus-sized, so a forced broadcast would OOM the driver at
+      // scale — AQE picks broadcast while it is small and degrades to
+      // a shuffle join past the threshold.
       val cand = saltedPairs(bands, "band", 16)
         .filter(least(col("nw_a"), col("nw_b")) * 10 >=
           greatest(col("nw_a"), col("nw_b")) * 9)
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
       val ni = maskIntersect(col("mask_a"), col("mask_b"))
       cand
-        .join(broadcast(sets.select(col("doc_id").as("a_id"),
-          col("mask").as("mask_a"), col("nw").as("nw_a"))), "a_id")
-        .join(broadcast(sets.select(col("doc_id").as("b_id"),
-          col("mask").as("mask_b"), col("nw").as("nw_b"))), "b_id")
+        .join(sets.select(col("doc_id").as("a_id"),
+          col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"),
+          col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
         .withColumn("ni", ni)
         .withColumn("jaccard",
           col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
@@ -244,7 +277,7 @@ object Dedup {
         |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN c ELSE -c END) AS vote
         |  FROM wh, (SELECT unnest(range(16)) AS bit) b GROUP BY doc_id, bit)
         |SELECT doc_id,
-        |  sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
       val wh = Text.tokens(s, d)

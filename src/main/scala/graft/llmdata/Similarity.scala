@@ -162,33 +162,56 @@ object Similarity {
         |                             CAST(b.embedding AS DOUBLE[])) > 0.42
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      // Exact all-pairs is compute-bound on the dot product; the
-      // idiomatic shape is broadcast-the-corpus + mapPartitions with
-      // primitive arrays (no per-pair Catalyst eval, no shuffle): each
-      // task scores its query slice against the broadcast corpus in a
-      // JIT'd loop. Right when one side fits in executor memory (the
-      // exact reference path); past that, the LSH-bucketed q32 is the
-      // scale route. Threshold margin vs the oracle's formula is ≥1e-3
-      // on this data — far beyond cross-engine double noise.
+      // Distributed block-nested-loop: vectors hash into B blocks by
+      // vec_id; every unordered block-pair (i ≤ j) is one group, and
+      // each vector is replicated to the B groups whose pair contains
+      // its block. Each unordered vector pair lands in EXACTLY one
+      // group, so the join is exact with no dedup pass. The dot-product
+      // loop stays primitive-array JIT'd (no per-pair Catalyst eval),
+      // but nothing touches the driver: no collect, no broadcast —
+      // shuffle volume is n·B rows and a group holds ~2n/B vectors,
+      // so B is the scale knob (grow it with the corpus so one group
+      // fits one task). Threshold margin vs the oracle's formula is
+      // ≥1e-3 on this data — far beyond cross-engine double noise.
       import s.implicits._
-      val corpus: Array[(Long, Array[Double])] = vectors(s, d)
+      val B = 32
+      val rep = vectors(s, d)
         .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("vn"))
-        .as[(Long, Array[Double])].collect().sortBy(_._1)
-      val bc = s.sparkContext.broadcast(corpus)
-      s.createDataset(corpus.indices.toSeq)
-        .repartition(s.sparkContext.defaultParallelism)
-        .mapPartitions { it =>
-          val all = bc.value
-          it.flatMap { ai =>
-            val (aId, av) = all(ai)
-            (ai + 1 until all.length).iterator.flatMap { bi =>
-              val (bId, bv) = all(bi)
-              var acc = 0.0; var k = 0
-              while (k < av.length) { acc += av(k) * bv(k); k += 1 }
-              if (acc > 0.42) Iterator.single((aId, bId)) else Iterator.empty
-            }
+          transform(col("v"), x => x / col("nrm")).as("vn"),
+          pmod(col("vec_id"), lit(B)).cast("int").as("g"))
+        .as[(Long, Array[Double], Int)]
+        .flatMap { case (id, vn, g) =>
+          (0 until B).iterator.map { o =>
+            val (i, j) = if (o < g) (o, g) else (g, o)
+            (i * B + j, g, id, vn)
           }
+        }
+      rep.groupByKey(_._1)
+        .flatMapGroups { (key, it) =>
+          val bi = key / B
+          val bj = key % B
+          val rows = it.toArray
+          val as = rows.collect { case (_, g, id, v) if g == bi => (id, v) }
+          val bs =
+            if (bi == bj) as
+            else rows.collect { case (_, g, id, v) if g == bj => (id, v) }
+          val out = Array.newBuilder[(Long, Long)]
+          var x = 0
+          while (x < as.length) {
+            val (aId, av) = as(x)
+            var y = if (bi == bj) x + 1 else 0
+            while (y < bs.length) {
+              val (bId, bv) = bs(y)
+              var acc = 0.0
+              var k = 0
+              while (k < av.length) { acc += av(k) * bv(k); k += 1 }
+              if (acc > 0.42)
+                out += (if (aId < bId) (aId, bId) else (bId, aId))
+              y += 1
+            }
+            x += 1
+          }
+          out.result().iterator
         }
         .toDF("a_id", "b_id")
         .orderBy("a_id", "b_id")

@@ -60,6 +60,19 @@ def main(sf_dir, out_dir):
                     f"SELECT {', '.join(got_cols)} FROM "
                     f"'{out_dir}/{name}/*.parquet'").fetchall())
             exp = con.sql(sql)
+            # Round-2 lesson (q30): DuckDB sum(BIGINT) widens to HUGEINT,
+            # which the driver renders differently from Spark's BIGINT
+            # even for equal values. DECIMAL on the oracle side is the
+            # same trailing-zero hazard as on the Spark side.
+            bad_types = [c for c, t in zip(exp.columns, exp.types)
+                         if any(k in str(t).upper()
+                                for k in ("DECIMAL", "HUGEINT"))]
+            if bad_types:
+                print(f"FAIL {name}: oracle columns {bad_types} are "
+                      "DECIMAL/HUGEINT (driver-unsafe; CAST to "
+                      "BIGINT/DOUBLE in the oracle SQL)")
+                n_fail += 1
+                continue
             exp_cols = sorted(exp.columns)
             exp_rows = canon(
                 con.sql(
