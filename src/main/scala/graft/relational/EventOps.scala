@@ -15,6 +15,71 @@ import org.apache.spark.sql.functions._
 object EventOps {
   private val D2 = "decimal(38,2)"
 
+  /** The W1 spike-and-dip detector over events, partitioned per
+    * event_type; shared by q24 (reference 60 s window) and q51 (24 h). */
+  private def spikeDipPlan(s: org.apache.spark.sql.SparkSession, d: String,
+      params: graft.anomaly.SpikeAndDip.Params): org.apache.spark.sql.DataFrame =
+    graft.anomaly.SpikeAndDip
+      .batch(Tables.events(s, d), "ts", "value",
+        partitionCols = Seq("event_type"), params = params)
+      .select(col("event_id"), col("event_type"),
+        col("anom.isAnomaly").as("anomaly"),
+        col("anom.score").as("score"))
+      .orderBy("event_id")
+
+  /** DuckDB rendering of the full SpikeAndDip.score contract
+    * (anomaly/SpikeAndDip.scala): trailing event-time RANGE frame on
+    * truncated-µs timestamps, most-recent-85 cap via list_slice,
+    * medians written out as the exact two-middle average the Scala
+    * kernel computes (NOT quantile_cont, whose lo+(hi−lo)/2 interpolation
+    * can differ by 1 ulp), MAD with 1.4826 scaling, population-stddev
+    * fallback, and the Acklam threshold embedded as the engine's own
+    * round-trip double constant. Verified value-identical on all 10k
+    * rows before registration. */
+  private def spikeDipOracle(winUs: Long): String = {
+    val t = graft.anomaly.SpikeAndDip.Params().threshold // round-trip repr
+    s"""WITH e AS (
+      |  SELECT event_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+      |h AS (
+      |  SELECT event_id, event_type, value,
+      |    list(value) OVER (PARTITION BY event_type ORDER BY us
+      |      RANGE BETWEEN $winUs PRECEDING AND 1 PRECEDING) AS hist
+      |  FROM e),
+      |c AS (
+      |  SELECT event_id, event_type, value,
+      |    CASE WHEN len(hist) > 85
+      |         THEN list_slice(hist, len(hist) - 84, len(hist)) ELSE hist END AS cap
+      |  FROM h),
+      |m AS (SELECT *, len(cap) AS n, list_sort(cap) AS srt FROM c),
+      |m2 AS (
+      |  SELECT *, CASE WHEN n % 2 = 1 THEN srt[(n+1)//2]
+      |                 ELSE (srt[n//2] + srt[n//2+1])/2.0 END AS med
+      |  FROM m),
+      |m3 AS (
+      |  SELECT *, list_sort(list_transform(cap, x -> abs(x - med))) AS dsrt FROM m2),
+      |m4 AS (
+      |  SELECT *, CASE WHEN n % 2 = 1 THEN dsrt[(n+1)//2]
+      |                 ELSE (dsrt[n//2] + dsrt[n//2+1])/2.0 END AS mad
+      |  FROM m3),
+      |m5 AS (
+      |  SELECT *, CASE WHEN mad * 1.4826 > 0 THEN mad * 1.4826
+      |    ELSE (CASE WHEN sqrt(list_sum(list_transform(cap,
+      |            x -> (x - list_sum(cap)/n) * (x - list_sum(cap)/n)))/n) > 0
+      |      THEN sqrt(list_sum(list_transform(cap,
+      |            x -> (x - list_sum(cap)/n) * (x - list_sum(cap)/n)))/n)
+      |      ELSE 1e-12 END) END AS scale
+      |  FROM m4),
+      |s AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN n < 12 OR isnan(value) THEN 0
+      |         WHEN abs((value - med)/scale) > $t THEN 1 ELSE 0 END AS anomaly,
+      |    CASE WHEN n < 12 OR isnan(value) THEN 0.0
+      |         ELSE greatest(0.0, abs((value - med)/scale) / $t) END AS score
+      |  FROM m5)
+      |SELECT event_id, event_type, anomaly, CAST(score AS DOUBLE) AS score
+      |FROM s ORDER BY event_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q20: incremental watermark scan (S5/P5/O1):
     //      SELECT ... WHERE enqueuedTime > @lastProcessedTime ORDER BY ...
@@ -112,18 +177,23 @@ object EventOps {
     //      events, 60 s trailing event-time window) over the events
     //      stream, partitioned per event_type (distributed state; the
     //      reference's global-model mode is SpikeAndDip(partitionCols=
-    //      Nil)). MAD-median scoring is not DuckDB-expressible → rows-
-    //      only driver check; value-level behavior is ScalaTest-pinned
-    //      (SpikeAndDipSpec) and the z-score analog is oracle-checked
-    //      as q23. ----
-    Q.rowsOnly("q24_spike_dip") { (s, d) =>
-      graft.anomaly.SpikeAndDip
-        .batch(Tables.events(s, d), "ts", "value",
-          partitionCols = Seq("event_type"))
-        .select(col("event_id"), col("event_type"),
-          col("anom.isAnomaly").as("anomaly"),
-          col("anom.score").as("score"))
-        .orderBy("event_id")
+    //      Nil)). The DuckDB oracle renders the whole detector —
+    //      trailing RANGE frame, tail-85 cap, explicit two-middle
+    //      median, MAD, stddev fallback, Acklam threshold constant —
+    //      value-for-value; q51 re-runs it with a 24 h window so the
+    //      median/MAD/cap paths are exercised on real history (the 60 s
+    //      frames on this dataset hold ≤ 2 events). ----
+    Q("q24_spike_dip", spikeDipOracle(60000000L)) { (s, d) =>
+      spikeDipPlan(s, d, graft.anomaly.SpikeAndDip.Params())
+    },
+
+    // ---- q51: the same W1 detector with a 24 h trailing window —
+    //      frames reach 89 events (capped to 85) and 9.9k/10k rows have
+    //      ≥ MinHistory, so the robust-statistics core is value-checked
+    //      cross-engine, not just the quiet path. ----
+    Q("q51_spike_dip_day", spikeDipOracle(86400000000L)) { (s, d) =>
+      spikeDipPlan(s, d,
+        graft.anomaly.SpikeAndDip.Params(windowMillis = 86400000L))
     },
 
     // ---- q25: JSON property extraction (ingest-normalization parity,

@@ -45,4 +45,21 @@ class PlanSpec extends SparkSpec {
     val p = planOf(SparkEntry.queries("q31_cosine_topk")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("q38: distributed block-nested-loop — corpus never driver-materialized") {
+    val p = planOf(SparkEntry.queries("q38_embed_neardup")(spark, sf))
+    assert(p.contains("MapGroups"), "expect the flatMapGroups shape")
+    // the round-2 shape collected the corpus and re-parallelized it,
+    // which plans as a driver-local scan; the distributed shape reads
+    // the parquet scan straight into the block-pair groups
+    assert(p.contains("Scan parquet"), "corpus must come from the file scan")
+    assert(!p.contains("LocalTableScan") && !p.contains("ExistingRDD"),
+      "no driver-materialized corpus in the plan")
+  }
+
+  test("q28: candidates come from a prefix-token equi-join, not pair enumeration") {
+    val p = planOf(SparkEntry.queries("q28_jaccard_pairs")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "prefix filtering must keep every join an equi-join")
+  }
 }
