@@ -62,4 +62,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "prefix filtering must keep every join an equi-join")
   }
+
+  test("q29: verify joins carry no forced broadcast hint on the corpus-sized sets") {
+    // the per-doc bitmap table grows with the corpus — a broadcast HINT
+    // would pin it driver-side at 100 TB. AQE may still CHOOSE broadcast
+    // while small (fine); the logical plan must merely not force it.
+    // The one legitimate hint is the vocab dictionary (bounded by |vocab|,
+    // surfaces as a LogicalRDD) — so: no hint may sit over a corpus scan.
+    val df = SparkEntry.queries("q29_minhash_lsh")(spark, sf)
+    val badHints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.child.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.LogicalRelation]) => h
+    }
+    assert(badHints.isEmpty,
+      s"join hint forced over a corpus-sized relation in q29: $badHints")
+  }
+
+  test("dedup vocab ids avoid the single-partition window") {
+    val p = planOf(SparkEntry.queries("q29_minhash_lsh")(spark, sf))
+    assert(!p.contains("Window"), "vocab id assignment must not plan a WindowExec")
+  }
 }
