@@ -278,9 +278,19 @@ object CuratedPipeline {
       .select("deviceId", "applicationId", "templateId", "component", "module")
       .filter(col("deviceId").isNotNull)
       .dropDuplicates("deviceId")
+    // Only a genuinely absent table means "no existing devices". Any
+    // other read failure (corrupt file, transient FS error) must
+    // PROPAGATE: swallowing it would make the anti-join see an empty
+    // set and re-insert duplicates — silently breaking the PK
+    // semantics this sink exists to enforce.
     val existing =
       try spark.read.parquet(devicesDir).select("deviceId")
-      catch { case _: Exception => spark.emptyDataFrame.withColumn("deviceId", lit("")) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+              .contains(e.getCondition) =>
+          spark.emptyDataFrame.withColumn("deviceId", lit(""))
+      }
     newDevs.join(existing, Seq("deviceId"), "left_anti")
       .write.mode("append").parquet(devicesDir)
   }

@@ -92,6 +92,34 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(math.abs(m - math.sqrt(0.01 + 0.04 + 0.09)) < 1e-12)
   }
 
+  test("devices merge: a failed read of the existing table aborts, never duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("devmerge").toString
+    val batch = CuratedPipeline
+      .toPipeEvents(Seq(rawJson("devA", "2024-01-01T00:00:01Z", 90, 1010.0))
+        .toDF("value")).toDF()
+    // empty dir = no table yet → treated as absent, merge proceeds
+    CuratedPipeline.mergeDevices(batch, s"$dir/devices")
+    assert(spark.read.parquet(s"$dir/devices").count() == 1)
+    // corrupt the table: a read failure must PROPAGATE (a swallowed
+    // error would make the anti-join re-insert devA — duplicate PK)
+    val corrupt = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/devices")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.write(java.nio.file.Paths.get(corrupt),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      CuratedPipeline.mergeDevices(batch, s"$dir/devices")
+      // force evaluation if the failure is lazy
+      spark.read.parquet(s"$dir/devices").count()
+    }
+    // the corrupt-read failure left no second devA row behind
+    val files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/devices")).toArray.map(_.toString)
+      .count(_.endsWith(".parquet"))
+    assert(files == 1, "no new part file may be appended after a failed read")
+  }
+
   test("transformWithState stage emits identical results to flatMapGroupsWithState") {
     import spark.implicits._
     val events = (0 until 60).map { i =>
