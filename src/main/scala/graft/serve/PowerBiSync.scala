@@ -34,6 +34,62 @@ object PowerBiSync {
     * client). Returns success. */
   trait HttpSink extends Serializable { def post(jsonArrayBody: String): Boolean }
 
+  /** Default production sink (reference SendToPowerBI,
+    * PushTelemetryFunction.cs:402-425): JSON POST via `java.net.http`,
+    * `application/json`; any non-2xx status or transport/timeout
+    * exception maps to `false`, which the pump turns into a held
+    * watermark and a next-tick retry — never an exception. */
+  final class JdkHttpSink(url: String, timeoutSeconds: Long = 30L)
+      extends HttpSink {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+    def post(jsonArrayBody: String): Boolean =
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofString(jsonArrayBody, java.nio.charset.StandardCharsets.UTF_8))
+          .build()
+        val status = client
+          .send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+          .statusCode()
+        status >= 200 && status < 300
+      } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** E9: the HTTP trigger's control-body parse (cs:46-60).
+    * `{"initialLoad": <v>}` selects the bulk path; empty body, garbage
+    * JSON, a missing key, or an unconvertible value all default to
+    * incremental (`false`). Mirrors JToken.Value<bool>'s conversions:
+    * booleans as-is, "true"/"false" case-insensitively, numbers by
+    * non-zeroness. */
+  def parseControl(requestBody: String): Boolean =
+    if (requestBody == null || requestBody.trim.isEmpty) false
+    else
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(requestBody).get("initialLoad")
+        if (node == null || node.isNull) false
+        else if (node.isBoolean) node.asBoolean()
+        else if (node.isNumber) node.doubleValue() != 0.0
+        else if (node.isTextual) node.asText().trim.toLowerCase match {
+          case "true" => true
+          case _ => false // "false" or unconvertible → incremental
+        }
+        else false
+      } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The trigger's dispatch (cs:62-75): parse the control body, then
+    * bulk initial load or incremental sync. Returns rows pushed. */
+  def handleRequest(requestBody: String, telemetry: DataFrame,
+      store: WatermarkStore, sink: HttpSink, batchSize: Int = 500,
+      sleep: Long => Unit = Thread.sleep): Long =
+    if (parseControl(requestBody))
+      initialLoad(telemetry, store, sink, batchSize, sleep = sleep)
+    else syncOnce(telemetry, store, sink, batchSize)
+
   /** One-row watermark state store (S8). */
   trait WatermarkStore {
     def read(): java.sql.Timestamp
@@ -113,7 +169,8 @@ object PowerBiSync {
   /** The shared batch pump: stream the sorted payload rows driver-side,
     * POST in `batchSize` JSON arrays, track max event time. Returns
     * (rowsPushed, maxTs, completedWithoutFailure). */
-  private def pump(rows: DataFrame, sink: HttpSink, batchSize: Int)
+  private def pump(rows: DataFrame, sink: HttpSink, batchSize: Int,
+      delayMillis: Long = 0L, sleep: Long => Unit = Thread.sleep)
       : (Long, java.sql.Timestamp, Boolean) = {
     var maxTs: java.sql.Timestamp = new java.sql.Timestamp(0L)
     var pushed = 0L
@@ -123,7 +180,13 @@ object PowerBiSync {
       if (buf.isEmpty) true
       else {
         val ok = sink.post(buf.mkString("[", ",", "]"))
-        if (ok) { pushed += buf.length; buf.clear() }
+        if (ok) {
+          pushed += buf.length; buf.clear()
+          // bulk-load pacing (reference Task.Delay(200) after every
+          // pushed batch, PushTelemetryFunction.cs:264) — downstream
+          // push APIs throttle; 0 on the incremental path
+          if (delayMillis > 0L) sleep(delayMillis)
+        }
         ok
       }
     }
@@ -143,12 +206,13 @@ object PowerBiSync {
     * mid-load failure leaves it unset so a rerun restarts from scratch
     * (reference behavior, PushTelemetryFunction.cs:260,271-274). */
   def initialLoad(telemetry: DataFrame, store: WatermarkStore, sink: HttpSink,
-      batchSize: Int = 500): Long = {
+      batchSize: Int = 500, delayMillis: Long = 200L,
+      sleep: Long => Unit = Thread.sleep): Long = {
     val all = telemetry
       .orderBy("enqueuedTime")
       .select(payload().as("j"), col("enqueuedTime"))
     val (pushed, maxTs, completed) = withUtcSession(telemetry) {
-      pump(all, sink, batchSize)
+      pump(all, sink, batchSize, delayMillis, sleep)
     }
     // mid-load failure throws with the watermark unset, so a rerun
     // restarts from scratch (reference behavior, :260,271-274)

@@ -92,10 +92,57 @@ class PowerBiSyncSpec extends SparkSpec {
     val df = telemetry((1 to 7).map(i => (s"d$i", s"2024-01-01 00:00:0$i", i.toLong, i.toDouble)))
     val store = new MemStore(ts("2020-01-01 00:00:00"))
     val sink = new CollectSink
-    assert(initialLoad(df, store, sink, batchSize = 3) == 7)
+    assert(initialLoad(df, store, sink, batchSize = 3, sleep = _ => ()) == 7)
     assert(sink.batches.length == 3) // 3+3+1
     assert(store.wm == ts("2024-01-01 00:00:07"))
     assert(store.writes == 1) // single write at the end (reference behavior)
+  }
+
+  test("initial load paces 200ms after every pushed batch; sync never sleeps") {
+    val df = telemetry((1 to 5).map(i => (s"d$i", s"2024-01-01 00:00:0$i", i.toLong, i.toDouble)))
+    val store = new MemStore(ts("2020-01-01 00:00:00"))
+    val sink = new CollectSink
+    val sleeps = new scala.collection.mutable.ArrayBuffer[Long]
+    initialLoad(df, store, sink, batchSize = 2, sleep = sleeps += _)
+    assert(sleeps.toSeq == Seq(200L, 200L, 200L), // one per pushed batch
+      s"got $sleeps")
+    // a failed batch must NOT be followed by a delay (no sleep-then-retry)
+    val sleeps2 = new scala.collection.mutable.ArrayBuffer[Long]
+    intercept[RuntimeException] {
+      initialLoad(df, new MemStore(ts("2020-01-01 00:00:00")),
+        new CollectSink(failAfter = 1), batchSize = 2, sleep = sleeps2 += _)
+    }
+    assert(sleeps2.toSeq == Seq(200L)) // only the successful first batch
+    // the incremental path has no pacing (reference: single POST, no delay)
+    val store3 = new MemStore(ts("2020-01-01 00:00:00"))
+    syncOnce(df, store3, sink, batchSize = 2) // would throw if it slept: no seam
+  }
+
+  test("E9 control parse: initialLoad flag with default-false on garbage") {
+    assert(parseControl("""{"initialLoad": true}"""))
+    assert(parseControl("""{"initialLoad": "true"}"""))  // JToken string conv
+    assert(parseControl("""{"initialLoad": 1}"""))        // JToken number conv
+    assert(!parseControl("""{"initialLoad": false}"""))
+    assert(!parseControl("""{"initialLoad": "yes"}"""))   // unconvertible → false
+    assert(!parseControl("""{"other": true}"""))          // missing key
+    assert(!parseControl("""{"initialLoad": null}"""))
+    assert(!parseControl(""))                             // empty body
+    assert(!parseControl(null))
+    assert(!parseControl("NOT JSON }{"))                  // parse error → incremental
+  }
+
+  test("handleRequest dispatches on the control body (bulk vs incremental)") {
+    val df = telemetry((1 to 3).map(i => (s"d$i", s"2024-01-01 00:00:0$i", i.toLong, i.toDouble)))
+    // bulk: watermark ignored on read, everything pushed
+    val bulkStore = new MemStore(ts("2024-01-01 00:00:02"))
+    val bulkSink = new CollectSink
+    assert(handleRequest("""{"initialLoad":true}""", df, bulkStore, bulkSink,
+      sleep = _ => ()) == 3)
+    // garbage body → incremental: only rows past the watermark
+    val incStore = new MemStore(ts("2024-01-01 00:00:02"))
+    val incSink = new CollectSink
+    assert(handleRequest("NOT JSON }{", df, incStore, incSink) == 1)
+    assert(incSink.batches.head.contains("d3"))
   }
 
   test("file watermark store falls back to default on missing/corrupt state (S8)") {
