@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Production stream-source wiring for `CuratedPipeline.start` — the
+  * reference ingests from an Event Hub (`terraform/main-example.tf:108-118`,
+  * topology `README.MD:13-30`: IoT Central export → Event Hub → stream
+  * job). Spark's equivalent surface is the Kafka source; Event Hubs
+  * exposes a Kafka-compatible endpoint on port 9093 (public Azure
+  * contract: SASL_SSL/PLAIN with the `$ConnectionString` principal), so
+  * one options-builder covers both a plain Kafka cluster and an Event
+  * Hubs namespace, and the production entry point is one line:
+  *
+  * {{{
+  * val raw = EventStreamSource.rawLines(spark,
+  *   EventStreamSource.eventHubsOptions(ns = "myns", hub = "iot-telemetry",
+  *     connectionString = conn))
+  * CuratedPipeline.start(raw, bronzeDir, devicesDir, telemetryDir, ckptDir)
+  * }}}
+  *
+  * Scale notes (1000-executor cluster):
+  *  - input parallelism = topic partitions (the reference provisions 4,
+  *    tf:112 — size the hub/topic, not the job, for throughput);
+  *  - `maxOffsetsPerTrigger` bounds each micro-batch so a backlog
+  *    replay cannot OOM the stateful stage — set it to
+  *    (target rows/batch × partitions);
+  *  - `failOnDataLoss=false` survives retention-expired offsets on
+  *    reprocess, matching the reference's at-least-once posture.
+  */
+object EventStreamSource {
+
+  /** Options for a plain Kafka cluster. */
+  def kafkaOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = false,
+      extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString,
+    ) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
+      extra
+
+  /** Options for an Event Hubs namespace via its Kafka surface: the
+    * event hub name is the topic; auth is SASL PLAIN with user
+    * `$ConnectionString` and the connection string as password. */
+  def eventHubsOptions(ns: String, hub: String, connectionString: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] = {
+    val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
+      s"""required username="$$ConnectionString" password="$connectionString";"""
+    kafkaOptions(
+      bootstrapServers = s"$ns.servicebus.windows.net:9093",
+      topic = hub,
+      startingOffsets = startingOffsets,
+      maxOffsetsPerTrigger = maxOffsetsPerTrigger,
+      extra = Map(
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> "PLAIN",
+        "kafka.sasl.jaas.config" -> jaas,
+        // Event Hubs closes idle Kafka connections at 240s; keep the
+        // client's own timeout under that (public EH-for-Kafka guidance)
+        "kafka.connections.max.idle.ms" -> "180000",
+        "kafka.metadata.max.age.ms" -> "180000",
+      ))
+  }
+
+  /** The raw JSON line stream `CuratedPipeline.start` consumes: Kafka's
+    * binary `value` cast to string, one column named `value` (the
+    * pipeline archives it VERBATIM to bronze, so no other projection
+    * happens here). */
+  def rawLines(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.readStream.format("kafka").options(options).load()
+      .selectExpr("CAST(value AS STRING) AS value")
+}
