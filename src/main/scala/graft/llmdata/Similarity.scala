@@ -33,6 +33,94 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Spherical k-means coarse quantizer for IVF (q52): trained on a
+    * deterministic sample with a sorted sequential-fold centroid update,
+    * so the same data yields bit-identical centroids on every run and
+    * every cluster layout — no `rand()`, no partition-order float sums.
+    *
+    * Scale shape (FAISS-style, public literature): training touches only
+    * a BOUNDED sample (`maxTrain` rows via an id-stride filter — at
+    * 100 TB the quantizer trains on thousands of vectors, not the
+    * corpus); the per-cluster fold is a `collect_list` over that bounded
+    * sample, never the corpus. Only k centroid rows (k×64 doubles) ever
+    * reach the driver — an aggregate result, same class as a scalar
+    * subquery, not a corpus collect. */
+  private[llmdata] def trainCentroids(vn: DataFrame, k: Int, iters: Int,
+      dim: Int): Seq[Seq[Double]] = {
+    def normalize(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c
+    }
+    // init: the k sample vectors with smallest vec_id (deterministic)
+    var cents: Seq[Seq[Double]] = vn.orderBy("vec_id").limit(k)
+      .select("vn").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val cl = typedlit(cents)
+      val assigned = vn
+        .withColumn("sims", transform(cl, c => dot(c, col("vn"))))
+        .withColumn("cid",
+          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      // sorted fold: collect_list order varies with partition order, but
+      // sort_array pins it, so the float sum order is fixed ⇒ bit-stable
+      val upd = assigned.groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("vn")))).as("xs"))
+        .select(col("cid"), size(col("xs")).as("n"),
+          aggregate(col("xs"), array_repeat(lit(0.0), lit(dim)),
+            (acc, x) => zip_with(acc, x.getField("vn"), (a, b) => a + b)).as("sum"))
+        .select(col("cid"),
+          transform(col("sum"), x => x / col("n")).as("c"))
+      val byId = upd.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // an empty cluster keeps its previous centroid
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byId.get(i).map(normalize).getOrElse(old)
+      }
+    }
+    cents
+  }
+
+  /** q52 body, parameterized for the spec: IVF top-k — assign the corpus
+    * to inverted lists once, probe `nprobe` lists per query. */
+  private[llmdata] def annIvf(s: SparkSession, d: String, k: Int = 16,
+      nprobe: Int = 4, iters: Int = 2, topK: Int = 5,
+      maxTrain: Int = 4096): DataFrame = {
+    val e = vectors(s, d)
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+    val dim = 64 // embeddings table contract (TESTDATA.md)
+    // bounded deterministic training sample: every stride-th id
+    val n = e.count()
+    val stride = math.max(1L, n / maxTrain)
+    val cents = trainCentroids(
+      e.filter(pmod(col("vec_id"), lit(stride)) === 0), k, iters, dim)
+    val cl = typedlit(cents)
+    // one pass builds the inverted lists: argmax-sim centroid per vector
+    val listed = e
+      .withColumn("sims", transform(cl, c => dot(c, col("vn"))))
+      .withColumn("cid",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
+    // queries probe their nprobe nearest lists: sort (−sim, cid) pairs
+    val probes = listed.filter(col("vec_id") < 10)
+      .withColumn("ranked", sort_array(arrays_zip(
+        transform(cl, c => -dot(c, col("vn"))).as("neg"),
+        sequence(lit(0), lit(k - 1)).as("cid"))))
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"),
+        explode(slice(col("ranked"), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cid").cast("int").as("cid"))
+    // equi-join on the list id: each query scores ~nprobe·n/k vectors,
+    // the corpus shuffles once on cid — never all-pairs
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+    listed.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dot(col("qv"), col("vn")).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"))
+      .orderBy("q_id", "rank")
+  }
+
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -118,6 +206,15 @@ object Similarity {
         .select("q_id", "bucket", "rank", "n_id")
         .orderBy("q_id", "rank")
     },
+
+    // ---- q52: IVF ANN — spherical k-means coarse quantizer (trained on
+    //      a bounded deterministic sample, sorted-fold update), corpus
+    //      sharded into k inverted lists, queries probe the nprobe
+    //      nearest lists. Rows-only: centroid arithmetic is float-order
+    //      sensitive, so DuckDB cannot replay it value-for-value; run
+    //      determinism and recall vs the exact q31 baseline are pinned
+    //      by IvfSpec. ----
+    Q.rowsOnly("q52_ann_ivf") { (s, d) => annIvf(s, d) },
 
     // ---- q48: int8 vector quantization — symmetric max-abs scaling,
     //      the storage-compression pass of an embedding pipeline (4×
