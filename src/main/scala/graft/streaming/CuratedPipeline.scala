@@ -295,8 +295,27 @@ object CuratedPipeline {
       .write.mode("append").parquet(devicesDir)
   }
 
+  /** Dead-letter sink: the rows the curated sinks reject (null
+    * deviceId), archived with a machine-usable failure reason. Bronze
+    * already keeps EVERY verbatim line; quarantine is the triage view —
+    * (raw, reason) — so a reprocessing job can select one failure class
+    * without re-classifying the whole archive. Reasons partition well
+    * (3 values) and the write is append-only, same scale shape as
+    * bronze. */
+  def quarantineRejects(batch: DataFrame, quarantineDir: String): Unit = {
+    val parsed = try_parse_json(col("raw"))
+    batch.filter(col("deviceId").isNull)
+      .select(col("raw"),
+        when(length(trim(col("raw"))) === 0, "empty_line")
+          .when(parsed.isNull, "malformed_json")
+          .otherwise("missing_device_id").as("reason"))
+      .write.mode("append").parquet(quarantineDir)
+  }
+
   /** Start the full three-sink pipeline on a RAW JSON line stream (the
-    * pre-parse feed, so bronze archives the verbatim input). */
+    * pre-parse feed, so bronze archives the verbatim input). An optional
+    * fourth sink quarantines curated-reject rows with a parse-failure
+    * reason. */
   def start(raw: DataFrame, bronzeDir: String, devicesDir: String,
       telemetryDir: String, checkpointDir: String,
       jsonCol: String = "value",
@@ -304,7 +323,8 @@ object CuratedPipeline {
       perDevice: Boolean = true,
       lateness: String = "60 seconds",
       adjustMillis: Option[Long] = Some(30000L), // ASA Adjust default (T2)
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds") // T7 cadence
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"), // T7 cadence
+      quarantineDir: Option[String] = None
   ): StreamingQuery = {
     val events = toPipeEvents(raw, jsonCol)
       .withWatermark("enqueuedTime", lateness)
@@ -324,6 +344,8 @@ object CuratedPipeline {
           mergeDevices(batch.toDF(), devicesDir)
           // S4 telemetry: enriched + flagged fact rows.
           telemetryColumns(batch).write.mode("append").parquet(telemetryDir)
+          // dead-letter: curated rejects with a failure reason.
+          quarantineDir.foreach(quarantineRejects(batch.toDF(), _))
         } finally batch.unpersist()
         ()
       }

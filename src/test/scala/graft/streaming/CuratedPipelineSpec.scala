@@ -92,6 +92,70 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(math.abs(m - math.sqrt(0.01 + 0.04 + 0.09)) < 1e-12)
   }
 
+  test("quarantine sink: curated rejects archived with a failure reason") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quarantine").toString
+    val input = MemoryStream[String](spark)
+    val q = CuratedPipeline.start(
+      input.toDF(),
+      s"$dir/bronze", s"$dir/devices", s"$dir/telemetry", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0),
+      quarantineDir = Some(s"$dir/deadletter"))
+    val noDevice = // valid JSON, device block absent
+      """{"applicationId":"app","enqueuedTime":"2024-01-01T00:00:09Z","telemetry":[]}"""
+    try {
+      input.addData(
+        rawJson("devA", "2024-01-01T00:00:01Z", 90, 1010.0),
+        "NOT JSON }{",
+        noDevice,
+        "")
+      q.processAllAvailable()
+    } finally q.stop()
+    val dl = spark.read.parquet(s"$dir/deadletter")
+      .select("reason", "raw").as[(String, String)].collect().toMap
+    assert(dl.keySet == Set("malformed_json", "missing_device_id", "empty_line"))
+    assert(dl("malformed_json") == "NOT JSON }{")
+    assert(dl("missing_device_id") == noDevice)
+    // the good row went to telemetry, not quarantine
+    assert(spark.read.parquet(s"$dir/telemetry").count() == 1)
+    // bronze still archives ALL 4 verbatim lines (quarantine is a view,
+    // not a diversion)
+    assert(spark.read.text(s"$dir/bronze").count() == 4)
+  }
+
+  test("streaming session_window aggregate sessionizes with a watermark (q39 twin)") {
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val sessions = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 seconds"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sessckpt").toString)
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // u1: two bursts 31s apart → 2 sessions; u2: one burst
+      input.addData(
+        ("u1", t("2024-01-01 00:00:00"), 1.0),
+        ("u1", t("2024-01-01 00:00:20"), 2.0),
+        ("u1", t("2024-01-01 00:00:51.001"), 4.0),
+        ("u2", t("2024-01-01 00:00:05"), 8.0))
+      q.processAllAvailable()
+      // advance the watermark past every session's close so append
+      // mode emits them all
+      input.addData(("u3", t("2024-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess")
+      .select("user_id", "n_events", "total")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
+  }
+
   test("devices merge: a failed read of the existing table aborts, never duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("devmerge").toString
