@@ -95,6 +95,36 @@ object Dedup {
       .drop("salt_a", "salt_b")
   }
 
+  /** Shared DuckDB CTE: per-doc 16-bit SimHash (`sh(doc_id, simhash)`),
+    * consumed by q30 (fingerprints) and q53 (Hamming-ball pairs). */
+  private val SimhashCte: String =
+    s"""toks AS (${Text.SqlTokens}),
+      |wh AS (SELECT doc_id, w, count(*) AS c,
+      |         CAST(('0x'||substr(md5(w),1,4)) AS BIGINT) AS h
+      |       FROM toks GROUP BY doc_id, w),
+      |bits AS (SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN c ELSE -c END) AS vote
+      |  FROM wh, (SELECT unnest(range(16)) AS bit) b GROUP BY doc_id, bit),
+      |sh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** The Spark side of [[SimhashCte]]: (doc_id, simhash BIGINT). */
+  private def simhashPlan(s: SparkSession, d: String): DataFrame = {
+    val wh = Text.tokens(s, d)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+    val bits = wh
+      .select(col("doc_id"), col("c"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(shiftright(h, bit) & 1) = 1"), col("c"))
+        .otherwise(-col("c"))).as("vote"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q27: exact dedup — keep the first doc of each content-hash
     //      group (hash-groupBy; dropDuplicates semantics made explicit) ----
@@ -269,30 +299,45 @@ object Dedup {
     //      token hashes (weight = term frequency). One integer per doc. ----
     Q(
       "q30_simhash",
-      s"""WITH toks AS (${Text.SqlTokens}),
-        |wh AS (SELECT doc_id, w, count(*) AS c,
-        |         CAST(('0x'||substr(md5(w),1,4)) AS BIGINT) AS h
-        |       FROM toks GROUP BY doc_id, w),
-        |bits AS (SELECT doc_id, bit,
-        |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN c ELSE -c END) AS vote
-        |  FROM wh, (SELECT unnest(range(16)) AS bit) b GROUP BY doc_id, bit)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $SimhashCte
+        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    ) { (s, d) => simhashPlan(s, d).orderBy("doc_id") },
+
+    // ---- q53: SimHash Hamming-ball near-dup pairs — the join q30's
+    //      fingerprint exists FOR: all pairs within Hamming distance 2.
+    //      Candidates by chunk pigeonhole (Manku et al., WWW'07 —
+    //      public literature): split the f-bit fingerprint into d+1
+    //      disjoint chunks; any pair with ≤ d differing bits agrees
+    //      EXACTLY on ≥ 1 chunk, so candidates come from an equi-join
+    //      on (chunk idx, chunk value) — never all pairs. The chunk
+    //      count/width scales with fingerprint bits (64-bit prod
+    //      fingerprints → 16-bit chunks → 65k buckets); the self-join
+    //      is salted against dense-bucket skew, and the verify is one
+    //      xor+popcount per candidate. ----
+    Q(
+      "q53_simhash_neardup",
+      s"""WITH $SimhashCte
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      val wh = Text.tokens(s, d)
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-      val bits = wh
-        .select(col("doc_id"), col("c"), col("h"),
-          explode(sequence(lit(0), lit(15))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("(shiftright(h, bit) & 1) = 1"), col("c"))
-          .otherwise(-col("c"))).as("vote"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(lit(0L))).as("simhash"))
-        .orderBy("doc_id")
+      val chunks = Seq((0, 6), (6, 5), (11, 5)) // 16 bits, d+1 = 3 chunks
+      val keyed = simhashPlan(s, d).select(col("doc_id"), col("simhash"),
+        explode(array(chunks.zipWithIndex.map { case ((off, len), i) =>
+          struct(lit(i).as("ci"),
+            expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("cv"))
+        }: _*)).as("ck"))
+      saltedPairs(keyed, "ck", 8)
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+          col("simhash_a"), col("simhash_b"))
+        .dropDuplicates("a_id", "b_id") // a pair may share several chunks
+        .withColumn("hamming",
+          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
+        .filter(col("hamming") <= 2)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
     },
 
     // ---- q36: document fingerprints — canonical word-set hash (groups

@@ -280,6 +280,50 @@ object EventOps {
         .orderBy("click_id", "purchase_id")
     },
 
+    // ---- q54: as-of join — each purchase takes the latest view of the
+    //      same user at-or-before its event time (the attribution as-of
+    //      join; also the shape of "price as of trade time"). Spark has
+    //      no ASOF operator, so this is the UNION-AND-WINDOW rendering
+    //      (public pattern): tag both sides, one shuffle on user_id,
+    //      `last(_, ignoreNulls)` over an unbounded-preceding frame —
+    //      no per-row subquery, no range blow-up; cost is one sort per
+    //      user partition regardless of how far back the match lies.
+    //      Ties: a view AT the purchase instant counts (side orders
+    //      views first at equal ts); equal-ts views resolve to the max
+    //      event_id (frame ordered by r_event_id last). ----
+    Q(
+      "q54_asof_join",
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_id,
+        |  (SELECT v.value FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tagged = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("r_event_id"),
+          lit(null).cast("double").as("r_value"))
+        .unionByName(ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"),
+            col("event_id").as("r_event_id"), col("value").as("r_value")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), col("r_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_view_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+        .withColumn("last_view_value", last(col("r_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("event_id", "user_id", "last_view_id", "last_view_value")
+        .orderBy("event_id")
+    },
+
     // ---- q41: approximate distinct counting (HLL). Spark's HLL++ and
     //      DuckDB's approx_count_distinct are different sketches → no
     //      value-level oracle; the driver records the rows-only check,
