@@ -125,6 +125,26 @@ object Dedup {
         .otherwise(lit(0L))).as("simhash"))
   }
 
+  /** q53's pair set (a_id < b_id, Hamming ≤ 2), shared with q55's
+    * cluster collapse: chunk-pigeonhole candidates, salted equi-join,
+    * xor+popcount verify. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val chunks = Seq((0, 6), (6, 5), (11, 5)) // 16 bits, d+1 = 3 chunks
+    val keyed = simhashPlan(s, d).select(col("doc_id"), col("simhash"),
+      explode(array(chunks.zipWithIndex.map { case ((off, len), i) =>
+        struct(lit(i).as("ci"),
+          expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("cv"))
+      }: _*)).as("ck"))
+    saltedPairs(keyed, "ck", 8)
+      .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+        col("simhash_a"), col("simhash_b"))
+      .dropDuplicates("a_id", "b_id") // a pair may share several chunks
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
+      .filter(col("hamming") <= 2)
+      .select("a_id", "b_id", "hamming")
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q27: exact dedup — keep the first doc of each content-hash
     //      group (hash-groupBy; dropDuplicates semantics made explicit) ----
@@ -323,21 +343,78 @@ object Dedup {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      val chunks = Seq((0, 6), (6, 5), (11, 5)) // 16 bits, d+1 = 3 chunks
-      val keyed = simhashPlan(s, d).select(col("doc_id"), col("simhash"),
-        explode(array(chunks.zipWithIndex.map { case ((off, len), i) =>
-          struct(lit(i).as("ci"),
-            expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("cv"))
-        }: _*)).as("ck"))
-      saltedPairs(keyed, "ck", 8)
-        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
-          col("simhash_a"), col("simhash_b"))
-        .dropDuplicates("a_id", "b_id") // a pair may share several chunks
-        .withColumn("hamming",
-          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
-        .filter(col("hamming") <= 2)
-        .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
+      simhashPairs(s, d).orderBy("a_id", "b_id")
+    },
+
+    // ---- q55: duplicate-cluster assignment — connected components over
+    //      the q53 near-dup pair graph, cluster id = min doc_id in the
+    //      component, `keep` marks the one survivor per cluster (the
+    //      "collapse near-dup groups" step after any pairwise dedup).
+    //      Pregel-style min-label propagation: each round is one
+    //      edges⋈labels shuffle + a min-aggregate, materialized and
+    //      convergence-checked (a bounded scalar per round); rounds =
+    //      graph diameter, which is tiny for near-dup clusters. At
+    //      larger diameters the public scale route is alternating
+    //      large-star/small-star (Kiveris et al., "Connected Components
+    //      in MapReduce"); the per-round join shape below is the same.
+    //      Exact integer min ⇒ deterministic, oracle = recursive-CTE
+    //      transitive closure. ----
+    Q(
+      "q55_dup_clusters",
+      s"""WITH RECURSIVE $SimhashCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |labels AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS keep
+        |FROM labels ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      // Each round references `labels` twice (neighbor lookup + the
+      // convergence diff), so a naive loop DOUBLES the logical plan per
+      // round — exponential analysis cost and a driver OOM. Eager
+      // localCheckpoint truncates the lineage to the materialized
+      // blocks each round (the canonical Spark shape for iterative
+      // algorithms); every later round plans against a flat scan.
+      val pairs = simhashPairs(s, d)
+      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+        .localCheckpoint(true)
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 100) {
+        val nbr = edges
+          .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("lv")), "v")
+          .groupBy("u").agg(min("lv").as("nl"))
+        val next = labels
+          .join(nbr.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+          .filter(col("cluster_id") < col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      labels
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+        .orderBy("doc_id")
     },
 
     // ---- q36: document fingerprints — canonical word-set hash (groups

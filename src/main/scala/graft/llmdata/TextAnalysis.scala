@@ -208,6 +208,32 @@ object TextAnalysis {
         .orderBy("split", "lang")
     },
 
+    // ---- q56: stratified balanced subsample — the per-stratum quota
+    //      pass of training-data curation (cap every language at N docs
+    //      so no stratum dominates the mix). Rank INSIDE each stratum by
+    //      an md5 of the id: deterministic across runs/engines/cluster
+    //      sizes (q50's principle), uniform within the stratum, and the
+    //      window is PARTITIONED by lang — state per task is one
+    //      stratum, never a global sort. ----
+    Q(
+      "q56_stratified_sample",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 40 ORDER BY lang, rk""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 40)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    },
+
     // ---- q35: token counting — whitespace split vs regex lexer vs
     //      stored metadata consistency check. ----
     Q(
