@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   spike_score(history, value, confidence, historySize, mode)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.spikeScoreFn)
+    e.injectFunction(GraftExtensions.vecDotFn)
+  }
 }
 
 object GraftExtensions {
@@ -51,10 +53,21 @@ object GraftExtensions {
     },
   )
 
+  val vecDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => graft.functions.VecDot(
+        Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+      case other => throw new IllegalArgumentException(
+        s"vec_dot expects 2 arguments, got ${other.length}")
+    },
+  )
+
   /** Programmatic registration for sessions built without the
     * extensions config. Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = spikeScoreFn
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(spikeScoreFn, vecDotFn).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two double arrays (deterministic
-    * order ⇒ cross-engine reproducible). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * order ⇒ cross-engine reproducible). Native codegen'd expression —
+    * the HOF rendering (`aggregate(zip_with(...))`) is CodegenFallback
+    * and costs a boxed lambda call per element; [[graft.functions.VecDot]]
+    * is the same fold as a primitive loop (bit-identical results). */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(graft.functions.VecDot(expression(a), expression(b)))
+  }
 
   /** Spherical k-means coarse quantizer for IVF (q52): trained on a
     * deterministic sample with a sorted sequential-fold centroid update,
@@ -132,8 +137,7 @@ object Similarity {
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   val qs: Seq[Q] = Seq(
     // ---- q31: brute-force cosine top-k (k=5) for query set vec_id<10.
@@ -199,8 +203,7 @@ object Similarity {
       val v = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"),
         sketch.cast("long").as("bucket"))
-        .withColumn("nrm", sqrt(aggregate(
-          transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val scored = v.as("a")
         .join(v.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
