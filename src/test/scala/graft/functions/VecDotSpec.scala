@@ -42,4 +42,14 @@ class VecDotSpec extends SparkSpec {
     assert(r(0).getDouble(0) == 12.0) // 1*2 + 2*5, third element unmatched
     assert(r(1).isNullAt(0))
   }
+
+  test("a null ELEMENT nulls the result, matching the HOF fold") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS fast," +
+        "     aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)," +
+        "       (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS hof")
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }

@@ -38,5 +38,12 @@ class EventStreamSourceSpec extends AnyFunSuite {
       extra = Map("kafka.group.id" -> "graft"))
     assert(o("kafka.group.id") == "graft")
     assert(o("subscribe") == "t")
+    // a collision with a builder-owned key is rejected loudly, not
+    // silently rewired
+    val e = intercept[IllegalArgumentException] {
+      EventStreamSource.kafkaOptions("b:9092", "t",
+        extra = Map("subscribe" -> "other-topic"))
+    }
+    assert(e.getMessage.contains("subscribe"))
   }
 }
