@@ -123,6 +123,37 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(spark.read.text(s"$dir/bronze").count() == 4)
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark (q27 twin)") {
+    import spark.implicits._
+    // duplicate event ids arriving across micro-batches inside the
+    // watermark window are emitted once — the streaming rendering of
+    // exact dedup (state bounded by the watermark, unlike an unbounded
+    // dropDuplicates)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val deduped = input.toDF().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedupckpt").toString)
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, t("2024-01-01 00:00:00"), "a"),
+        (2L, t("2024-01-01 00:00:01"), "b"),
+        (1L, t("2024-01-01 00:00:02"), "a-dup-same-batch"))
+      q.processAllAvailable()
+      input.addData((1L, t("2024-01-01 00:00:03"), "a-dup-next-batch"),
+        (3L, t("2024-01-01 00:00:04"), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("streaming session_window aggregate sessionizes with a watermark (q39 twin)") {
     import spark.implicits._
     val input = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
