@@ -399,17 +399,19 @@ object Dedup {
         val nbr = edges
           .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("lv")), "v")
           .groupBy("u").agg(min("lv").as("nl"))
+        // `moved` rides along so convergence is a filter-count on the
+        // checkpointed round output — no second labels join per round
         val next = labels
           .join(nbr.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-              .as("cluster_id"))
+              .as("cluster_id"),
+            (coalesce(col("nl"), col("cluster_id")) < col("cluster_id"))
+              .as("moved"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-          .filter(col("cluster_id") < col("old")).count()
+        changed = next.filter(col("moved")).count()
         labels.unpersist()
-        labels = next
+        labels = next.drop("moved")
         rounds += 1
       }
       // a silent cap would return wrong cluster ids (a >100-diameter
