@@ -109,20 +109,23 @@ object Dedup {
       |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** The Spark side of [[SimhashCte]]: (doc_id, simhash BIGINT). */
+  /** The Spark side of [[SimhashCte]]: (doc_id, simhash BIGINT).
+    * The 16 per-bit votes are 16 conditional sums in ONE groupBy pass —
+    * the oracle's explode-by-bit rendering would multiply every
+    * (doc, token) row 16× through an extra shuffle for identical
+    * integer math (same sums, associative/commutative, order-free). */
   private def simhashPlan(s: SparkSession, d: String): DataFrame = {
     val wh = Text.tokens(s, d)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-    val bits = wh
-      .select(col("doc_id"), col("c"), col("h"),
-        explode(sequence(lit(0), lit(15))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(shiftright(h, bit) & 1) = 1"), col("c"))
-        .otherwise(-col("c"))).as("vote"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(lit(0L))).as("simhash"))
+    val voteAggs = (0 until 16).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), col("c"))
+        .otherwise(-col("c"))).as(s"v$i"))
+    wh.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** q53's pair set (a_id < b_id, Hamming ≤ 2), shared with q55's
