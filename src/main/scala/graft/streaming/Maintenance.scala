@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table maintenance for the pipeline's append-only sinks.
+  *
+  * The bronze archive appends one file set per 10 s micro-batch
+  * (reference trigger cadence, BASELINE.md) — ~8.6k file sets/day.
+  * At 100 TB that file count, not the bytes, becomes the bottleneck:
+  * every downstream scan pays listing + per-file open overhead, and
+  * the driver's `InMemoryFileIndex` holds every path. Compaction
+  * rewrites a directory into ~`targetBytes` files.
+  *
+  * Swap protocol (plain-directory tables have no transaction log):
+  * write the compacted copy to `<dir>.compact-tmp`, then
+  * `dir → <dir>.compact-trash`, `tmp → dir`, delete trash. The swap
+  * window is two renames; writers must be paused across `compact*`
+  * (for the streaming sinks: stop the query or schedule between
+  * triggers). A crashed run leaves `.compact-tmp` behind and the next
+  * call refuses until it is inspected/removed — never silently
+  * overwritten.
+  */
+object Maintenance {
+
+  final case class CompactionStats(
+      filesBefore: Long, filesAfter: Long, bytes: Long)
+
+  /** Compact the verbatim-line bronze archive (text). */
+  def compactText(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionStats =
+    compact(spark, dir, "text", targetBytes)
+
+  /** Compact a parquet sink directory (devices / telemetry). */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionStats =
+    compact(spark, dir, "parquet", targetBytes)
+
+  private def compact(spark: SparkSession, dir: String, format: String,
+      targetBytes: Long): CompactionStats = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + ".compact-tmp")
+    val trash = new Path(dir + ".compact-trash")
+    require(!fs.exists(tmp),
+      s"$tmp exists — a previous compaction crashed mid-run; inspect and remove it")
+    require(!fs.exists(trash),
+      s"$trash exists — a previous compaction crashed mid-swap; recover it first")
+
+    val files = fs.listFiles(path, true)
+    var (nFiles, bytes) = (0L, 0L)
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+        nFiles += 1; bytes += f.getLen
+      }
+    }
+    val nParts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+    // the read pins the CURRENT file listing; rows are copied verbatim
+    // (same format in and out — text keeps lines byte-for-byte, parquet
+    // keeps the schema)
+    spark.read.format(format).load(dir)
+      .repartition(nParts)
+      .write.format(format).mode("overwrite").save(tmp.toString)
+
+    // two-rename swap; on failure between them the trash dir still
+    // holds the original data (hence the loud guard above)
+    if (!fs.rename(path, trash))
+      throw new java.io.IOException(s"compaction swap failed: $path -> $trash")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(trash, path) // best-effort rollback
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(trash, true)
+
+    val after = fs.listFiles(path, true)
+    var nAfter = 0L
+    while (after.hasNext) {
+      val f = after.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) nAfter += 1
+    }
+    CompactionStats(nFiles, nAfter, bytes)
+  }
+}

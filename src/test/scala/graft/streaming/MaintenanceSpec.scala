@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text compaction preserves the exact line multiset and shrinks file count") {
+    val dir = java.nio.file.Files.createTempDirectory("bronze").toString + "/bronze"
+    // simulate many micro-batch appends (each append = its own file set)
+    (0 until 10).foreach { b =>
+      Seq.tabulate(20)(i => s"""{"batch":$b,"line":$i}""")
+        .toDF("value").coalesce(2).write.mode("append").text(dir)
+    }
+    val before = spark.read.text(dir).as[String].collect().sorted.toSeq
+    val stats = Maintenance.compactText(spark, dir)
+    val after = spark.read.text(dir).as[String].collect().sorted.toSeq
+    assert(after == before) // byte-for-byte archive, nothing lost or reordered-away
+    assert(stats.filesBefore == 20)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(stats.filesAfter == 1) // 200 tiny lines ≪ target size
+  }
+
+  test("parquet compaction preserves rows + schema") {
+    val dir = java.nio.file.Files.createTempDirectory("tel").toString + "/telemetry"
+    (0 until 5).foreach { b =>
+      Seq.tabulate(10)(i => (s"dev$b-$i", b * 10L + i))
+        .toDF("deviceId", "n").coalesce(3).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.toString)
+    val stats = Maintenance.compactParquet(spark, dir)
+    val got = spark.read.parquet(dir)
+    assert(got.columns.toSeq == Seq("deviceId", "n"))
+    assert(got.collect().map(_.toSeq).sortBy(_.toString).toSeq == before.toSeq)
+    assert(stats.filesAfter < stats.filesBefore)
+  }
+
+  test("a leftover tmp dir from a crashed run refuses, never overwrites") {
+    val dir = java.nio.file.Files.createTempDirectory("crash").toString + "/bronze"
+    Seq("a", "b").toDF("value").write.mode("append").text(dir)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir + ".compact-tmp"))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactText(spark, dir)
+    }
+    assert(e.getMessage.contains("compact-tmp"))
+    // original data untouched
+    assert(spark.read.text(dir).count() == 2)
+  }
+}
