@@ -33,6 +33,7 @@ object Bench {
       // refs until an explicit unpersist. Cleared per query (not per
       // rep — reps share the cache by canonical-plan match, so the
       // median reports the warm path), outside the timed section.
+      Caches.release()
       spark.catalog.clearCache()
       // true median: midpoint average for even rep counts
       name -> (if (times.length % 2 == 1) times(times.length / 2)

@@ -29,7 +29,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // persisted intermediates are per-query; CacheManager never frees
-      // them on its own (strong refs until unpersist)
+      // them on its own (strong refs until unpersist). Caches.release()
+      // is the library mechanism; clearCache is harness belt-and-braces.
+      Caches.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

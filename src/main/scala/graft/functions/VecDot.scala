@@ -16,10 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * as a primitive loop that participates in whole-stage codegen.
   *
   * Null semantics match the HOF fold exactly: a null array yields
-  * null, and a null ELEMENT in either folded position yields null
-  * (zip_with's `null * y` → null propagates through the sum). Lengths
-  * may differ — the shorter prefix is folded, the zip_with-compatible
-  * behavior for equal-length inputs.
+  * null, a null ELEMENT in either folded position yields null
+  * (zip_with's `null * y` → null propagates through the sum), and
+  * length-mismatched arrays yield null (zip_with pads the shorter
+  * side with nulls, which nulls the sum) — a malformed unequal-dim
+  * embedding surfaces as null, never as a silent partial dot product.
   */
 final case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -57,10 +58,12 @@ final case class VecDot(left: Expression, right: Expression)
 
 object VecDot {
   /** Static kernel shared by interpreted and generated paths. Boxed
-    * return carries the null-element case (null ⇒ result null, matching
-    * the HOF fold); the fast path is still one primitive loop. */
+    * return carries the null cases (null element / length mismatch ⇒
+    * result null, matching the HOF fold, whose zip_with null-pads the
+    * shorter array); the fast path is still one primitive loop. */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {

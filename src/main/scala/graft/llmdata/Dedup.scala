@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import graft.{Q, Tables}
+import graft.{Caches, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,7 +59,7 @@ object Dedup {
     // output depends on which bit a word gets, only that the assignment
     // is injective; sortWithinPartitions pins the within-partition order
     // so a task retry cannot reshuffle ids mid-query.
-    val distinctW = words.select("w").distinct().persist()
+    val distinctW = Caches.persist(words.select("w").distinct())
     val nWords = distinctW.count() // tiny driver action: |vocab|
     val vocab = s.createDataFrame(
       distinctW.sortWithinPartitions("w").rdd
@@ -208,7 +208,9 @@ object Dedup {
           (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
         .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
         .select("doc_id", "lang", "nw", "mask", "pre")
-        .persist() // consumed three times: prefix explode + both verify sides
+        // consumed three times (prefix explode + both verify sides);
+        // tracked so callers release via Caches.release()
+        .transform(Caches.persist)
       val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
         explode(col("pre")).as("pw"))
       val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
@@ -279,12 +281,11 @@ object Dedup {
           min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")) ++ p.maskAggs
       // consumed three times (bands + both verify sides): persist the
       // 1-row-per-doc result instead of recomputing the tokenize+agg.
-      // NOTE: CacheManager holds cached plans until an explicit
-      // unpersist/clearCache — the harness mains clear per query; a
-      // library caller embedding this plan owns that lifecycle.
+      // Tracked via Caches so library callers can release the storage
+      // (CacheManager itself never frees caches without an unpersist).
       val sets = p.bits.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .withColumn("mask", p.maskCol)
-        .persist()
+        .transform(Caches.persist)
       val bands = sets.select(col("doc_id"), col("nw"),
         explode(array(
           md5(concat(lit("0"), col("s0"), col("s1"), col("s2"), col("s3"))),

@@ -98,7 +98,7 @@ object Similarity {
     val e = vectors(s, d)
       .filter(col("nrm") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
-      .persist()
+      .transform(graft.Caches.persist)
     val dim = 64 // embeddings table contract (TESTDATA.md)
     // bounded deterministic training sample: every stride-th id
     val n = e.count()
@@ -118,7 +118,7 @@ object Similarity {
       .withColumn("cid",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
       .drop("sims")
-      .persist()
+      .transform(graft.Caches.persist)
     // queries probe their nprobe nearest lists: sort (−sim, cid) pairs
     val probes = listed.filter(col("vec_id") < 10)
       .withColumn("ranked", sort_array(arrays_zip(

@@ -323,11 +323,19 @@ object EventOps {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("side"), col("r_event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ONE aggregate over a (id, value) struct, not two independent
+      // last(_, ignoreNulls) calls: with two, a view whose value is NULL
+      // would contribute its id but not its value (the value would come
+      // from an older view), diverging from the oracle's single LIMIT-1
+      // subquery which returns the latest view's NULL as-is.
       tagged
-        .withColumn("last_view_id", last(col("r_event_id"), ignoreNulls = true).over(w))
-        .withColumn("last_view_value", last(col("r_value"), ignoreNulls = true).over(w))
+        .withColumn("lv", last(
+          when(col("side") === 0, struct(col("r_event_id"), col("r_value"))),
+          ignoreNulls = true).over(w))
         .filter(col("side") === 1)
-        .select("event_id", "user_id", "last_view_id", "last_view_value")
+        .select(col("event_id"), col("user_id"),
+          col("lv.r_event_id").as("last_view_id"),
+          col("lv.r_value").as("last_view_value"))
         .orderBy("event_id")
     },
 

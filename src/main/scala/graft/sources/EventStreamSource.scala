@@ -58,8 +58,13 @@ object EventStreamSource {
   def eventHubsOptions(ns: String, hub: String, connectionString: String,
       startingOffsets: String = "latest",
       maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] = {
+    // JAAS string values are double-quoted: a '\' or '"' inside the
+    // connection string would silently corrupt the SASL config (standard
+    // EH SAS keys are base64ish and safe, but the builder accepts any
+    // string), so escape both before interpolating.
+    val escaped = connectionString.replace("\\", "\\\\").replace("\"", "\\\"")
     val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule " +
-      s"""required username="$$ConnectionString" password="$connectionString";"""
+      s"""required username="$$ConnectionString" password="$escaped";"""
     kafkaOptions(
       bootstrapServers = s"$ns.servicebus.windows.net:9093",
       topic = hub,

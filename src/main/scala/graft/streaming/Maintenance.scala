@@ -20,6 +20,19 @@ import org.apache.spark.sql.SparkSession
   * triggers). A crashed run leaves `.compact-tmp` behind and the next
   * call refuses until it is inspected/removed — never silently
   * overwritten.
+  *
+  * '''Filesystem assumption''': the swap protocol relies on `rename`
+  * being an atomic metadata operation — true on HDFS, local FS, and
+  * hierarchical-namespace ADLS (abfs). On flat object stores
+  * (S3A/GCS) "rename" is a non-atomic copy+delete, so the two-rename
+  * window is NOT crash-safe there; `compact` rejects those schemes
+  * up front. For object-store tables use a transactional table format
+  * (Delta/Iceberg `OPTIMIZE`) instead.
+  *
+  * Crash recovery: if a run died between the two renames, the data is
+  * intact in `<dir>.compact-trash` — restore it with
+  * `hadoop fs -mv <dir>.compact-trash <dir>` and delete
+  * `<dir>.compact-tmp`.
   */
 object Maintenance {
 
@@ -40,12 +53,21 @@ object Maintenance {
       targetBytes: Long): CompactionStats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // flat object stores implement rename as copy+delete — the swap
+    // window would not be atomic there (see scaladoc)
+    val nonAtomicRename = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(!nonAtomicRename.contains(scheme.toLowerCase),
+      s"compact requires atomic rename; '$scheme' is a flat object store " +
+        "(copy+delete rename) — use a transactional table format there")
     val tmp = new Path(dir + ".compact-tmp")
     val trash = new Path(dir + ".compact-trash")
     require(!fs.exists(tmp),
       s"$tmp exists — a previous compaction crashed mid-run; inspect and remove it")
     require(!fs.exists(trash),
-      s"$trash exists — a previous compaction crashed mid-swap; recover it first")
+      s"$trash exists — a previous compaction crashed mid-swap; the original " +
+        s"data is intact there. Recover with: hadoop fs -mv $trash $path " +
+        s"(then remove $tmp if present)")
 
     val files = fs.listFiles(path, true)
     var (nFiles, bytes) = (0L, 0L)

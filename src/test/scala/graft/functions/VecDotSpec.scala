@@ -32,15 +32,20 @@ class VecDotSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 11.0)
   }
 
-  test("null array input yields null; shorter array folds the prefix") {
+  test("null array input yields null; length mismatch yields null (zip_with parity)") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0, 2.0, 3.0)), Array(2.0, 5.0)),
       (None, Array(1.0))).toDF("a", "b")
     val r = df.select(
-      column(VecDot(expression(col("a")), expression(col("b")))).as("d"))
+      column(VecDot(expression(col("a")), expression(col("b")))).as("d"),
+      // the HOF rendering: zip_with null-pads the shorter side, so the
+      // sum is null — a malformed unequal-dim embedding must surface,
+      // not produce a silent partial dot product
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
       .collect()
-    assert(r(0).getDouble(0) == 12.0) // 1*2 + 2*5, third element unmatched
-    assert(r(1).isNullAt(0))
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
   }
 
   test("a null ELEMENT nulls the result, matching the HOF fold") {

@@ -33,6 +33,18 @@ class EventStreamSourceSpec extends AnyFunSuite {
     assert(o("kafka.connections.max.idle.ms").toLong < 240000L)
   }
 
+  test("JAAS config escapes quotes and backslashes in the connection string") {
+    val conn = """Endpoint=sb://x/;SharedAccessKey=we"ird\key"""
+    val jaas = EventStreamSource.eventHubsOptions("ns", "hub", conn)(
+      "kafka.sasl.jaas.config")
+    // the quoted JAAS value must contain the ESCAPED forms — a raw '"'
+    // would terminate the password early and silently corrupt the config
+    assert(jaas.contains("""we\"ird\\key"""))
+    assert(!jaas.contains(conn)) // the raw, unescaped string is gone
+    // still exactly one trailing terminator
+    assert(jaas.endsWith(""";"""))
+  }
+
   test("extra options override nothing silently: user extras are additive") {
     val o = EventStreamSource.kafkaOptions("b:9092", "t",
       extra = Map("kafka.group.id" -> "graft"))
