@@ -385,48 +385,70 @@ object Dedup {
         |SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS keep
         |FROM labels ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      // Each round references `labels` twice (neighbor lookup + the
-      // convergence diff), so a naive loop DOUBLES the logical plan per
-      // round — exponential analysis cost and a driver OOM. Eager
-      // localCheckpoint truncates the lineage to the materialized
-      // blocks each round (the canonical Spark shape for iterative
-      // algorithms); every later round plans against a flat scan.
+      // Each round references `labels` several times (neighbor lookup,
+      // the pointer jump, the convergence diff), so a naive loop
+      // multiplies the logical plan per round — exponential analysis
+      // cost and a driver OOM. Eager localCheckpoint truncates the
+      // lineage to the materialized blocks each round (the canonical
+      // Spark shape for iterative algorithms); every later round plans
+      // against a flat scan.
+      //
+      // Scale shape: (1) only VERTICES OF EDGES iterate — near-dup
+      // pairs are sparse, so the loop runs over the dup subgraph, not
+      // the corpus; isolated docs join back once at the end. (2) Each
+      // round combines the neighbor min with a POINTER JUMP
+      // (label := min(label, label(label))) — the label graph halves
+      // in depth per round, so rounds = O(log diameter) instead of
+      // O(diameter), and every round saved is a full shuffle+
+      // materialize+count of fixed latency.
       val pairs = simhashPairs(s, d)
       val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
         .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
         .localCheckpoint(true)
-      var labels = Tables.documents(s, d)
+      var labels = edges.select(col("u").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint(true)
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 100) {
+      while (changed > 0 && rounds < 50) {
         val nbr = edges
           .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("lv")), "v")
           .groupBy("u").agg(min("lv").as("nl"))
-        // `moved` rides along so convergence is a filter-count on the
-        // checkpointed round output — no second labels join per round
-        val next = labels
+        val stepped = labels
           .join(nbr.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster_id"),
             least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-              .as("cluster_id"),
-            (coalesce(col("nl"), col("cluster_id")) < col("cluster_id"))
-              .as("moved"))
+              .as("tentative"))
+        // pointer jump: cluster ids are themselves doc ids in the
+        // subgraph, so label(label) is a self-join on the labels map
+        val next = stepped
+          .join(labels.select(col("doc_id").as("tentative"),
+            col("cluster_id").as("jl")), Seq("tentative"), "left")
+          // `moved` rides along so convergence is a filter-count on the
+          // checkpointed round output — no extra labels join per round
+          .select(col("doc_id"),
+            least(col("tentative"), coalesce(col("jl"), col("tentative")))
+              .as("new_cluster"), col("cluster_id"))
+          .select(col("doc_id"), col("new_cluster").as("cluster_id"),
+            (col("new_cluster") < col("cluster_id")).as("moved"))
           .localCheckpoint(true)
         changed = next.filter(col("moved")).count()
         labels.unpersist()
         labels = next.drop("moved")
         rounds += 1
       }
-      // a silent cap would return wrong cluster ids (a >100-diameter
-      // chain would split one real component); refuse instead
+      // a silent cap would return wrong cluster ids (an over-cap
+      // diameter would split one real component); refuse instead
       if (changed > 0) throw new IllegalStateException(
         s"q55: label propagation not converged after $rounds rounds " +
-          s"($changed labels still changing) — component diameter exceeds " +
+          s"($changed labels still changing) — component depth exceeds " +
           "the cap; raise it or switch to large-star/small-star")
       edges.unpersist()
-      labels
+      // isolated docs (no near-dup edge) are their own cluster
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
         .orderBy("doc_id")

@@ -339,6 +339,43 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- q57: the SAME as-of contract as q54, through the native
+    //      Catalyst operator (graft.plans.AsOfJoin: logical node +
+    //      pushdown Rule + Strategy + merge-pass exec, registered via
+    //      SparkSessionExtensions). One hash shuffle per side on
+    //      user_id, per-partition sort (user_id, ts), then a single
+    //      O(n+m) merge holding ONE retained row — no union through
+    //      the window sort, no null-padded column carry. Oracle is
+    //      q54's correlated-subquery rendering verbatim. ----
+    Q(
+      "q57_asof_native",
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_id,
+        |  (SELECT v.value FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"), col("value").as("view_value"))
+      graft.plans.AsOf.joinAsOf(purchases, views,
+          on = ("ts", "v_ts"), by = Seq(("user_id", "v_user")),
+          tiebreak = Seq("view_id"))
+        .select(col("event_id"), col("user_id"),
+          col("view_id").as("last_view_id"),
+          col("view_value").as("last_view_value"))
+        .orderBy("event_id")
+    },
+
     // ---- q41: approximate distinct counting (HLL). Spark's HLL++ and
     //      DuckDB's approx_count_distinct are different sketches → no
     //      value-level oracle; the driver records the rows-only check,
