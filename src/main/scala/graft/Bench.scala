@@ -17,12 +17,18 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
+    // drop warm-up caches before any timing starts
+    Caches.release()
+    spark.catalog.clearCache()
     // n≥3 runs per query, report the median — single-run timings at this
     // scale have >2× variance, which round 2 mistook for regressions.
     val reps = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
         .getOrElse(3))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: Map hash order reshuffles whenever a query is
+    // added, which silently changes each query's timing CONTEXT
+    // (predecessor's cache teardown, JIT state) between rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -41,7 +47,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

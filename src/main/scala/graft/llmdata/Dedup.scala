@@ -240,6 +240,71 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- q58: n-gram (3-token shingle) Jaccard similarity join —
+    //      the n-gram twin of q28's word-set join, threshold 0.8,
+    //      blocked by lang. Same PPJoin prefix filtering (rarest
+    //      shingles under the shared (df, g) total order), but the
+    //      verify is a candidates-only shingle-equi-join count: the
+    //      shingle vocabulary grows with the corpus (unlike the word
+    //      vocab), so a per-doc bitmap would not stay fixed-width —
+    //      the count-join shape is the open-vocabulary verify. ----
+    Q(
+      "q58_ngram_jaccard",
+      s"""WITH sh AS (${Text.SqlShingleSet}),
+        |sc AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM sh a JOIN sh b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(ni AS DOUBLE)/(ca.ns + cb.ns - ni) AS jaccard
+        |FROM inter JOIN sc ca ON ca.doc_id = a_id
+        |           JOIN sc cb ON cb.doc_id = b_id
+        |WHERE CAST(ni AS DOUBLE)/(ca.ns + cb.ns - ni) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    ) { (s, d) =>
+      // consumed by the df count, the prefix build, and both verify
+      // sides — persist once, released via Caches
+      val sh = Text.shingleSet(s, d).transform(Caches.persist)
+      val dfc = sh.groupBy("lang", "g").agg(count(lit(1)).as("df"))
+      val sets = sh.join(dfc, Seq("lang", "g"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("ns"),
+          array_sort(collect_list(struct(col("df"), col("g")))).as("gs"))
+        // integer-exact ⌈0.8·ns⌉ = (4·ns + 4) div 5
+        .withColumn("plen",
+          (col("ns") - expr("(4 * ns + 4) div 5") + lit(1)).cast("int"))
+        .withColumn("pre", expr("transform(slice(gs, 1, plen), t -> t.g)"))
+        .select("doc_id", "lang", "ns", "pre")
+        .transform(Caches.persist)
+      val pre = sets.select(col("doc_id"), col("lang"), col("ns"),
+        explode(col("pre")).as("pg"))
+      val a = pre.toDF("a_id", "lang_a", "ns_a", "pg")
+      val b = pre.toDF("b_id", "lang_b", "ns_b", "pg_b")
+      // J ≥ 0.8 forces 5·min(|a|,|b|) ≥ 4·max(|a|,|b|): prune inside
+      // the join (output-preserving)
+      val cand = a.join(b,
+          col("pg") === col("pg_b") && col("lang_a") === col("lang_b") &&
+            col("a_id") < col("b_id") &&
+            least(col("ns_a"), col("ns_b")) * 5 >=
+              greatest(col("ns_a"), col("ns_b")) * 4)
+        .select("a_id", "b_id").distinct()
+      val ni = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("lang"), col("g")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("lang"), col("g")),
+          Seq("b_id", "lang", "g"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("ni"))
+      val sizes = sets.select(col("doc_id"), col("ns"))
+      ni.join(sizes.toDF("a_id", "ns_a"), "a_id")
+        .join(sizes.toDF("b_id", "ns_b"), "b_id")
+        .withColumn("jaccard",
+          col("ni").cast("double") / (col("ns_a") + col("ns_b") - col("ni")))
+        .filter(col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- q29: MinHash + LSH — 8 md5-based permutations, 2 bands of 4,
     //      candidate pairs from band-bucket equality, then exact
     //      Jaccard-verify ≥ 0.9 on candidates only. The open-vocabulary

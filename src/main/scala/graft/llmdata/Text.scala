@@ -25,9 +25,27 @@ object Text {
         explode(split(col("text"), " ")).as("w"))
       .distinct()
 
+  /** (doc_id, lang, g) distinct 3-gram shingle sets — the n-gram unit
+    * of near-dup detection (docs shorter than 3 tokens have none). */
+  def shingleSet(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("g"))
+
   /** The DuckDB-side rendering of the same tokenizations, shared by the
     * oracle SQL of several queries. */
   val SqlTokens = "SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents"
   val SqlTokenSet =
     "SELECT DISTINCT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents"
+  val SqlShingleSet =
+    """SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' ||
+      |         string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2]))) AS g
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
 }
