@@ -15,27 +15,57 @@ import org.apache.spark.sql.Dataset
   *
   * Every internal persist goes through [[persist]], which registers
   * the handle; [[release]] unpersists everything tracked so far.
-  * The harness mains call it per query; an embedding application
-  * calls it whenever the last action over these plans has run.
+  *
+  * Scoping: the registry is '''per-thread''' — [[release]] frees only
+  * the caches registered by the calling thread, so concurrent callers
+  * sharing one session (the library-embedding case) cannot unpersist
+  * each other's in-flight intermediates. Build the plan and call
+  * `release()` on the same thread, after the last action over it; a
+  * thread that never releases keeps only its own handles. The harness
+  * mains (Verify/Bench) release per query.
   */
 object Caches {
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val tracked =
+    new ThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
+      override def initialValue() = new java.util.ArrayDeque[Dataset[_]]()
+    }
+
+  private val trackedRdds =
+    new ThreadLocal[java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]] {
+      override def initialValue() =
+        new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+    }
 
   /** `ds.persist()` + track the handle for a later [[release]]. */
   def persist[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist()
-    tracked.add(ds)
+    tracked.get().add(ds)
     ds
   }
 
-  /** Unpersist every tracked cache (idempotent; safe if some were
-    * already unpersisted or their session is stopped). */
+  /** Track an already-persisted RDD whose blocks back a returned plan
+    * (`GraftSqlBridge.materialized` output that outlives its query
+    * function — e.g. q55's final label round). */
+  def track(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    trackedRdds.get().add(rdd)
+
+  /** Unpersist every cache tracked by the calling thread (idempotent;
+    * safe if some were already unpersisted or their session is
+    * stopped). */
   def release(): Unit = {
-    var ds = tracked.poll()
+    val q = tracked.get()
+    var ds = q.poll()
     while (ds != null) {
       try ds.unpersist(blocking = false)
       catch { case _: Throwable => () }
-      ds = tracked.poll()
+      ds = q.poll()
+    }
+    val qr = trackedRdds.get()
+    var rdd = qr.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      rdd = qr.poll()
     }
   }
 }

@@ -1,6 +1,7 @@
 package graft.llmdata
 
 import graft.{Caches, Q, Tables}
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -453,10 +454,14 @@ object Dedup {
       // Each round references `labels` several times (neighbor lookup,
       // the pointer jump, the convergence diff), so a naive loop
       // multiplies the logical plan per round — exponential analysis
-      // cost and a driver OOM. Eager localCheckpoint truncates the
-      // lineage to the materialized blocks each round (the canonical
-      // Spark shape for iterative algorithms); every later round plans
-      // against a flat scan.
+      // cost and a driver OOM. Each round is therefore materialized
+      // into persisted RDD blocks and re-planned as a flat scan.
+      // NOT via Dataset.localCheckpoint: its blocks are unfreeable
+      // (Dataset.unpersist only drops CacheManager entries), so a
+      // checkpoint-per-round loop would accumulate every round's
+      // blocks on the executors until driver GC. materialized() hands
+      // back the RDD, and each round frees its predecessor the moment
+      // the new round is counted.
       //
       // Scale shape: (1) only VERTICES OF EDGES iterate — near-dup
       // pairs are sparse, so the loop runs over the dup subgraph, not
@@ -467,12 +472,12 @@ object Dedup {
       // O(diameter), and every round saved is a full shuffle+
       // materialize+count of fixed latency.
       val pairs = simhashPairs(s, d)
-      val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-        .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("u").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint(true)
+      val (edges, edgesRdd) = GraftSqlBridge.materialized(
+        pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+          .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+      var (labels, labelsRdd) = GraftSqlBridge.materialized(
+        edges.select(col("u").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster_id")))
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
@@ -486,20 +491,22 @@ object Dedup {
               .as("tentative"))
         // pointer jump: cluster ids are themselves doc ids in the
         // subgraph, so label(label) is a self-join on the labels map
-        val next = stepped
+        val (next, nextRdd) = GraftSqlBridge.materialized(stepped
           .join(labels.select(col("doc_id").as("tentative"),
             col("cluster_id").as("jl")), Seq("tentative"), "left")
           // `moved` rides along so convergence is a filter-count on the
-          // checkpointed round output — no extra labels join per round
+          // materialized round output — no extra labels join per round
           .select(col("doc_id"),
             least(col("tentative"), coalesce(col("jl"), col("tentative")))
               .as("new_cluster"), col("cluster_id"))
           .select(col("doc_id"), col("new_cluster").as("cluster_id"),
-            (col("new_cluster") < col("cluster_id")).as("moved"))
-          .localCheckpoint(true)
+            (col("new_cluster") < col("cluster_id")).as("moved")))
+        // the count materializes next's blocks; only then is the
+        // previous round safe to free (recompute would chain through it)
         changed = next.filter(col("moved")).count()
-        labels.unpersist()
+        labelsRdd.unpersist(blocking = false)
         labels = next.drop("moved")
+        labelsRdd = nextRdd
         rounds += 1
       }
       // a silent cap would return wrong cluster ids (an over-cap
@@ -508,7 +515,10 @@ object Dedup {
         s"q55: label propagation not converged after $rounds rounds " +
           s"($changed labels still changing) — component depth exceeds " +
           "the cap; raise it or switch to large-star/small-star")
-      edges.unpersist()
+      edgesRdd.unpersist(blocking = false)
+      // the final round's blocks back the RETURNED plan — released by
+      // the caller (harness: per query) after its last action
+      Caches.track(labelsRdd)
       // isolated docs (no near-dup edge) are their own cluster
       Tables.documents(s, d).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")

@@ -110,8 +110,10 @@ object AsOf {
       case other => throw new IllegalArgumentException(
         s"as-of join type must be 'left' or 'inner', got '$other'")
     }
-    val dup = left.columns.map(_.toLowerCase)
-      .intersect(right.columns.map(_.toLowerCase))
+    // name matching honors spark.sql.caseSensitive, like any built-in
+    // column resolution
+    val resolve = left.sparkSession.sessionState.conf.resolver
+    val dup = left.columns.filter(l => right.columns.exists(resolve(l, _)))
     require(dup.isEmpty,
       s"as-of join output column names must be disjoint; rename: ${dup.mkString(", ")}")
     // re-alias the right side so a self-join carries fresh expression
@@ -121,10 +123,15 @@ object AsOf {
     val lPlan = GraftSqlBridge.analyzed(left)
     val rPlan = GraftSqlBridge.analyzed(rightFresh)
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        throw new IllegalArgumentException(
+      plan.output.filter(a => resolve(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
           s"as-of: no column '$name' on the $side side " +
-            s"(have: ${plan.output.map(_.name).mkString(", ")})"))
+            s"(have: ${plan.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"as-of: column '$name' is ambiguous on the $side side " +
+            s"(${many.size} matches)")
+      }
     val node = AsOfJoin(
       lPlan, rPlan,
       leftOn = attr(lPlan, on._1, "left"),

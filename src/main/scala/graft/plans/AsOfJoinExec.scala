@@ -19,9 +19,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (non-decreasing key), the right pointer advances while its
   * `(by, on)` is `<=` the left key, retaining only the latest
   * candidate — O(n+m) compares, ONE retained row of state, no
-  * per-group materialization, no window buffer. Skew in `by` shows up
-  * only as partition size (AQE's skew handling still applies to the
-  * exchanges); memory stays O(1) regardless.
+  * per-group materialization, no window buffer; memory stays O(1)
+  * regardless of group size.
+  *
+  * Skew caveat: AQE's OptimizeSkewedJoin matches only
+  * SortMergeJoin/ShuffledHashJoin nodes, so a hot `by` key is NOT
+  * auto-split here — it lands in one task (splitting a group would
+  * break the single-pass merge, which needs each `by` group whole).
+  * The O(1) state means the task cannot OOM, but it can straggle; at
+  * 100 TB, mitigate a known-hot key by pre-filtering it into its own
+  * as-of join or range-chunking `on` per hot key and unioning.
   */
 final case class AsOfJoinExec(
     leftOn: Expression,
@@ -125,14 +132,23 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 object AsOfJoinExec {
   /** Idempotently attach the strategy + pushdown rule to a session
-    * built without `spark.sql.extensions=graft.GraftExtensions`
-    * (the extensions path registers them at session build). */
+    * built without `spark.sql.extensions=graft.GraftExtensions`.
+    *
+    * `planner.strategies` / `optimizer.batches` see BOTH injection
+    * paths (extensions at session build, `experimental` here), so a
+    * session already carrying them — extensions-built, or a racing
+    * caller — is left untouched: appending again would run the
+    * strategy and the rule twice on every query. The lock serializes
+    * the check-then-append read-modify-write on `experimental`. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
-    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
-    if (!exp.extraOptimizations.contains(PushFilterThroughAsOfJoin))
-      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
+    exp.synchronized {
+      if (!spark.sessionState.planner.strategies.exists(_ eq AsOfJoinStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+      if (!spark.sessionState.optimizer.batches
+            .exists(_.rules.exists(_ eq PushFilterThroughAsOfJoin)))
+        exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOfJoin
+    }
   }
 }

@@ -23,11 +23,14 @@ import org.apache.spark.sql.SparkSession
   *
   * '''Filesystem assumption''': the swap protocol relies on `rename`
   * being an atomic metadata operation — true on HDFS, local FS, and
-  * hierarchical-namespace ADLS (abfs). On flat object stores
-  * (S3A/GCS) "rename" is a non-atomic copy+delete, so the two-rename
-  * window is NOT crash-safe there; `compact` rejects those schemes
-  * up front. For object-store tables use a transactional table format
-  * (Delta/Iceberg `OPTIMIZE`) instead.
+  * hierarchical-namespace (HNS) ADLS Gen2. On flat object stores
+  * (S3A/GCS/WASB) "rename" is a non-atomic copy+delete, so the
+  * two-rename window is NOT crash-safe there; `compact` rejects the
+  * known-flat schemes up front. The scheme check is best-effort:
+  * `abfs://` on a NON-HNS storage account is also flat but
+  * indistinguishable by scheme — only run this against HNS-enabled
+  * accounts. For object-store tables use a transactional table
+  * format (Delta/Iceberg `OPTIMIZE`) instead.
   *
   * Crash recovery: if a run died between the two renames, the data is
   * intact in `<dir>.compact-trash` — restore it with
@@ -55,7 +58,8 @@ object Maintenance {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // flat object stores implement rename as copy+delete — the swap
     // window would not be atomic there (see scaladoc)
-    val nonAtomicRename = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+    val nonAtomicRename =
+      Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs")
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     require(!nonAtomicRename.contains(scheme.toLowerCase),
       s"compact requires atomic rename; '$scheme' is a flat object store " +

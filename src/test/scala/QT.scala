@@ -1,4 +1,8 @@
-// dev-only: bench replica with per-rep prints (not committed)
+// Dev timing harness: times individual queries at sf0.1 with per-rep
+// prints (`sbt "Test/runMain QT q55_dup_clusters ..."`, or ALL).
+// Deliberately NOT the bench contract — graft.Bench is the driver's
+// measured surface; this exists so one slow query can be re-timed
+// without the full warm-up + 58-query sweep.
 object QT {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
