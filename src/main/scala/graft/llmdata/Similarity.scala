@@ -233,6 +233,30 @@ object Similarity {
     //      by IvfSpec. ----
     Q.rowsOnly("q52_ann_ivf") { (s, d) => annIvf(s, d) },
 
+    // ---- q59: IVF exactness gate — nprobe = nlists probes EVERY
+    //      inverted list, so the full IVF machinery (normalization,
+    //      k-means list assignment, probe ranking, in-list scoring)
+    //      must reproduce the brute-force top-k exactly, whatever the
+    //      trained centroids are. That makes the q52 code path
+    //      DuckDB-checkable value-for-value via the same brute-force
+    //      oracle as q31 (rank margins ≫ 1 ulp, scores engine-local),
+    //      complementing q52's rows-only row and IvfSpec's in-JVM
+    //      recall/exactness pins. ----
+    Q(
+      "q59_ivf_exact",
+      """WITH cos AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT q_id, CAST(rn AS INT) AS rank, n_id FROM (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) => annIvf(s, d, nprobe = 16) },
+
     // ---- q48: int8 vector quantization — symmetric max-abs scaling,
     //      the storage-compression pass of an embedding pipeline (4×
     //      smaller vectors for ANN shortlists; re-rank on full

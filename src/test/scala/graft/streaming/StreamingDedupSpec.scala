@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingDedupSpec extends SparkSpec {
+  import StreamingDedup.Candidate
+
+  private val dup1 = "the quick brown fox jumps over the lazy dog today"
+  private val dup2 = dup1 // exact near-dup: identical token set
+  private val other = "completely unrelated words about something else entirely"
+
+  test("near-dup arriving in a LATER micro-batch pairs with state from earlier ones") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[(Long, String)](sp)
+    val docs = input.toDF.toDF("doc_id", "text")
+    val q = StreamingDedup.candidatesForDocs(docs)
+      .writeStream.format("memory").queryName("sdedup_cross").start()
+    try {
+      input.addData((1L, dup1), (3L, other))
+      q.processAllAvailable()
+      assert(sp.table("sdedup_cross").count() === 0) // nothing dup yet
+      input.addData((2L, dup2))
+      q.processAllAvailable()
+      val pairs = sp.table("sdedup_cross").as[Candidate].collect()
+        .map(c => (c.a_id, c.b_id)).distinct.toSet
+      assert(pairs === Set((1L, 2L))) // found against PRIOR state
+      val ests = sp.table("sdedup_cross").as[Candidate].collect().map(_.est)
+      assert(ests.forall(_ == 1.0)) // identical token sets: all 8 match
+    } finally q.stop()
+  }
+
+  test("re-delivery of an already-seen doc id emits nothing (replay-stable)") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[(Long, String)](sp)
+    val q = StreamingDedup.candidatesForDocs(input.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_replay").start()
+    try {
+      input.addData((1L, dup1), (2L, dup2))
+      q.processAllAvailable()
+      val n = sp.table("sdedup_replay").count()
+      assert(n > 0)
+      input.addData((2L, dup2)) // at-least-once replay of doc 2
+      q.processAllAvailable()
+      assert(sp.table("sdedup_replay").count() === n) // no new rows
+    } finally q.stop()
+  }
+
+  test("maxPerBucket bounds state: overflow docs match retained members but are not admitted") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, dup1), (2L, dup2), (3L, dup1)).toDF("doc_id", "text")
+    val pairs = StreamingDedup.candidatesForDocs(docs, maxPerBucket = 1)
+      .collect().map(c => (c.a_id, c.b_id)).distinct.toSet
+    // doc 1 admitted; docs 2 and 3 each match doc 1 but are turned
+    // away, so (2,3) is never formed
+    assert(pairs === Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("batch mode sees the same pairs as the streamed batches") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, dup1), (3L, other), (2L, dup2)).toDF("doc_id", "text")
+    val pairs = StreamingDedup.candidatesForDocs(docs)
+      .collect().map(c => (c.a_id, c.b_id)).distinct.toSet
+    assert(pairs === Set((1L, 2L))) // == the cross-batch result above
+  }
+
+  test("band keys match the batch q29 banding (one row per doc per band, 2 bands)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, dup1), (2L, dup2), (3L, other)).toDF("doc_id", "text")
+    val b = StreamingDedup.bands(docs).collect()
+    assert(b.length === 6) // 3 docs × 2 bands
+    val byDoc = b.groupBy(_.doc_id)
+    // identical text ⇒ identical band keys; different text ⇒ disjoint
+    assert(byDoc(1L).map(_.band).toSet === byDoc(2L).map(_.band).toSet)
+    assert(byDoc(1L).map(_.band).toSet.intersect(
+      byDoc(3L).map(_.band).toSet).isEmpty)
+    assert(b.forall(_.sig.length === 8))
+  }
+}
