@@ -481,26 +481,31 @@ object Dedup {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
-        val nbr = edges
-          .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("lv")), "v")
-          .groupBy("u").agg(min("lv").as("nl"))
-        val stepped = labels
-          .join(nbr.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cluster_id"),
-            least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-              .as("tentative"))
-        // pointer jump: cluster ids are themselves doc ids in the
-        // subgraph, so label(label) is a self-join on the labels map
-        val (next, nextRdd) = GraftSqlBridge.materialized(stepped
-          .join(labels.select(col("doc_id").as("tentative"),
-            col("cluster_id").as("jl")), Seq("tentative"), "left")
-          // `moved` rides along so convergence is a filter-count on the
-          // materialized round output — no extra labels join per round
-          .select(col("doc_id"),
-            least(col("tentative"), coalesce(col("jl"), col("tentative")))
-              .as("new_cluster"), col("cluster_id"))
-          .select(col("doc_id"), col("new_cluster").as("cluster_id"),
-            (col("new_cluster") < col("cluster_id")).as("moved")))
+        // One round = ONE join + ONE aggregate. All three label
+        // lookups a round needs — each neighbor's label, the POINTER
+        // JUMP label(label(u)) (cluster ids are themselves doc ids in
+        // the subgraph), and u's own label — are rendered as request
+        // rows (key to look up, dst to deliver to), so a single
+        // requests⋈labels equi-join + min-per-dst replaces the
+        // previous three joins (neighbor-min, step, jump): 2 shuffles
+        // per round instead of 4, with map-side partial min on both.
+        // The identity request doubles as the `moved` detector: its
+        // looked-up label IS u's old label (key = dst), so convergence
+        // needs no extra join against the previous round.
+        val req = edges.select(col("v").as("key"), col("u").as("dst"))
+          .unionByName(labels
+            .select(col("cluster_id").as("key"), col("doc_id").as("dst")))
+          .unionByName(labels
+            .select(col("doc_id").as("key"), col("doc_id").as("dst")))
+        val (next, nextRdd) = GraftSqlBridge.materialized(req
+          .join(labels.withColumnRenamed("doc_id", "key"), "key")
+          .groupBy("dst")
+          .agg(min("cluster_id").as("new_cluster"),
+            min(when(col("key") === col("dst"), col("cluster_id")))
+              .as("old_cluster"))
+          .select(col("dst").as("doc_id"),
+            col("new_cluster").as("cluster_id"),
+            (col("new_cluster") < col("old_cluster")).as("moved")))
         // the count materializes next's blocks; only then is the
         // previous round safe to free (recompute would chain through it)
         changed = next.filter(col("moved")).count()
