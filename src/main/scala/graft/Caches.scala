@@ -51,20 +51,27 @@ object Caches {
 
   /** Unpersist every cache tracked by the calling thread (idempotent;
     * safe if some were already unpersisted or their session is
-    * stopped). */
+    * stopped). Fatal errors (OOM, linkage) propagate — cleanup must
+    * not mask a dying JVM; an interrupt mid-cleanup is tolerated so
+    * the remaining handles still free, but the thread's interrupt
+    * status is restored. */
   def release(): Unit = {
+    def free(unpersist: () => Unit): Unit =
+      try unpersist()
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
     val q = tracked.get()
     var ds = q.poll()
     while (ds != null) {
-      try ds.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      free(() => ds.unpersist(blocking = false))
       ds = q.poll()
     }
     val qr = trackedRdds.get()
     var rdd = qr.poll()
     while (rdd != null) {
-      try rdd.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      free(() => rdd.unpersist(blocking = false))
       rdd = qr.poll()
     }
   }

@@ -480,6 +480,12 @@ object Dedup {
           .select(col("doc_id"), col("doc_id").as("cluster_id")))
       var changed = 1L
       var rounds = 0
+      // any exit before the normal epilogue (a mid-round failure or
+      // the convergence refusal below) must free the blocks this loop
+      // persisted — they are invisible to Caches.release and
+      // clearCache, so a throw here would otherwise strand them on
+      // the executors for the session's lifetime
+      try {
       while (changed > 0 && rounds < 50) {
         // One round = ONE join + ONE aggregate. All three label
         // lookups a round needs — each neighbor's label, the POINTER
@@ -520,6 +526,11 @@ object Dedup {
         s"q55: label propagation not converged after $rounds rounds " +
           s"($changed labels still changing) — component depth exceeds " +
           "the cap; raise it or switch to large-star/small-star")
+      } catch { case t: Throwable =>
+        labelsRdd.unpersist(blocking = false)
+        edgesRdd.unpersist(blocking = false)
+        throw t
+      }
       edgesRdd.unpersist(blocking = false)
       // the final round's blocks back the RETURNED plan — released by
       // the caller (harness: per query) after its last action

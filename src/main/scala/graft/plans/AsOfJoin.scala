@@ -96,7 +96,16 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** User-facing API: `AsOf.joinAsOf(trades, quotes, on = ("ts","q_ts"),
   * by = Seq(("sym","q_sym")), tiebreak = Seq("q_id"))`. Column names
   * resolve against each side; right-side output gets fresh expression
-  * ids (self-join safe); output names must be disjoint. */
+  * ids (self-join safe); output names must be disjoint.
+  *
+  * Registration: the planner strategy and pushdown rule must be
+  * attached to the session. The production path is declaring
+  * `spark.sql.extensions=graft.GraftExtensions` at session build. As a
+  * test/REPL convenience, `joinAsOf` on a session built WITHOUT the
+  * extension falls back to `AsOfJoinExec.ensureRegistered`, which
+  * appends to the session's `experimental` methods — a SESSION-WIDE,
+  * unremovable side effect: the strategy and rule then run (as no-ops
+  * on non-as-of plans) for every later query on that session. */
 object AsOf {
 
   def joinAsOf(left: DataFrame, right: DataFrame,

@@ -44,10 +44,14 @@ object Clustered {
     require(sortCols.nonEmpty, "sortCols must name the in-file sort key")
     df
       // shuffle key = (partition value, file slot): each date's rows
-      // land in ~filesPerPartition tasks (slot = id hash mod slots, so
-      // a file covers a stable id subrange), while distinct dates
-      // spread across the cluster — no single-task-per-write
-      // bottleneck, no fixed task count
+      // land in ~filesPerPartition tasks, while distinct dates spread
+      // across the cluster — no single-task-per-write bottleneck, no
+      // fixed task count. The slot is a HASH of the sort key, so each
+      // file spans the full id range; skipping happens at ROW-GROUP
+      // granularity via the in-file sort (footer min/max per row
+      // group), not at file level. A range-based slot would add
+      // file-level pruning but needs the id distribution up front —
+      // row-group skipping buys most of the IO win without it.
       .repartition(col(partitionCol),
         pmod(hash(sortCols.map(col): _*), lit(filesPerPartition)))
       .sortWithinPartitions(col(partitionCol) +: sortCols.map(col): _*)

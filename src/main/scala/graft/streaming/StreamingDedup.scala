@@ -37,9 +37,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - A pair sharing BOTH bands is emitted once per band (state is
   *    partitioned by band; buckets cannot see each other) — dedup on
   *    (a_id, b_id) downstream if exactly-once pairs matter.
-  *  - At-least-once replays of a doc already in state are ignored
-  *    (id-keyed), so sink output stays stable across micro-batch
-  *    retries.
+  *  - At-least-once replays of a doc the bucket has already processed
+  *    are ignored, so sink output stays stable across micro-batch
+  *    retries. This covers OVERFLOW docs too: a doc turned away by
+  *    `maxPerBucket` is remembered by id (8 bytes, no signature), so
+  *    its replay does not re-emit candidate pairs or re-count the
+  *    overflow. The id memory grows with distinct arrivals to a hot
+  *    bucket — in production, bound it with the same TTL as the rest
+  *    of the state (see below).
   *
   * Scale (100 TB corpus, 1000 executors):
   *  - The shuffle key is the band hash — open cardinality, grows with
@@ -48,7 +53,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    RocksDB state store provider for corpus-scale state).
   *  - `maxPerBucket` hard-bounds the per-key state; a bucket past the
   *    bound stops ADMITTING new members but keeps matching against the
-  *    retained ones, and counts the overflow (`overflowed` in state).
+  *    retained ones, and remembers turned-away ids (`overflowIds`).
   *    A persistently hot bucket is the classic stop-band (boilerplate
   *    text); raise bands×rows-per-band, or pre-filter boilerplate —
   *    both corpus decisions, not engine ones.
@@ -66,9 +71,11 @@ object StreamingDedup {
   /** A retained prior doc in a band bucket. */
   final case class BandDoc(doc_id: Long, sig: Seq[String])
 
-  /** Per-bucket state: retained docs (newest first) + how many
-    * arrivals the `maxPerBucket` bound turned away. */
-  final case class BandState(docs: List[BandDoc], overflowed: Long)
+  /** Per-bucket state: retained docs (newest first) + the ids of
+    * arrivals the `maxPerBucket` bound turned away (ids only — kept so
+    * an at-least-once REPLAY of an overflow doc is recognized and does
+    * not re-emit its pairs; `overflowIds.size` is the overflow count). */
+  final case class BandState(docs: List[BandDoc], overflowIds: List[Long])
 
   /** An emitted candidate pair (a_id < b_id), with the minhash
     * Jaccard estimate that cleared `minEst`. */
@@ -108,13 +115,13 @@ object StreamingDedup {
     import db.sparkSession.implicits._
     def fn(band: String, rows: Iterator[DocBand],
         st: GroupState[BandState]): Iterator[Candidate] = {
-      val prev = st.getOption.getOrElse(BandState(Nil, 0L))
+      val prev = st.getOption.getOrElse(BandState(Nil, Nil))
       var kept = prev.docs
-      var over = prev.overflowed
+      var over = prev.overflowIds
       val out = List.newBuilder[Candidate]
       // deterministic within-batch order: ids, not partition order
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
-        if (!kept.exists(_.doc_id == r.doc_id)) {
+        if (!kept.exists(_.doc_id == r.doc_id) && !over.contains(r.doc_id)) {
           kept.foreach { p =>
             val est = p.sig.zip(r.sig).count { case (a, b) => a == b }
               .toDouble / NPerm
@@ -123,7 +130,7 @@ object StreamingDedup {
                 math.max(p.doc_id, r.doc_id), band, est)
           }
           if (kept.size < maxPerBucket) kept = BandDoc(r.doc_id, r.sig) :: kept
-          else over += 1
+          else over = r.doc_id :: over
         }
       }
       st.update(BandState(kept, over))

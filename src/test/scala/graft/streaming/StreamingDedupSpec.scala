@@ -48,6 +48,24 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replay of an OVERFLOW doc (turned away by maxPerBucket) emits nothing") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[(Long, String)](sp)
+    val q = StreamingDedup.candidatesForDocs(
+        input.toDF.toDF("doc_id", "text"), maxPerBucket = 1)
+      .writeStream.format("memory").queryName("sdedup_over_replay").start()
+    try {
+      input.addData((1L, dup1), (2L, dup2)) // doc 2 overflows (bucket full)
+      q.processAllAvailable()
+      val n = sp.table("sdedup_over_replay").count()
+      assert(n > 0) // the overflow doc still matched the retained doc 1
+      input.addData((2L, dup2)) // at-least-once replay of the overflow doc
+      q.processAllAvailable()
+      assert(sp.table("sdedup_over_replay").count() === n) // no re-emit
+    } finally q.stop()
+  }
+
   test("maxPerBucket bounds state: overflow docs match retained members but are not admitted") {
     val sp = spark
     import sp.implicits._
