@@ -41,6 +41,11 @@ object Bench {
       // median reports the warm path), outside the timed section.
       Caches.release()
       spark.catalog.clearCache()
+      // decouple queries: collect the predecessor's garbage (freed
+      // cache blocks, shuffle buffers) OUTSIDE the next timed section,
+      // so one query's allocation debt cannot inflate the next
+      // query's measured time via a mid-run GC pause
+      System.gc()
       // true median: midpoint average for even rep counts
       name -> (if (times.length % 2 == 1) times(times.length / 2)
                else (times(times.length / 2 - 1) + times(times.length / 2)) / 2)

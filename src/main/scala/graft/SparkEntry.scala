@@ -18,6 +18,7 @@ object SparkEntry {
       llmdata.Dedup.qs ++
       llmdata.Similarity.qs ++
       llmdata.TextAnalysis.qs ++
+      llmdata.Curation.qs ++
       llmdata.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

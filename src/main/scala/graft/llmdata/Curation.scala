@@ -1,0 +1,140 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` End-to-end training-data curation pipeline: the composition
+  * query a 100 TB pretraining-data job actually runs, as ONE plan —
+  *
+  *   tokenize → language-ID → quality gate → exact-dedup keeping the
+  *   BEST copy → deterministic split → per-(lang, split) corpus stats.
+  *
+  * Each stage exists standalone (q33/q34/q27/q50); this operator is the
+  * fused rendering, and the fusion is where the scale win lives:
+  *
+  *  - '''One token pass, one doc-keyed shuffle, for ALL per-doc
+  *    stats.''' Language-ID hits are CONDITIONAL SUMS in the same
+  *    `groupBy(doc_id)` as the quality counters — the profile table is
+  *    a compile-time constant, so q33's broadcast-join + cross-join +
+  *    window argmax collapses into 5 codegen'd `sum(when(...))`
+  *    columns and a `greatest` + CASE argmax (lexicographic tie-break
+  *    preserved). Map-side partial aggregation reduces each partition
+  *    to ~one row per doc before the exchange, so shuffle volume is
+  *    O(docs), never O(tokens).
+  *  - '''Dedup keeps the best copy, not the first.''' Within each
+  *    `md5(text)` group the survivor is the highest type-token-ratio
+  *    copy (ties → lowest doc_id): a window keyed by fp — grouped,
+  *    never global. This is the real curation contract (near-identical
+  *    crawls differ in boilerplate; keep the cleanest), vs q27's
+  *    min-id convenience.
+  *  - '''Gate before the expensive stages.''' The quality filter runs
+  *    straight off the stats pass, so low-quality docs never reach the
+  *    dedup shuffle or the split — at 100 TB the gate is the cheapest
+  *    place to drop data.
+  *  - Split assignment is md5-keyed (q50's principle): stable across
+  *    runs, engines, and cluster sizes; never `rand()`.
+  *
+  * Output is the per-(pred_lang, split) corpus summary — the table a
+  * data-mix dashboard reads. All ratios are int/int IEEE divisions of
+  * exact integer sums (Q.scala float policy).
+  */
+object Curation {
+
+  /** Profile words per language, lexicographic lang order — the same
+    * fixture q33 uses, fused here as conditional-aggregate literals. */
+  private val byLang: Seq[(String, Seq[String])] =
+    TextAnalysis.profiles.groupBy(_._1).view.mapValues(_.map(_._2))
+      .toSeq.sortBy(_._1)
+
+  private def sqlHitSums: String = byLang.map { case (l, ws) =>
+    s"sum(CASE WHEN w IN (${ws.map(w => s"'$w'").mkString(",")}) " +
+      s"THEN 1 ELSE 0 END) AS h_$l"
+  }.mkString(",\n|    ")
+
+  private def sqlArgmax: String = {
+    val m = byLang.map(l => s"h_${l._1}").mkString("greatest(", ",", ")")
+    val cases = byLang.init.map { case (l, _) =>
+      s"WHEN h_$l = m THEN '$l'"
+    }.mkString(" ")
+    s"$m AS m, CASE $cases ELSE '${byLang.last._1}' END AS pred_lang"
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q60_curation_pipeline",
+      s"""WITH toks AS (${Text.SqlTokens}),
+        |st AS (SELECT doc_id, count(*) AS n_tokens,
+        |    count(DISTINCT w) AS n_distinct,
+        |    $sqlHitSums
+        |  FROM toks GROUP BY doc_id),
+        |st2 AS (SELECT *, $sqlArgmax FROM (SELECT * FROM st) q),
+        |sc AS (SELECT s.doc_id, md5(d.text) AS fp, s.n_tokens,
+        |    s.n_distinct, s.m, s.pred_lang,
+        |    CAST(s.n_distinct AS DOUBLE)/s.n_tokens AS ttr
+        |  FROM st2 s JOIN documents d ON d.doc_id = s.doc_id
+        |  WHERE CAST(s.m AS DOUBLE)/s.n_tokens <= 0.12),
+        |k AS (SELECT * FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY fp
+        |    ORDER BY ttr DESC, doc_id) = 1),
+        |b AS (SELECT *,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT)
+        |      % 10 AS bucket
+        |  FROM k)
+        |SELECT pred_lang,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_distinct) AS DOUBLE)/sum(n_tokens) AS distinct_ratio,
+        |  min(doc_id) AS first_id
+        |FROM b GROUP BY 1, 2 ORDER BY pred_lang, split""".stripMargin,
+    ) { (s, d) =>
+      // one tokenize + one doc-keyed shuffle: every per-doc stat the
+      // pipeline needs, language hits included, in a single aggregate
+      val hitAggs = byLang.map { case (l, ws) =>
+        sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"h_$l")
+      }
+      val aggs = Seq(count(lit(1)).as("n_tokens"),
+        countDistinct("w").as("n_distinct")) ++ hitAggs
+      val stats = Text.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("m",
+          greatest(byLang.map { case (l, _) => col(s"h_$l") }: _*))
+        // argmax with q33's contract: lexicographically-first language
+        // among the max-hit ones
+        .withColumn("pred_lang",
+          byLang.init.foldRight(lit(byLang.last._1)) { case ((l, _), e) =>
+            when(col(s"h_$l") === col("m"), l).otherwise(e)
+          })
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(stats, "doc_id")
+        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+        // quality gate FIRST: stopword-saturated docs (profile-hit
+        // ratio > 0.12, q34's 'low' bucket) never reach the dedup
+        // shuffle or the split
+        .filter(col("m").cast("double") / col("n_tokens") <= 0.12)
+      // keep the highest-TTR copy of each exact-duplicate group
+      // (ties → lowest doc_id); window is keyed by fp, never global
+      val keepW = Window.partitionBy("fp")
+        .orderBy(col("ttr").desc, col("doc_id"))
+      val kept = scored.withColumn("rn", row_number().over(keepW))
+        .filter(col("rn") === 1)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+      kept.groupBy("pred_lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          (sum("n_distinct").cast("double") / sum("n_tokens"))
+            .as("distinct_ratio"),
+          min("doc_id").as("first_id"))
+        .orderBy("pred_lang", "split")
+    },
+  )
+}

@@ -79,6 +79,21 @@ class PlanSpec extends SparkSpec {
       s"join hint forced over a corpus-sized relation in q29: $badHints")
   }
 
+  test("q60: fused curation stats aggregate partially; no single-partition stage before the final sort") {
+    val p = planOf(SparkEntry.queries("q60_curation_pipeline")(spark, sf))
+    // the stats pass must combine map-side — shuffle volume O(docs),
+    // not O(tokens)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate in the stats pass")
+    // lang-ID is fused as conditional sums: no join against a profile
+    // relation, no per-doc argmax window
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // dedup window is keyed by fp; nothing may collapse to one
+    // partition except the final tiny ORDER BY
+    assert(!p.contains("Exchange SinglePartition"),
+      "a single-partition exchange would serialize the corpus")
+  }
+
   test("dedup vocab ids avoid the single-partition window") {
     val p = planOf(SparkEntry.queries("q29_minhash_lsh")(spark, sf))
     assert(!p.contains("Window"), "vocab id assignment must not plan a WindowExec")
