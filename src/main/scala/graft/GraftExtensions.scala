@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.spikeScoreFn)
     e.injectFunction(GraftExtensions.vecDotFn)
+    e.injectFunction(GraftExtensions.rollingFpFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
@@ -66,10 +67,21 @@ object GraftExtensions {
     },
   )
 
+  val rollingFpFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_fp"),
+    new ExpressionInfo(classOf[graft.functions.RollingFp].getName, "rolling_fp"),
+    (args: Seq[Expression]) => args match {
+      case Seq(toks, k) => graft.functions.RollingFp(
+        toks, Cast(k, org.apache.spark.sql.types.IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"rolling_fp expects 2 arguments, got ${other.length}")
+    },
+  )
+
   /** Programmatic registration for sessions built without the
     * extensions config. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(spikeScoreFn, vecDotFn).foreach { case (id, info, builder) =>
+    Seq(spikeScoreFn, vecDotFn, rollingFpFn).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

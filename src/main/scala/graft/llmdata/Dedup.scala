@@ -580,5 +580,40 @@ object Dedup {
       f.withColumn("n_same_set", count(lit(1)).over(Window.partitionBy("fp_set")))
         .orderBy("doc_id")
     },
+
+    // ---- q61: Rabin–Karp rolling-hash fingerprint — the native
+    //      `rolling_fp` expression (functions/RollingFp): min over all
+    //      3-token windows of the polynomial hash, each token hashed
+    //      ONCE and the window slid in O(1). q36's HOF rendering
+    //      re-digests every window (O(n·k) md5 calls, CodegenFallback);
+    //      this one is whole-stage-codegen with O(n) digests — the
+    //      fingerprint pass you can afford over a 100 TB corpus. The
+    //      oracle recomputes each window's polynomial directly (same
+    //      md5-prefix token codes, same B/M) — value-identical since
+    //      both reduce mod the same prime. ----
+    Q(
+      "q61_rolling_fp",
+      """WITH tl AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tc AS (SELECT doc_id, len(w) AS n,
+        |    list_transform(w, x ->
+        |      CAST(('0x'||substr(md5(x),1,5)) AS BIGINT)) AS t
+        |  FROM tl),
+        |f AS (SELECT doc_id,
+        |    CASE WHEN n >= 3 THEN
+        |      list_min(list_transform(range(1, n - 1), i ->
+        |        (((t[i]*1048576 + t[i+1]) % 1000000007) * 1048576
+        |          + t[i+2]) % 1000000007))
+        |    ELSE NULL END AS fp
+        |  FROM tc)
+        |SELECT doc_id, fp,
+        |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+        |FROM f ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("rolling_fp(split(text, ' '), 3)").as("fp"))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
+        .orderBy("doc_id")
+    },
   )
 }
