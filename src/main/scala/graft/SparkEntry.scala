@@ -19,6 +19,7 @@ object SparkEntry {
       llmdata.Similarity.qs ++
       llmdata.TextAnalysis.qs ++
       llmdata.Curation.qs ++
+      llmdata.Hygiene.qs ++
       llmdata.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -52,8 +52,8 @@ object Dedup {
       array((0 until nBuckets).map(b => col(s"m$b")): _*)
   }
 
-  private def bitmapPlan(s: SparkSession, d: String): BitmapPlan = {
-    val words = Text.tokenSet(s, d)
+  private def bitmapPlan(words: DataFrame): BitmapPlan = {
+    val s = words.sparkSession
     // Dense ids via zipWithIndex (per-partition offsets from one count
     // job) instead of a global row_number() window — no single-partition
     // sort at a real vocabulary size. Bit positions are internal: no
@@ -96,6 +96,66 @@ object Dedup {
       .drop("salt_a", "salt_b")
   }
 
+  /** Exact-duplicate collapse for set-similarity joins: documents with
+    * identical token SETS (same [[Text.setFp]], plus the blocking cols)
+    * behave identically under Jaccard, MinHash and PPJoin — so the
+    * pairwise machinery runs over one REPRESENTATIVE per distinct set
+    * and results expand back to document pairs afterwards. On a
+    * dup-dense corpus (any web crawl; 30–50% exact dups is typical)
+    * this makes candidate generation and verification sublinear in the
+    * duplication factor: a cluster of k identical docs costs 1 unit of
+    * similarity-join work instead of k (candidates) + k² (verify).
+    *
+    * `members`: (doc_id, gid) from [[groupIds]] — gid is the group's
+    * min doc_id, so representatives satisfy `doc_id === gid` and the
+    * verified rep pairs (a_id, b_id, jaccard) expand with two
+    * long-keyed joins, no string keys. Expansion emits
+    *  - intra-group pairs (identical sets ⇒ jaccard exactly 1.0), and
+    *  - cross-group pairs, every member×member combination of the two
+    *    groups, carrying the representative pair's jaccard (identical
+    *    operands ⇒ identical IEEE value).
+    * Every shuffle keys on gid — open cardinality, no hot buckets
+    * beyond the (inherently quadratic) intra-cluster output itself. */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame)
+      : DataFrame = {
+    val intra = members.select(col("doc_id").as("doc_id_a"), col("gid"))
+      .join(members.select(col("doc_id").as("doc_id_b"), col("gid")), "gid")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("doc_id").as("da"), col("gid").as("a_id")), "a_id")
+      .join(members.select(col("doc_id").as("db"), col("gid").as("b_id")), "b_id")
+      .select(
+        least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"),
+        col("jaccard"))
+    intra.unionByName(cross)
+  }
+
+  /** (doc_id, gid) where gid = the group's min doc_id under the given
+    * collapse key — the numeric group id [[expandPairs]] expects (and
+    * the representative's own id: `doc_id === gid` picks reps). */
+  private def groupIds(docs: DataFrame, key: Seq[String]): DataFrame =
+    docs
+      .withColumn("gid",
+        min("doc_id").over(Window.partitionBy(key.map(col): _*)))
+      .select("doc_id", "gid")
+
+  /** Adaptive collapse decision: run the pairwise machinery over
+    * representatives only when the collapse actually shrinks the input
+    * (≥ 20% fewer groups than docs — below that the rep indirection's
+    * two expansion joins cost more than they save). `members` must
+    * already be persisted: both counts and the expansion reuse it, so
+    * the decision costs two cheap actions on cached data. The same
+    * AQE-style measure-then-plan pattern Catalyst applies to join
+    * strategy, applied to dedup topology. */
+  private def shouldCollapse(members: DataFrame): Boolean = {
+    val docs = members.count()
+    val groups = members.filter(col("doc_id") === col("gid")).count()
+    groups * 5 <= docs * 4
+  }
+
   /** Shared DuckDB CTE: per-doc 16-bit SimHash (`sh(doc_id, simhash)`),
     * consumed by q30 (fingerprints) and q53 (Hamming-ball pairs). */
   private val SimhashCte: String =
@@ -129,25 +189,44 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** q53's pair set (a_id < b_id, Hamming ≤ 2), shared with q55's
-    * cluster collapse: chunk-pigeonhole candidates, salted equi-join,
-    * xor+popcount verify. */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The SimHash collapse: every pairwise step downstream of the
+    * fingerprint depends on the doc only THROUGH its 16-bit simhash, so
+    * candidate generation runs over DISTINCT fingerprint values — a set
+    * bounded by 2^16 regardless of corpus size (5000 docs → 2173 values
+    * at sf0.1; at 100 TB the value graph saturates while the doc count
+    * keeps growing, so the collapse factor grows with scale; a 64-bit
+    * production fingerprint keeps the same shape with a corpus-growing
+    * but still sublinear value set).
+    *
+    * Returns (sh, vp): `sh` = per-doc fingerprints (persisted — callers
+    * re-join it to expand value-level results to docs), `vp` = the
+    * DISTINCT-value near-dup pairs (va < vb, Hamming 1–2) found by
+    * chunk-pigeonhole (Manku et al., WWW'07): a ≤2-bit-distant pair
+    * agrees exactly on ≥1 of 3 disjoint chunks, so candidates come from
+    * a salted equi-join on (chunk idx, value) over values only.
+    * Hamming-0 pairs are docs SHARING a value — no join needed. */
+  private def simhashValues(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val sh = Caches.persist(simhashPlan(s, d))
     val chunks = Seq((0, 6), (6, 5), (11, 5)) // 16 bits, d+1 = 3 chunks
-    val keyed = simhashPlan(s, d).select(col("doc_id"), col("simhash"),
-      explode(array(chunks.zipWithIndex.map { case ((off, len), i) =>
-        struct(lit(i).as("ci"),
-          expr(s"shiftright(simhash, $off) & ${(1 << len) - 1}").as("cv"))
-      }: _*)).as("ck"))
-    saltedPairs(keyed, "ck", 8)
-      .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int")
+    // saltedPairs keys its salt on `doc_id`; the node id here IS the
+    // fingerprint value, so it rides in that column
+    val keyed = sh.select(col("simhash").as("doc_id")).distinct()
+      .select(col("doc_id"),
+        explode(array(chunks.zipWithIndex.map { case ((off, len), i) =>
+          struct(lit(i).as("ci"),
+            expr(s"shiftright(doc_id, $off) & ${(1 << len) - 1}").as("cv"))
+        }: _*)).as("ck"))
+    val vp = saltedPairs(keyed, "ck", 8)
+      .select(col("doc_id_a").as("va"), col("doc_id_b").as("vb"),
+        bit_count(col("doc_id_a").bitwiseXOR(col("doc_id_b"))).cast("int")
           .as("hamming"))
       .filter(col("hamming") <= 2)
       // dedup AFTER the popcount filter (q29's lesson): a pair may
-      // share several chunks, but survivors ≪ candidates (540k vs 3.4M
-      // at sf0.1), so the distinct shuffles 6× fewer rows
-      .dropDuplicates("a_id", "b_id")
+      // share several chunks, but survivors ≪ candidates, so the
+      // distinct shuffles far fewer rows
+      .dropDuplicates("va", "vb")
+    (sh, vp)
   }
 
   val qs: Seq[Q] = Seq(
@@ -196,7 +275,22 @@ object Dedup {
       // anti-skew choice. Survivors are verified exactly with the
       // shared bitmap popcount (O(V/64) longs per pair), so results are
       // identical to the oracle's token-join rendering.
-      val p = bitmapPlan(s, d)
+      //
+      // The whole join runs over one REPRESENTATIVE per distinct
+      // (lang, token-set) when that shrinks the input — exact dups
+      // collapse first, pairs expand after (expandPairs /
+      // shouldCollapse scaladoc): sublinear in the dup factor.
+      val members = Caches.persist(groupIds(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), Text.setFp.as("fp")),
+        Seq("lang", "fp")))
+      val collapse = shouldCollapse(members)
+      val joinDocs =
+        if (!collapse) Tables.documents(s, d)
+        else Tables.documents(s, d)
+          .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+      val p = bitmapPlan(Text.tokenSetOf(joinDocs))
       val tokDf = p.bits.groupBy("lang", "w").agg(count(lit(1)).as("df"))
       val aggs = p.maskAggs :+
         array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
@@ -228,7 +322,7 @@ object Dedup {
       // exact bitmap verify on candidates only; no broadcast hints —
       // AQE picks broadcast while sets is small, shuffle join past that
       val ni = maskIntersect(col("mask_a"), col("mask_b"))
-      cand
+      val repPairs = cand
         .join(sets.select(col("doc_id").as("a_id"),
           col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"),
@@ -238,6 +332,7 @@ object Dedup {
           col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
         .filter(col("jaccard") >= 0.95)
         .select("a_id", "b_id", "jaccard")
+      (if (collapse) expandPairs(members, repPairs) else repPairs)
         .orderBy("a_id", "b_id")
     },
 
@@ -341,7 +436,23 @@ object Dedup {
       // minhash signatures, the exact token bitmap, and the set size in
       // a single aggregation pass (bitmap encoding shared with q28 via
       // bitmapPlan).
-      val p = bitmapPlan(s, d)
+      //
+      // Identical token sets have identical signatures, bands and
+      // verify outcomes — so when the collapse shrinks the input
+      // (shouldCollapse) the whole LSH pipeline runs over one
+      // representative per distinct set and pairs expand afterwards
+      // (expandPairs scaladoc). Banding equivalence is exact: a rep
+      // pair shares a band iff every member pair does.
+      val members = Caches.persist(groupIds(
+        Tables.documents(s, d).select(col("doc_id"), Text.setFp.as("fp")),
+        Seq("fp")))
+      val collapse = shouldCollapse(members)
+      val joinDocs =
+        if (!collapse) Tables.documents(s, d)
+        else Tables.documents(s, d)
+          .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+      val p = bitmapPlan(Text.tokenSetOf(joinDocs))
       val aggs =
         (0 until 8).map(i =>
           min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")) ++ p.maskAggs
@@ -374,7 +485,7 @@ object Dedup {
           greatest(col("nw_a"), col("nw_b")) * 9)
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
       val ni = maskIntersect(col("mask_a"), col("mask_b"))
-      cand
+      val repPairs = cand
         .join(sets.select(col("doc_id").as("a_id"),
           col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"),
@@ -385,6 +496,7 @@ object Dedup {
         .filter(col("jaccard") >= 0.9)
         .select("a_id", "b_id", "jaccard")
         .dropDuplicates("a_id", "b_id")
+      (if (collapse) expandPairs(members, repPairs) else repPairs)
         .orderBy("a_id", "b_id")
     },
 
@@ -416,7 +528,21 @@ object Dedup {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      simhashPairs(s, d).orderBy("a_id", "b_id")
+      // value-level candidates (simhashValues scaladoc), doc-level
+      // output: Hamming-0 pairs are a self-join on the fingerprint
+      // itself; 1–2-bit pairs expand the distinct-value pair list with
+      // two long-keyed joins, carrying the value pair's popcount.
+      val (sh, vp) = simhashValues(s, d)
+      val intra = sh.select(col("doc_id").as("a_id"), col("simhash"))
+        .join(sh.select(col("doc_id").as("b_id"), col("simhash")), "simhash")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+      val cross = vp
+        .join(sh.select(col("doc_id").as("da"), col("simhash").as("va")), "va")
+        .join(sh.select(col("doc_id").as("db"), col("simhash").as("vb")), "vb")
+        .select(least(col("da"), col("db")).as("a_id"),
+          greatest(col("da"), col("db")).as("b_id"), col("hamming"))
+      intra.unionByName(cross).orderBy("a_id", "b_id")
     },
 
     // ---- q55: duplicate-cluster assignment — connected components over
@@ -463,18 +589,21 @@ object Dedup {
       // back the RDD, and each round frees its predecessor the moment
       // the new round is counted.
       //
-      // Scale shape: (1) only VERTICES OF EDGES iterate — near-dup
-      // pairs are sparse, so the loop runs over the dup subgraph, not
-      // the corpus; isolated docs join back once at the end. (2) Each
-      // round combines the neighbor min with a POINTER JUMP
+      // Scale shape: (1) the graph is the distinct-FINGERPRINT graph
+      // (simhashValues scaladoc) — nodes are simhash values (bounded by
+      // 2^16, collapse factor grows with corpus size), never documents;
+      // docs attach to their value's component once at the end.
+      // (2) Only vertices of edges iterate — near-dup value pairs are
+      // sparse; isolated values join back at the end. (3) Each round
+      // combines the neighbor min with a POINTER JUMP
       // (label := min(label, label(label))) — the label graph halves
       // in depth per round, so rounds = O(log diameter) instead of
       // O(diameter), and every round saved is a full shuffle+
       // materialize+count of fixed latency.
-      val pairs = simhashPairs(s, d)
+      val (sh, vp) = simhashValues(s, d)
       val (edges, edgesRdd) = GraftSqlBridge.materialized(
-        pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-          .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+        vp.select(col("va").as("u"), col("vb").as("v"))
+          .unionByName(vp.select(col("vb").as("u"), col("va").as("v"))))
       var (labels, labelsRdd) = GraftSqlBridge.materialized(
         edges.select(col("u").as("doc_id")).distinct()
           .select(col("doc_id"), col("doc_id").as("cluster_id")))
@@ -489,8 +618,8 @@ object Dedup {
       while (changed > 0 && rounds < 50) {
         // One round = ONE join + ONE aggregate. All three label
         // lookups a round needs — each neighbor's label, the POINTER
-        // JUMP label(label(u)) (cluster ids are themselves doc ids in
-        // the subgraph), and u's own label — are rendered as request
+        // JUMP label(label(u)) (labels are themselves node ids — here
+        // simhash values), and u's own label — are rendered as request
         // rows (key to look up, dst to deliver to), so a single
         // requests⋈labels equi-join + min-per-dst replaces the
         // previous three joins (neighbor-min, step, jump): 2 shuffles
@@ -535,11 +664,17 @@ object Dedup {
       // the final round's blocks back the RETURNED plan — released by
       // the caller (harness: per query) after its last action
       Caches.track(labelsRdd)
-      // isolated docs (no near-dup edge) are their own cluster
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      // value → component (isolated values are their own component),
+      // component → min doc_id over its member values, doc → cluster
+      // via its own fingerprint. Hamming-0 dups collapse here without
+      // ever appearing as graph nodes or edges.
+      val vmin = sh.groupBy("simhash").agg(min("doc_id").as("vmin"))
+      val vlab = vmin
+        .join(labels.toDF("simhash", "comp"), Seq("simhash"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("simhash")))
+      val cmin = vlab.groupBy("comp").agg(min("vmin").as("cluster_id"))
+      sh.join(vlab.join(cmin, "comp").select("simhash", "cluster_id"),
+          "simhash")
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
         .orderBy("doc_id")

@@ -1,0 +1,225 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Corpus-hygiene operators for a large-scale training-data
+  * pipeline: benchmark decontamination (n-gram overlap against a held-out
+  * test split), per-document repetition quality signals, and exact
+  * duplicated-substring span coverage. All public-literature techniques
+  * (GPT-3 appendix C decontamination; Rae et al. "Scaling Language
+  * Models" (Gopher) repetition filters; Lee et al. "Deduplicating
+  * Training Data Makes Language Models Better"), re-expressed as
+  * declarative Spark plans with exact DuckDB oracles.
+  *
+  * Scale design (100 TB):
+  *  - decontamination keys its one wide shuffle on the n-gram (open
+  *    cardinality, grows with the corpus — no hot buckets), and the test
+  *    membership probe is a window flag over that same shuffle, not a
+  *    second join;
+  *  - repetition signals are a PURE MAP pass — every statistic, including
+  *    the modal-bigram count, folds per row with higher-order functions,
+  *    so a 100 TB quality sweep reads and writes each doc exactly once
+  *    with zero shuffle;
+  *  - duplicated-span detection shuffles positional n-grams once (window
+  *    min/max per gram replaces a flag-table join) and only flagged
+  *    positions fan out to covered-token rows.
+  */
+object Hygiene {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+  /** q50's deterministic split bucket: md5(doc_id) is stable across
+    * runs/engines/cluster sizes — never rand(). */
+  private def bucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10
+
+  private val SqlBucket =
+    "CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 10"
+
+  val qs: Seq[Q] = Seq(
+    // ---- q62: benchmark decontamination — for every train-split doc,
+    //      the fraction of its distinct 5-gram shingles that also occur
+    //      in any test-split doc (GPT-3-style n-gram overlap). One
+    //      g-keyed shuffle: train and test gram rows are unioned and the
+    //      test-membership probe is a window max over the gram — the
+    //      membership "join" rides the same exchange. At production
+    //      shape the benchmark side is tiny (a benchmark suite vs a
+    //      100 TB corpus), so the degenerate-but-common alternative —
+    //      broadcast the distinct benchmark grams and left-join — is a
+    //      one-line swap; the window form is the engine-safe default
+    //      when the held-out side is NOT small (here: 10% of corpus).
+    //      Contamination flag compares integers (2·hits ≥ grams), never
+    //      a float threshold. ----
+    Q(
+      "q62_decontaminate",
+      s"""WITH b AS (SELECT doc_id, text, $SqlBucket AS bucket FROM documents),
+        |g5 AS (SELECT doc_id, bucket,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, len(string_split(text,' ')) - 3),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2] || ' ' ||
+        |           string_split(text,' ')[i+3] || ' ' ||
+        |           string_split(text,' ')[i+4]))) AS g
+        |  FROM b WHERE len(string_split(text,' ')) >= 5),
+        |t AS (SELECT DISTINCT g FROM g5 WHERE bucket = 9)
+        |SELECT g5.doc_id, count(*) AS n_grams, count(t.g) AS n_hit,
+        |  CAST(count(t.g) AS DOUBLE)/count(*) AS contamination,
+        |  CAST(CASE WHEN 2*count(t.g) >= count(*) THEN 1 ELSE 0 END AS INT)
+        |    AS contaminated
+        |FROM g5 LEFT JOIN t ON g5.g = t.g
+        |WHERE g5.bucket < 8
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = col("w")
+      val grams = Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        // val split (bucket 8) takes no part: not scanned past this filter
+        .filter(col("bucket") < 8 || col("bucket") === 9)
+        .select(col("doc_id"), col("bucket"), split(col("text"), " ").as("w"))
+        .filter(size(w) >= 5)
+        .select(col("doc_id"), col("bucket"),
+          explode(array_distinct(transform(sequence(lit(0), size(w) - 5),
+            i => concat_ws(" ", w(i), w(i + 1), w(i + 2), w(i + 3), w(i + 4)))))
+            .as("g"))
+      grams
+        .withColumn("hit",
+          max(when(col("bucket") === 9, 1).otherwise(0))
+            .over(Window.partitionBy("g")))
+        .filter(col("bucket") < 8)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("hit").as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams")).as("contamination"),
+          (lit(2) * col("n_hit") >= col("n_grams")).cast("int")
+            .as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q63: repetition quality signals (Gopher-family filters) —
+    //      duplicate-token fraction, duplicate-trigram fraction, and the
+    //      modal bigram's share of all bigrams. Everything is a per-row
+    //      fold: the modal-bigram count sorts the doc's bigram array and
+    //      folds the longest equal run with `aggregate`, so the whole
+    //      quality pass is map-only — no shuffle at any corpus size. The
+    //      oracle recomputes the modal count the dumb way (unnest +
+    //      GROUP BY); both reduce the same exact integers. ----
+    Q(
+      "q63_repetition",
+      """WITH tl AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n_tok,
+        |    len(list_distinct(w)) AS n_utok,
+        |    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE NULL END AS n_tri,
+        |    CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(w) - 1),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]))) ELSE NULL END AS n_utri
+        |  FROM tl),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i]||' '||w[i+1])) AS b
+        |  FROM tl WHERE len(w) >= 2),
+        |top AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bi
+        |  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT base.doc_id, n_tok,
+        |  CAST(n_tok - n_utok AS DOUBLE)/n_tok AS dup_token_frac,
+        |  CAST(n_tri - n_utri AS DOUBLE)/n_tri AS dup_trigram_frac,
+        |  CAST(top_c AS DOUBLE)/n_bi AS top_bigram_frac
+        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        |ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      val w = col("w")
+      // longest equal run of the SORTED bigram array = modal bigram count
+      val modalCount = aggregate(
+        array_sort(transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", w(i), w(i + 1)))),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(w).cast("long").as("n_tok"),
+          size(array_distinct(w)).cast("long").as("n_utok"),
+          when(size(w) >= 3, size(w).cast("long") - 2L).as("n_tri"),
+          when(size(w) >= 3,
+            size(array_distinct(transform(sequence(lit(0), size(w) - 3),
+              i => concat_ws(" ", w(i), w(i + 1), w(i + 2))))).cast("long"))
+            .as("n_utri"),
+          when(size(w) >= 2, modalCount).as("top_c"),
+          when(size(w) >= 2, size(w).cast("long") - 1L).as("n_bi"))
+        .select(col("doc_id"), col("n_tok"),
+          ((col("n_tok") - col("n_utok")).cast("double") / col("n_tok"))
+            .as("dup_token_frac"),
+          ((col("n_tri") - col("n_utri")).cast("double") / col("n_tri"))
+            .as("dup_trigram_frac"),
+          (col("top_c").cast("double") / col("n_bi")).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q64: duplicated-substring span coverage — for every doc, the
+    //      fraction of token positions lying inside an 8-token window
+    //      that occurs verbatim in ANOTHER doc. This is the marking pass
+    //      of exact substring dedup (Lee et al. 2022): any cross-doc
+    //      duplicated substring of length ≥ 8 is exactly the union of
+    //      its duplicated 8-gram windows, so n-gram seeds recover the
+    //      same covered set a suffix array would for spans ≥ 8. Plan:
+    //      positional 8-grams shuffle ONCE on the gram (min/max doc_id
+    //      per gram as window aggs replace a dup-flag join); only
+    //      flagged seeds explode to covered positions. ----
+    Q(
+      "q64_dup_spans",
+      """WITH tl AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i,
+        |    len(w) AS n_tok FROM tl WHERE len(w) >= 8),
+        |pg AS (SELECT p.doc_id, p.i,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+        |  FROM pos p JOIN tl ON p.doc_id = tl.doc_id),
+        |dup AS (SELECT g FROM pg GROUP BY g
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT DISTINCT pg.doc_id, unnest(range(i, i + 8)) AS p
+        |  FROM pg JOIN dup ON pg.g = dup.g),
+        |cc AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY 1)
+        |SELECT d.doc_id, len(string_split(d.text,' ')) AS n_tok,
+        |  coalesce(cc.n_covered, 0) AS n_covered,
+        |  CAST(coalesce(cc.n_covered, 0) AS DOUBLE)
+        |    / len(string_split(d.text,' ')) AS covered_frac
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      val w = col("w")
+      val pg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(w) >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(w) - 8),
+            i => concat_ws(" ", (0 until 8).map(k => w(i + k)): _*))))
+        .toDF("doc_id", "i", "g")
+      val gw = Window.partitionBy("g")
+      val covered = pg
+        .withColumn("dup",
+          min("doc_id").over(gw) =!= max("doc_id").over(gw))
+        .filter(col("dup"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 7)).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          (coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tok"))
+            .as("covered_frac"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -20,10 +20,23 @@ object Text {
 
   /** (doc_id, lang, w) distinct token sets (for set-similarity ops). */
   def tokenSet(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    tokenSetOf(Tables.documents(s, d))
+
+  /** [[tokenSet]] over an arbitrary (doc_id, lang, text) frame — lets
+    * similarity ops tokenize a collapsed/filtered doc subset instead of
+    * the whole corpus. */
+  def tokenSetOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .distinct()
+
+  /** Row-local token-SET fingerprint: md5 of the sorted distinct token
+    * list. Equal fp ⟺ equal token set (mod md5 collision) — the collapse
+    * key that lets set-similarity joins run over distinct contents
+    * instead of documents. */
+  def setFp: Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
 
   /** (doc_id, lang, g) distinct 3-gram shingle sets — the n-gram unit
     * of near-dup detection (docs shorter than 3 tokens have none). */
