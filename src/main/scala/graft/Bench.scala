@@ -32,7 +32,14 @@ object Bench {
     // fixed name order: Map hash order reshuffles whenever a query is
     // added, which silently changes each query's timing CONTEXT
     // (predecessor's cache teardown, JIT state) between rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local iteration on hot
+    // queries (e.g. SPARK_GRAFT_ONLY=q28_jaccard_pairs,q29_minhash_lsh);
+    // absent → the full registry, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

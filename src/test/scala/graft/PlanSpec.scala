@@ -95,7 +95,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup vocab ids avoid the single-partition window") {
+    // at this sf the adaptive collapse is off (shouldCollapse=false), so
+    // ANY Window in the plan could only be the vocab id assignment; the
+    // collapse path's fp-keyed groupIds window is partitioned and fine
     val p = planOf(SparkEntry.queries("q29_minhash_lsh")(spark, sf))
     assert(!p.contains("Window"), "vocab id assignment must not plan a WindowExec")
+  }
+
+  test("q62: decontamination is join-free — membership rides the gram shuffle") {
+    val p = planOf(SparkEntry.queries("q62_decontaminate")(spark, sf))
+    // train grams and test grams come from ONE corpus scan; the test
+    // membership probe is a window flag over the gram exchange, never a
+    // second gram relation joined back
+    // formatted explain lists each node twice (tree + details)
+    assert("Scan parquet".r.findAllIn(p).size == 2, "one corpus scan")
+    assert(!p.contains("Join"), "no join operator of any kind")
+    assert(p.contains("Window"), "membership probe is the gram window")
+  }
+
+  test("q63: repetition signals are map-only — no exchange before the final sort") {
+    val p = planOf(SparkEntry.queries("q63_repetition")(spark, sf))
+    // every statistic (incl. the modal-bigram count) folds per row: the
+    // only exchange allowed is the final ORDER BY's range partitioning
+    // formatted explain lists each node twice (tree + details)
+    assert("Exchange".r.findAllIn(p).size == 2, "only the final sort exchange")
+    assert(p.contains("rangepartitioning"), "and it is the ORDER BY")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("q64: dup-span flag is a partitioned window over the gram shuffle, not a flag join") {
+    val p = planOf(SparkEntry.queries("q64_dup_spans")(spark, sf))
+    assert(p.contains("Window"), "min/max-per-gram rides the gram exchange")
+    assert(!p.contains("Exchange SinglePartition"),
+      "gram window must be key-partitioned")
+    // the only join attaches per-doc covered counts back to the corpus
+    // formatted explain lists each node twice (tree + details)
+    assert("Join".r.findAllIn(p).size <= 2, "no dup-flag join")
   }
 }
