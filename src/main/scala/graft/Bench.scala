@@ -16,10 +16,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up at the smallest sf: JIT + codegen + parquet-reader paths,
     // so per-query timings measure the engine, not JVM cold start.
+    // optional comma-separated subset for local iteration on hot
+    // queries (e.g. SPARK_GRAFT_ONLY=q28_jaccard_pairs,q29_minhash_lsh);
+    // absent → the full registry, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (only.forall(_.contains(name)))
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
     // drop warm-up caches before any timing starts
     Caches.release()
@@ -32,11 +38,6 @@ object Bench {
     // fixed name order: Map hash order reshuffles whenever a query is
     // added, which silently changes each query's timing CONTEXT
     // (predecessor's cache teardown, JIT state) between rounds
-    // optional comma-separated subset for local iteration on hot
-    // queries (e.g. SPARK_GRAFT_ONLY=q28_jaccard_pairs,q29_minhash_lsh);
-    // absent → the full registry, which is what the driver runs
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

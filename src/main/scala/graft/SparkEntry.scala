@@ -20,6 +20,8 @@ object SparkEntry {
       llmdata.TextAnalysis.qs ++
       llmdata.Curation.qs ++
       llmdata.Hygiene.qs ++
+      llmdata.Packing.qs ++
+      llmdata.Indexing.qs ++
       llmdata.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

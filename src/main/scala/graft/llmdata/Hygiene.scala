@@ -221,5 +221,41 @@ object Hygiene {
             .as("covered_frac"))
         .orderBy("doc_id")
     },
+
+    // ---- q66: PII pattern scrub — regex redaction with per-record
+    //      match accounting, the pre-training privacy pass (C4 /
+    //      RefinedWeb-style rule-based PII removal; public literature).
+    //      Run over the raw event payloads (`events.props`, the
+    //      free-text-bearing column of this testdata): numeric literals
+    //      redact to `<NUM>` (live path — every row matches), the email
+    //      pattern proves the zero-match pass-through. The patterns are
+    //      RE2/Java-regex common subset, so both engines see the same
+    //      language. Pure map pass: at 100 TB the scrub reads and
+    //      writes each record exactly once with zero shuffle (the
+    //      ORDER BY is the verification harness's, not the op's). ----
+    Q(
+      "q66_pii_scrub",
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(
+        |    regexp_replace(props,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM events ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      Tables.events(s, d)
+        .select(col("event_id"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_nums"),
+          size(regexp_extract_all(col("props"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          regexp_replace(
+            regexp_replace(col("props"), email, "<EMAIL>"),
+            "[0-9]+", "<NUM>").as("scrubbed"))
+        .orderBy("event_id")
+    },
   )
 }

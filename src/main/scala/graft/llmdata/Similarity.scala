@@ -354,5 +354,64 @@ object Similarity {
         .toDF("a_id", "b_id")
         .orderBy("a_id", "b_id")
     },
+
+    // ---- q68: k-NN label propagation — predict each query vector's
+    //      label as the majority label of its 10 nearest neighbors by
+    //      cosine (tie → smallest label), the auto-labeling /
+    //      semantic-filtering pass of an embedding pipeline (classify
+    //      unlabeled corpus docs from a labeled seed set; public
+    //      kNN-classifier semantics). Same scale shape as q31: the
+    //      query set broadcasts, the corpus is never shuffled, ranking
+    //      is a per-query window; the vote is an integer count —
+    //      scores never leave the engine, so the output is exact
+    //      integers (rank margins ≫ 1 ulp, as q31/q59 pin). ----
+    Q(
+      "q68_knn_label",
+      """WITH cos AS (
+        |  SELECT a.vec_id AS q_id, a.label AS tl, b.vec_id AS n_id,
+        |    b.label AS nl,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 50),
+        |top AS (SELECT q_id, tl, nl FROM (
+        |    SELECT q_id, tl, nl,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |    FROM cos)
+        |  WHERE rn <= 10),
+        |v AS (SELECT q_id, tl, nl, CAST(count(*) AS BIGINT) AS votes
+        |  FROM top GROUP BY 1, 2, 3)
+        |SELECT q_id, CAST(tl AS INT) AS true_label,
+        |  CAST(nl AS INT) AS pred_label, votes,
+        |  CAST(tl = nl AS INT) AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY votes DESC, nl) AS vr FROM v)
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("tl"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      val rankW = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      val votes = scored
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10)
+        .groupBy(col("q_id"), col("tl"), col("label").as("nl"))
+        .agg(count(lit(1)).as("votes"))
+      val voteW = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("nl"))
+      votes
+        .withColumn("vr", row_number().over(voteW))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("tl").cast("int").as("true_label"),
+          col("nl").cast("int").as("pred_label"), col("votes"),
+          (col("tl") === col("nl")).cast("int").as("correct"))
+        .orderBy("q_id")
+    },
   )
 }
