@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - both ops reduce token rows with map-side partial aggregation
   *    before any exchange, so shuffle volume is O(distinct (doc, term))
-  *    resp. O(distinct terms), never O(token occurrences);
+  *    resp. O(distinct (term, segment)), never O(token occurrences);
   *  - the document-frequency table derives FROM the per-doc aggregate
   *    (one extra term-keyed shuffle of doc-level rows) and joins back
   *    broadcast — at an open web-scale vocabulary AQE degrades it to a
@@ -63,32 +63,40 @@ object Indexing {
         .orderBy("doc_id", "rank")
     },
 
-    // ---- q69: inverted index — one row per term: document frequency,
-    //      collection frequency, and the sorted posting list (rendered
-    //      as a canonical comma-joined string: identical bytes in both
-    //      engines, no array-typed output to hash). The build is the
-    //      classic two-level aggregate: (term, doc) partial counts,
-    //      then per-term fold; posting order is pinned by array_sort,
-    //      so the result is partition-order-proof. ----
+    // ---- q69: inverted index — posting lists built as SEGMENTS of
+    //      1000 doc-ids (Lucene-style): one row per (term, segment)
+    //      with segment-local document/collection frequency and the
+    //      sorted posting list (rendered as a canonical comma-joined
+    //      string: identical bytes in both engines, no array-typed
+    //      output to hash). The segment key is STRUCTURAL scale
+    //      safety: a stop word's postings grow with the corpus, so a
+    //      per-term `collect_list` would fold 100 TB worth of doc-ids
+    //      into one row — the segment bound caps every aggregation
+    //      group at 1000 entries no matter how common the term.
+    //      Term-level df/cf are an additive rollup of the segments.
+    //      Build is the classic two-level aggregate: (term, doc)
+    //      partial counts, then the per-(term, segment) fold; posting
+    //      order is pinned by array_sort ⇒ partition-order-proof. ----
     Q(
       "q69_inverted_index",
       s"""WITH toks AS (${Text.SqlTokens}),
         |td AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
         |  FROM toks GROUP BY 1, 2)
-        |SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
-        |  CAST(sum(c) AS BIGINT) AS cf,
+        |SELECT w AS term, doc_id // 1000 AS segment,
+        |  CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf,
         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
-        |FROM td GROUP BY w ORDER BY term""".stripMargin,
+        |FROM td GROUP BY 1, 2 ORDER BY term, segment""".stripMargin,
     ) { (s, d) =>
       Text.tokens(s, d)
         .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
-        .groupBy("w")
+        .groupBy(col("w"), expr("doc_id div 1000").as("segment"))
         .agg(count(lit(1)).as("df"), sum("c").as("cf"),
           array_join(
             transform(array_sort(collect_list(col("doc_id"))),
               x => x.cast("string")), ",").as("postings"))
-        .select(col("w").as("term"), col("df"), col("cf"), col("postings"))
-        .orderBy("term")
+        .select(col("w").as("term"), col("segment"), col("df"), col("cf"),
+          col("postings"))
+        .orderBy("term", "segment")
     },
   )
 }

@@ -123,13 +123,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q65: packing is one key-partitioned window — no join, no single-partition stage") {
+    val p = planOf(SparkEntry.queries("q65_pack_sequences")(spark, sf))
+    assert(p.contains("Window"), "running offset must be a window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the (lang, source) window must stay key-partitioned")
+    assert(!p.contains("Join"), "packing needs no join")
+  }
+
+  test("q66: scrub is map-only — the only exchange is the final ORDER BY") {
+    val p = planOf(SparkEntry.queries("q66_pii_scrub")(spark, sf))
+    // formatted explain lists each node twice (tree + details)
+    assert("Exchange".r.findAllIn(p).size == 2, "only the final sort exchange")
+    assert(p.contains("rangepartitioning"), "and it is the ORDER BY")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("q67: tf aggregation is partial before the shuffle; corpus size is a broadcast scalar") {
+    val p = planOf(SparkEntry.queries("q67_tfidf_topterms")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expect partial + final HashAggregate for tf and df")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row corpus-size aggregate must broadcast, never shuffle the tf side")
+  }
+
   test("q64: dup-span flag is a partitioned window over the gram shuffle, not a flag join") {
     val p = planOf(SparkEntry.queries("q64_dup_spans")(spark, sf))
     assert(p.contains("Window"), "min/max-per-gram rides the gram exchange")
     assert(!p.contains("Exchange SinglePartition"),
       "gram window must be key-partitioned")
-    // the only join attaches per-doc covered counts back to the corpus
-    // formatted explain lists each node twice (tree + details)
-    assert("Join".r.findAllIn(p).size <= 2, "no dup-flag join")
+    // the only join attaches per-doc covered counts back to the corpus.
+    // count join OPERATORS (tree + details header = 2 mentions each);
+    // a bare "Join" match would also hit the "Join type:"/"Join
+    // condition:" detail lines
+    val joinOps =
+      "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin"
+        .r.findAllIn(p).size
+    assert(joinOps <= 2, s"no dup-flag join (found $joinOps operator mentions)")
   }
 }
