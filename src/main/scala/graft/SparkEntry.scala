@@ -21,6 +21,7 @@ object SparkEntry {
       llmdata.Curation.qs ++
       llmdata.Hygiene.qs ++
       llmdata.Packing.qs ++
+      llmdata.Mixing.qs ++
       llmdata.Indexing.qs ++
       llmdata.Multimodal.qs
 

@@ -1,16 +1,17 @@
 package graft.llmdata
 
-import graft.Q
+import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** `[EXT]` Term-statistics operators over the `documents` corpus:
-  * per-document TF-IDF keyterms and the inverted index (posting lists)
+  * per-document TF-IDF keyterms, the inverted index (posting lists),
+  * BM25 retrieval over that index, and a corpus-frequency rarity score
   * — the retrieval-side components of a training-data pipeline
   * (corpus search, relevance-based filtering, data-mix diagnostics).
   *
   * Scale design (100 TB):
-  *  - both ops reduce token rows with map-side partial aggregation
+  *  - every op reduces token rows with map-side partial aggregation
   *    before any exchange, so shuffle volume is O(distinct (doc, term))
   *    resp. O(distinct (term, segment)), never O(token occurrences);
   *  - the document-frequency table derives FROM the per-doc aggregate
@@ -23,7 +24,14 @@ import org.apache.spark.sql.functions._
   *  - TF-IDF scores use the rational form tf·N/df computed as ONE
   *    integer product cast to double and ONE division — exact integers
   *    into one IEEE op each ⇒ bit-identical across engines (Q.scala
-  *    float policy), with the term as deterministic tie-break.
+  *    float policy), with the term as deterministic tie-break. BM25
+  *    (q70) keeps the full Robertson tf saturation but swaps the log
+  *    idf for its rational argument (N-df+0.5)/(df+0.5) — log is the
+  *    one transcendental whose last ulp the two engines do not
+  *    guarantee to agree on, and the swap is rank-preserving for any
+  *    fixed tf side because ln is monotone. Per-term partials add in a
+  *    PINNED order (one CASE slot per query term, never SUM over an
+  *    unordered group), because float addition does not reassociate.
   */
 object Indexing {
 
@@ -97,6 +105,114 @@ object Indexing {
         .select(col("w").as("term"), col("segment"), col("df"), col("cf"),
           col("postings"))
         .orderBy("term", "segment")
+    },
+
+    // ---- q70: BM25 retrieval — top-10 documents for a fixed 3-term
+    //      query (k1=1.2, b=0.75; rational idf, see object scaladoc).
+    //      The plan is the serving shape of q69's index: the scan
+    //      filters to query terms INSIDE the per-row token array (so
+    //      the explode fans out only matching occurrences), doc length
+    //      rides the same row (no corpus join), df and the corpus
+    //      scalar (N, total tokens) are broadcast 3-row / 1-row
+    //      aggregates, and the final top-k is TakeOrderedAndProject —
+    //      never a global window. Per-term scores land in one pinned
+    //      CASE slot each and add in query order. ----
+    Q(
+      "q70_bm25",
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t WHERE w IN ('dup','spark','vector') GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, dl, w,
+        |    ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf AS DOUBLE) * 2.2)
+        |       / (CAST(tf AS DOUBLE)
+        |          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                  / (CAST(toks AS DOUBLE) / n)))))
+        |      AS s
+        |  FROM tf JOIN df USING (w) CROSS JOIN st)
+        |SELECT doc_id, min(dl) AS dl,
+        |  coalesce(max(CASE WHEN w = 'dup' THEN s END), 0.0)
+        |  + coalesce(max(CASE WHEN w = 'spark' THEN s END), 0.0)
+        |  + coalesce(max(CASE WHEN w = 'vector' THEN s END), 0.0) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      val terms = Seq("dup", "spark", "vector")
+      val arr = col("arr")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), size(arr).cast("long").as("dl"),
+          explode(filter(arr,
+            x => terms.map(x === _).reduce(_ || _))).as("w"))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val st = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " "))).cast("long").as("toks"))
+      // expression shapes mirror the oracle EXACTLY — float ops do not
+      // reassociate, so same tree ⇒ same bits
+      val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val avgdl = col("toks").cast("double") / col("n")
+      val den = col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      val sTerm = idf * ((col("tf").cast("double") * lit(2.2)) / den)
+      def slot(t: String) =
+        coalesce(max(when(col("w") === t, col("s"))), lit(0.0))
+      tf.join(broadcast(dfT), "w")
+        .join(broadcast(st))
+        .withColumn("s", sTerm)
+        .groupBy("doc_id")
+        .agg(min("dl").as("dl"),
+          (slot("dup") + slot("spark") + slot("vector")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // ---- q71: rare-token rarity score — per document, the mean
+    //      corpus document-frequency of its token OCCURRENCES,
+    //      normalized by corpus size: sum(tf·df) / (n_tok·N) ∈ (0, 1].
+    //      Low = rare-vocabulary document (novelty / OOD signal; the
+    //      no-transcendental analog of unigram-LM surprisal — exactly
+    //      monotone in the linear-probability mean). The whole score
+    //      reduces to ONE division of two exact integers, so it is
+    //      bit-stable no matter how partial aggregation orders the
+    //      sums. Plan: (doc, term) partial counts → term-keyed df join
+    //      (broadcast here; AQE shuffles it at open vocabulary, on the
+    //      key the rows already carry) → doc-keyed exact integer sums. ----
+    Q(
+      "q71_rare_token_score",
+      s"""WITH toks AS (${Text.SqlTokens}),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+        |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |    CAST(sum(tf * df) AS BIGINT) AS sum_tfdf
+        |  FROM tf JOIN df USING (w) GROUP BY 1)
+        |SELECT doc_id, n_tok, sum_tfdf,
+        |  CAST(sum_tfdf AS DOUBLE) / (n_tok * n) AS mean_df_frac
+        |FROM s CROSS JOIN n ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val tf = Text.tokens(s, d)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = tf.agg(count_distinct(col("doc_id")).as("n"))
+      tf.join(broadcast(dfT), "w")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tok"),
+          sum(col("tf") * col("df")).as("sum_tfdf"))
+        .join(broadcast(n))
+        .select(col("doc_id"), col("n_tok"), col("sum_tfdf"),
+          (col("sum_tfdf").cast("double") / (col("n_tok") * col("n")))
+            .as("mean_df_frac"))
+        .orderBy("doc_id")
     },
   )
 }

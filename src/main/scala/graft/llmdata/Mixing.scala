@@ -1,0 +1,100 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Data-mixture operators: the selection passes that turn a
+  * curated corpus into a training mix — per-source token-budget caps
+  * (the "data recipe" knob every pretraining run tunes: LLaMA/GPT-3
+  * report per-source sampling proportions; public literature) and
+  * weighted sampling without replacement (priority sampling à la
+  * Efraimidis–Spirakis, here with a deterministic hash in place of
+  * rand()).
+  *
+  * Scale design (100 TB):
+  *  - both ops are ONE window over the mixture key ((source) resp.
+  *    (lang)) — open-cardinality keys in a real corpus (crawl shard,
+  *    registered language), so no partition grows with corpus size and
+  *    there is no join, no global sort, no driver materialization;
+  *  - selection order inside a key is md5(doc_id) — engine- and
+  *    cluster-stable, reproducible across reruns, never rand() (q50's
+  *    split lesson): a re-run on different partitioning picks the SAME
+  *    mix, which is what makes the recipe auditable;
+  *  - all accounting is exact integer arithmetic (cumulative token
+  *    sums, row-number ranks); the one double (q73's priority) is a
+  *    single IEEE division of exact inputs, bit-identical across
+  *    engines.
+  */
+object Mixing {
+
+  /** Per-source token budget. Small relative to a source's ~1.5k test
+    * tokens so the cumsum cutoff is well exercised at every sf. */
+  private val Budget = 600
+
+  val qs: Seq[Q] = Seq(
+    // ---- q72: token-budget mixing — within each source, admit docs
+    //      in md5 order until the source's token budget is spent
+    //      (admit while cumulative tokens ≤ budget). Emits the kept
+    //      docs with their cumulative position, i.e. the reproducible
+    //      "data recipe" manifest. ----
+    Q(
+      "q72_token_budget_mix",
+      s"""WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok
+        |FROM c WHERE cum_tok <= $Budget ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("cum_tok", sum("n_tok").over(w))
+        .filter(col("cum_tok") <= Budget)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q73: weighted sample without replacement — top-10 docs per
+    //      lang under length-proportional weights. Priority sampling:
+    //      key = hash(doc) / weight, keep the k smallest per stratum
+    //      (heavier docs draw smaller keys ⇒ higher inclusion odds —
+    //      the hash-determinized Efraimidis–Spirakis one-pass scheme).
+    //      The 60-bit md5 prefix is the uniform draw; the only float
+    //      is one division of exact inputs. ----
+    Q(
+      "q73_weighted_sample",
+      """WITH t AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |    CAST(h AS DOUBLE) / n_chars AS priority FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY priority, doc_id) AS rk FROM p)
+        |SELECT doc_id, lang, n_chars, priority, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long")
+          .as("n_chars"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .withColumn("priority", col("h").cast("double") / col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("lang", "rk")
+    },
+  )
+}

@@ -429,5 +429,59 @@ object EventOps {
           col("ts").as("first_ts"))
         .orderBy("user_id")
     },
+
+    // ---- q74: SCD2 interval build — compress each user's event
+    //      stream into type-2 slowly-changing-dimension rows: one row
+    //      per run of equal `event_type`, with [valid_from, valid_to)
+    //      validity and a current flag. This is the dimension-history
+    //      twin of the as-of join (q54/q57): as-of probes an interval
+    //      table; this op BUILDS it from a change log (classic
+    //      warehouse CDC → SCD2 compaction). Plan: change flag (lag ≠
+    //      current) → run id (cumulative sum) → per-run aggregate →
+    //      valid_to (lead of the next run's start). All four steps key
+    //      on user_id, so Catalyst plans ONE exchange and sorts reused
+    //      across the windows and the aggregate; everything is exact
+    //      (timestamps, ints, strings). ----
+    Q(
+      "q74_scd2",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM o),
+        |g AS (SELECT user_id, version, min(event_type) AS state,
+        |    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  CAST(lead(valid_from) OVER wv IS NULL AS INT) AS is_current,
+        |  n_events
+        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      Tables.events(s, d)
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("version", sum("chg").over(run))
+        .groupBy("user_id", "version")
+        .agg(min("event_type").as("state"), min("ts").as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"),
+          lead("valid_from", 1).over(wv).as("valid_to"),
+          lead("valid_from", 1).over(wv).isNull.cast("int").as("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "version")
+    },
   )
 }

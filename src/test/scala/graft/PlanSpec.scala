@@ -161,4 +161,37 @@ class PlanSpec extends SparkSpec {
         .r.findAllIn(p).size
     assert(joinOps <= 2, s"no dup-flag join (found $joinOps operator mentions)")
   }
+
+  test("q70: BM25 serving — df and corpus scalar broadcast; top-k is TakeOrdered") {
+    val p = planOf(SparkEntry.queries("q70_bm25")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not be a global sort or window")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "the 3-row df table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange SinglePartition"),
+      "the corpus side must never shuffle for the tiny join sides")
+  }
+
+  test("q72/q73: mixture selection is one key-partitioned window — no join") {
+    for (q <- Seq("q72_token_budget_mix", "q73_weighted_sample")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("Window"), s"$q: selection must be a window")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: the mixture-key window must stay key-partitioned")
+      assert(!p.contains("Join"), s"$q: selection needs no join")
+    }
+  }
+
+  test("q74: SCD2 build reuses ONE user-keyed exchange across windows and aggregate") {
+    val p = planOf(SparkEntry.queries("q74_scd2")(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      "every stage must stay user-partitioned")
+    // expected exchanges: one hashpartitioning(user_id) for the
+    // change-flag/run-id windows + per-run aggregate + valid_to window
+    // (all the same key), and the final ORDER BY range exchange.
+    // formatted explain mentions each node twice (tree + details).
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2,
+      s"all user-keyed stages must share one exchange (found $hashEx mentions)")
+  }
 }
