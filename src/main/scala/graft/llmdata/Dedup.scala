@@ -133,6 +133,26 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Ordered-pair twin of [[expandPairs]] for the asymmetric
+    * containment join (q75): intra-group expansion emits BOTH
+    * directions of every member pair (identical sets contain each
+    * other exactly, containment 1.0), and cross-group rep pairs expand
+    * direction-preserving — C(a→b) depends only on the token sets, so
+    * every (member of A) → (member of B) pair carries the rep pair's
+    * value verbatim. */
+  private def expandOrderedPairs(members: DataFrame, repPairs: DataFrame)
+      : DataFrame = {
+    val intra = members.select(col("doc_id").as("a_id"), col("gid"))
+      .join(members.select(col("doc_id").as("b_id"), col("gid")), "gid")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(members.select(col("doc_id").as("da"), col("gid").as("a_id")), "a_id")
+      .join(members.select(col("doc_id").as("db"), col("gid").as("b_id")), "b_id")
+      .select(col("da").as("a_id"), col("db").as("b_id"), col("containment"))
+    intra.unionByName(cross)
+  }
+
   /** (doc_id, gid) where gid = the group's min doc_id under the given
     * collapse key — the numeric group id [[expandPairs]] expects (and
     * the representative's own id: `doc_id === gid` picks reps). */
@@ -333,6 +353,102 @@ object Dedup {
         .filter(col("jaccard") >= 0.95)
         .select("a_id", "b_id", "jaccard")
       (if (collapse) expandPairs(members, repPairs) else repPairs)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- q75: token-set CONTAINMENT join — ordered pairs (a, b) with
+    //      |A∩B|/|A| ≥ 0.95: a's content is (near-)inside b. The
+    //      asymmetric dup case Jaccard misses entirely — a quote page
+    //      inside a long article scores J = |A|/|B| ≈ 0 but C(a→b) = 1
+    //      (SSJoin containment semantics; Chaudhuri et al., public
+    //      literature). Candidates: the contained side's PPJoin prefix
+    //      (rarest (1−t)·|A|+1 tokens) probes the FULL inverted index —
+    //      containment puts no size bound on the container, so only the
+    //      probe side prunes, and rarest-first ordering keeps the
+    //      probed buckets the smallest ones. The probe side is always
+    //      the SMALLER set: if ANY direction passes then ni ≥ t·min(nw)
+    //      and the smaller→larger direction passes too, so
+    //      prefix(smaller) ⋈ index(larger) finds every qualifying pair
+    //      at half the unrestricted join's output. One bitmap verify
+    //      per candidate emits whichever directions pass. Runs over
+    //      exact-dup representatives when the collapse pays
+    //      (shouldCollapse), like q28/q29. ----
+    Q(
+      "q75_containment",
+      s"""WITH words AS (${Text.SqlTokenSet}),
+        |wc AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM words a JOIN words b
+        |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT a_id, b_id, ni, ca.nw AS nw_a
+        |  FROM inter JOIN wc ca ON ca.doc_id = a_id
+        |  UNION ALL
+        |  SELECT b_id AS a_id, a_id AS b_id, ni, cb.nw AS nw_a
+        |  FROM inter JOIN wc cb ON cb.doc_id = b_id)
+        |SELECT a_id, b_id, CAST(ni AS DOUBLE)/nw_a AS containment
+        |FROM dirs WHERE CAST(ni AS DOUBLE)/nw_a >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin,
+    ) { (s, d) =>
+      val members = Caches.persist(groupIds(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), Text.setFp.as("fp")),
+        Seq("lang", "fp")))
+      val collapse = shouldCollapse(members)
+      val joinDocs =
+        if (!collapse) Tables.documents(s, d)
+        else Tables.documents(s, d)
+          .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+      val p = bitmapPlan(Text.tokenSetOf(joinDocs))
+      val tokDf = p.bits.groupBy("lang", "w").agg(count(lit(1)).as("df"))
+      val aggs = p.maskAggs :+
+        array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
+      val sets = p.bits.join(tokDf, Seq("lang", "w"))
+        .groupBy("doc_id", "lang")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("mask", p.maskCol)
+        // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
+        .withColumn("plen",
+          (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
+        .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
+        .select("doc_id", "lang", "nw", "mask", "pre", "toks")
+        .transform(Caches.persist)
+      val pre = sets.select(col("doc_id").as("doc_id_a"),
+        col("lang").as("lang_a"), col("nw").as("pnw_a"),
+        explode(col("pre")).as("pw"))
+      // the container side re-explodes the cached per-doc token list —
+      // no second pass over the raw corpus, no doc-count join
+      val full = sets.select(col("doc_id").as("doc_id_b"),
+        col("lang").as("lang_b"), col("nw").as("pnw_b"),
+        explode(expr("transform(toks, t -> t.w)")).as("w"))
+      // probe = smaller set (ties broken by id); verify decides the
+      // passing direction(s)
+      val cand = pre.join(full,
+        col("pw") === col("w") && col("lang_a") === col("lang_b") &&
+          (col("pnw_a") < col("pnw_b") ||
+            (col("pnw_a") === col("pnw_b") &&
+              col("doc_id_a") < col("doc_id_b"))))
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+        .distinct()
+      val ni = maskIntersect(col("mask_a"), col("mask_b"))
+      val verified = cand
+        .join(sets.select(col("doc_id").as("a_id"),
+          col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"),
+          col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
+        .withColumn("ni", ni)
+        .transform(Caches.persist)
+      def dir(x: String, y: String) = verified
+        .withColumn("containment",
+          col("ni").cast("double") / col(s"nw_$x"))
+        .filter(col("containment") >= 0.95)
+        .select(col(s"${x}_id").as("a_id"), col(s"${y}_id").as("b_id"),
+          col("containment"))
+      val repPairs = dir("a", "b").unionByName(dir("b", "a"))
+      (if (collapse) expandOrderedPairs(members, repPairs) else repPairs)
         .orderBy("a_id", "b_id")
     },
 

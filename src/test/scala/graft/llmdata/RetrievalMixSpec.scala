@@ -75,6 +75,24 @@ class RetrievalMixSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q75: containment ⊇ Jaccard — every J≥0.95 pair appears in both directions") {
+    val cont = SparkEntry.queries("q75_containment")(spark, sf).cache()
+    try {
+      assert(cont.filter(col("containment") < 0.95 || col("containment") > 1.0)
+        .count() == 0, "containment is within [t, 1]")
+      assert(cont.filter(col("a_id") === col("b_id")).count() == 0)
+      // J(A,B) ≥ t implies C(a→b) ≥ t and C(b→a) ≥ t (intersection over
+      // a smaller denominator), so the Jaccard join's pairs embed here
+      // in BOTH directions
+      val jac = SparkEntry.queries("q28_jaccard_pairs")(spark, sf)
+        .select(col("a_id"), col("b_id"))
+      val both = jac.unionByName(
+        jac.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val missing = both.join(cont, Seq("a_id", "b_id"), "left_anti")
+      assert(missing.count() == 0, "jaccard pairs must all be contained")
+    } finally cont.unpersist()
+  }
+
   test("q74: SCD2 intervals — contiguous versions, non-overlapping validity, one current row") {
     val out = SparkEntry.queries("q74_scd2")(spark, sf).cache()
     try {
