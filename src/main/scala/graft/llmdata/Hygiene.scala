@@ -222,6 +222,53 @@ object Hygiene {
         .orderBy("doc_id")
     },
 
+    // ---- q77: weakest-link bigram plausibility — per document, the
+    //      MINIMUM corpus-conditional bigram probability p(w2|w1) =
+    //      c(w1 w2)/c(w1·) over the doc's distinct bigrams. The
+    //      no-transcendental analog of a bigram-LM surprisal filter
+    //      (KenLM-style perplexity gates; public literature): one
+    //      implausible transition tanks the score, flagging spliced or
+    //      shuffled text that token-level stats miss. Determinism: each
+    //      probability is ONE division of two exact corpus counts and
+    //      `min` is order-free, so no float-summation-order hazard
+    //      exists at any parallelism. Plan: bigram occurrences reduce
+    //      map-side into the two count tables (bigram-keyed and
+    //      prefix-keyed); the doc's distinct bigrams join both on keys
+    //      they already carry and fold min per doc. ----
+    Q(
+      "q77_bigram_minprob",
+      """WITH tl AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i FROM tl
+        |  WHERE len(w) >= 2),
+        |bg AS (SELECT p.doc_id, w[i] AS w1, w[i]||' '||w[i+1] AS b
+        |  FROM pos p JOIN tl ON p.doc_id = tl.doc_id),
+        |c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |db AS (SELECT DISTINCT doc_id, w1, b FROM bg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |  min(CAST(c2 AS DOUBLE)/c1) AS min_bigram_p
+        |FROM db JOIN c2 USING (b) JOIN c1 USING (w1)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = col("w")
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(w) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(w) - 2),
+            i => struct(w(i).as("w1"),
+              concat_ws(" ", w(i), w(i + 1)).as("b")))).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.b").as("b"))
+      val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bg.distinct()
+        .join(c2, "b").join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_bigrams"),
+          min(col("c2").cast("double") / col("c1")).as("min_bigram_p"))
+        .orderBy("doc_id")
+    },
+
     // ---- q66: PII pattern scrub — regex redaction with per-record
     //      match accounting, the pre-training privacy pass (C4 /
     //      RefinedWeb-style rule-based PII removal; public literature).

@@ -413,5 +413,50 @@ object Similarity {
           (col("tl") === col("nl")).cast("int").as("correct"))
         .orderBy("q_id")
     },
+
+    // ---- q76: hard-negative mining — for each query vector, the 5
+    //      most-similar vectors carrying a DIFFERENT label (the
+    //      contrastive-training pair generator: high-similarity,
+    //      wrong-class examples are the negatives that move an
+    //      embedding model; SBERT/DPR-style mining, public
+    //      literature). Same scale shape as q68: queries broadcast,
+    //      corpus never shuffled, per-query ranking window; the label
+    //      inequality rides the join condition so same-class pairs
+    //      never leave the probe. Scores stay internal (rank margins
+    //      ≫ 1 ulp, as q31/q59 pin); output is exact integers. ----
+    Q(
+      "q76_hard_negatives",
+      """WITH cos AS (
+        |  SELECT a.vec_id AS q_id, a.label AS tl, b.vec_id AS n_id,
+        |    b.label AS nl,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.label != a.label
+        |  WHERE a.vec_id < 50)
+        |SELECT q_id, CAST(tl AS INT) AS true_label, n_id AS neg_id,
+        |  CAST(nl AS INT) AS neg_label, CAST(rn AS INT) AS rank
+        |FROM (SELECT q_id, tl, n_id, nl,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("tl"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val rankW = Window.partitionBy("q_id")
+        .orderBy(col("c").desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("tl"))
+        .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("tl").cast("int").as("true_label"),
+          col("vec_id").as("neg_id"), col("label").cast("int").as("neg_label"),
+          col("rn").cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    },
   )
 }

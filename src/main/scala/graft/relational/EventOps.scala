@@ -483,5 +483,55 @@ object EventOps {
           col("n_events"))
         .orderBy("user_id", "version")
     },
+
+    // ---- q78: session dialogue assembly — concatenate each (user,
+    //      session)'s event types, in event-time order, into one
+    //      training-sequence string (the SFT/interaction-data assembly
+    //      pass: per-conversation turn concatenation; sessions from
+    //      q39's 6 h inactivity rule). Ordering inside the string is
+    //      pinned by sorting (ts, event_id, type) STRUCTS inside the
+    //      aggregated array — partition-order-proof, no
+    //      `collect_list`-order assumption (Spark documents it as
+    //      nondeterministic). Scale: both windows and the aggregate
+    //      key on user_id (one exchange); a session's turn count is
+    //      bounded by user activity, never corpus size. ----
+    Q(
+      "q78_dialogue_pack",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sess_id
+        |  FROM g)
+        |SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS dialogue
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(lag("ts", 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) >
+              21600000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_turns"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), " ").as("dialogue"))
+        .orderBy("user_id", "sess_id")
+    },
   )
 }

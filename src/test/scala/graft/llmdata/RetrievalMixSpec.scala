@@ -93,6 +93,40 @@ class RetrievalMixSpec extends SparkSpec {
     } finally cont.unpersist()
   }
 
+  test("q76: hard negatives — never the query's own label, dense ranks 1..5") {
+    val out = SparkEntry.queries("q76_hard_negatives")(spark, sf).cache()
+    try {
+      assert(out.filter(col("neg_label") === col("true_label")).count() == 0,
+        "a hard negative must carry a different label")
+      val ranks = out.groupBy("q_id")
+        .agg(min("rank").as("lo"), max("rank").as("hi"),
+          count(lit(1)).as("n")).collect()
+      ranks.foreach { r =>
+        assert(r.getAs[Int]("lo") == 1 &&
+          r.getAs[Int]("hi") == r.getAs[Long]("n") && r.getAs[Long]("n") <= 5)
+      }
+    } finally out.unpersist()
+  }
+
+  test("q77: weakest-link bigram probability is a conditional probability in (0,1]") {
+    val out = SparkEntry.queries("q77_bigram_minprob")(spark, sf)
+    assert(out.filter(col("min_bigram_p") <= 0.0 || col("min_bigram_p") > 1.0)
+      .count() == 0)
+    assert(out.filter(col("n_distinct_bigrams") < 1).count() == 0)
+  }
+
+  test("q78: dialogue assembly — turn counts match the string and partition all events") {
+    val out = SparkEntry.queries("q78_dialogue_pack")(spark, sf).cache()
+    try {
+      val bad = out.filter(
+        size(split(col("dialogue"), " ")) =!= col("n_turns"))
+      assert(bad.count() == 0, "dialogue token count equals n_turns")
+      val total = out.agg(sum("n_turns")).head.getLong(0)
+      val events = graft.Tables.events(spark, sf).count()
+      assert(total == events, "sessions partition the event stream")
+    } finally out.unpersist()
+  }
+
   test("q74: SCD2 intervals — contiguous versions, non-overlapping validity, one current row") {
     val out = SparkEntry.queries("q74_scd2")(spark, sf).cache()
     try {
