@@ -222,6 +222,52 @@ object Hygiene {
         .orderBy("doc_id")
     },
 
+    // ---- q79: split-drift audit — per token, the document-frequency
+    //      RATE in the train split vs the test split (q50's md5
+    //      buckets), as one add-one-smoothed ratio. The data-audit
+    //      pass that catches a skewed split or a shifted refresh
+    //      before it skews evaluation (covariate-shift checks; public
+    //      literature). Exactness: the ratio is ONE division of two
+    //      exact integer products — (df_train·n_test) /
+    //      ((df_test+1)·n_train) — so no float accumulates anywhere.
+    //      Plan: one (doc, w)-distinct pass, conditional sums per
+    //      token ride a single token-keyed shuffle, split sizes are a
+    //      broadcast 1-row aggregate. ----
+    Q(
+      "q79_split_drift",
+      s"""WITH b AS (SELECT doc_id, text, $SqlBucket AS bucket FROM documents),
+        |tw AS (SELECT DISTINCT doc_id, bucket,
+        |    unnest(string_split(text,' ')) AS w FROM b),
+        |n AS (SELECT CAST(count(CASE WHEN bucket < 8 THEN 1 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(count(CASE WHEN bucket = 9 THEN 1 END) AS BIGINT) AS n_test
+        |  FROM b),
+        |d AS (SELECT w,
+        |    CAST(count(CASE WHEN bucket < 8 THEN 1 END) AS BIGINT) AS df_train,
+        |    CAST(count(CASE WHEN bucket = 9 THEN 1 END) AS BIGINT) AS df_test
+        |  FROM tw GROUP BY 1)
+        |SELECT w AS term, df_train, df_test,
+        |  CAST(df_train * n_test AS DOUBLE) / ((df_test + 1) * n_train)
+        |    AS drift_ratio
+        |FROM d CROSS JOIN n ORDER BY term""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("bucket", bucket)
+      val tw = docs
+        .select(col("doc_id"), col("bucket"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+      val n = docs.agg(
+        count(when(col("bucket") < 8, 1)).as("n_train"),
+        count(when(col("bucket") === 9, 1)).as("n_test"))
+      tw.groupBy("w")
+        .agg(count(when(col("bucket") < 8, 1)).as("df_train"),
+          count(when(col("bucket") === 9, 1)).as("df_test"))
+        .join(broadcast(n))
+        .select(col("w").as("term"), col("df_train"), col("df_test"),
+          ((col("df_train") * col("n_test")).cast("double") /
+            ((col("df_test") + 1) * col("n_train"))).as("drift_ratio"))
+        .orderBy("term")
+    },
+
     // ---- q77: weakest-link bigram plausibility — per document, the
     //      MINIMUM corpus-conditional bigram probability p(w2|w1) =
     //      c(w1 w2)/c(w1·) over the doc's distinct bigrams. The

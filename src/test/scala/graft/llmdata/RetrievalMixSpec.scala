@@ -127,6 +127,19 @@ class RetrievalMixSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q79: split drift covers the vocabulary; ratios are nonnegative and finite") {
+    val out = SparkEntry.queries("q79_split_drift")(spark, sf).cache()
+    try {
+      val vocab = graft.Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .distinct().count()
+      assert(out.count() == vocab, "one row per vocabulary token")
+      assert(out.filter(col("drift_ratio") < 0.0 ||
+        col("drift_ratio").isNull || isnan(col("drift_ratio"))).count() == 0,
+        "add-one smoothing keeps every ratio finite")
+    } finally out.unpersist()
+  }
+
   test("q74: SCD2 intervals — contiguous versions, non-overlapping validity, one current row") {
     val out = SparkEntry.queries("q74_scd2")(spark, sf).cache()
     try {
