@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q71/q79: token statistics aggregate partially and broadcast the corpus scalar") {
+    for (q <- Seq("q71_rare_token_score", "q79_split_drift")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 4,
+        s"$q: partial + final aggregation on both passes")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: the 1-row corpus aggregate must broadcast")
+      assert(!p.contains("Exchange SinglePartition") || p.contains("Sort"),
+        s"$q: no single-partition stage outside the final sort")
+    }
+  }
+
+  test("q77: bigram counts are partial-aggregated; no single-partition stage") {
+    val p = planOf(SparkEntry.queries("q77_bigram_minprob")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "partial + final for c2, c1, and the per-doc min")
+    assert(!p.contains("Exchange SinglePartition"),
+      "every shuffle keys on a gram or the doc id")
+  }
+
   test("q74: SCD2 build reuses ONE user-keyed exchange across windows and aggregate") {
     val p = planOf(SparkEntry.queries("q74_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
