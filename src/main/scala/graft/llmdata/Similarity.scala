@@ -458,5 +458,70 @@ object Similarity {
           col("rn").cast("int").as("rank"))
         .orderBy("q_id", "rank")
     },
+
+    // ---- q80: embedding-space language purity — the cross-modal
+    //      audit: for each query vector, how many of its 10 nearest
+    //      cosine neighbors belong to a document of the SAME language
+    //      (embeddings keyed to `documents` by id). Low purity flags
+    //      an embedding model that mixes languages in retrieval space,
+    //      or mislabeled metadata — checked before any embedding-based
+    //      dedup/clustering decision is trusted (data-audit practice;
+    //      public literature). Plan: q68's broadcast-query kNN, plus
+    //      one broadcast of the 2-column (id, lang) projection onto
+    //      BOTH join points — the corpus embedding side is still
+    //      never shuffled; purity is one exact-int division. ----
+    Q(
+      "q80_neighbor_lang_purity",
+      """WITH lg AS (SELECT doc_id, lang FROM documents),
+        |cos AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 50),
+        |top AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |    FROM cos)
+        |  WHERE rn <= 10)
+        |SELECT q_id, ql.lang AS q_lang,
+        |  CAST(count(CASE WHEN nl.lang = ql.lang THEN 1 END) AS BIGINT)
+        |    AS n_same,
+        |  CAST(count(CASE WHEN nl.lang <> ql.lang THEN 1 END) AS BIGINT)
+        |    AS n_diff,
+        |  CAST(count(CASE WHEN nl.lang = ql.lang THEN 1 END) AS DOUBLE)
+        |    / count(*) AS purity
+        |FROM top JOIN lg ql ON ql.doc_id = top.q_id
+        |         JOIN lg nl ON nl.doc_id = top.n_id
+        |GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    ) { (s, d) =>
+      val lg = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val rankW = Window.partitionBy("q_id")
+        .orderBy(col("c").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+        .join(broadcast(lg.select(col("doc_id").as("q_id"),
+          col("lang").as("q_lang"))), "q_id")
+        .join(broadcast(lg.select(col("doc_id").as("n_id"),
+          col("lang").as("n_lang"))), "n_id")
+        .groupBy("q_id", "q_lang")
+        .agg(count(when(col("n_lang") === col("q_lang"), 1)).as("n_same"),
+          count(when(col("n_lang") =!= col("q_lang"), 1)).as("n_diff"),
+          (count(when(col("n_lang") === col("q_lang"), 1)).cast("double") /
+            count(lit(1))).as("purity"))
+        .select(col("q_id"), col("q_lang"), col("n_same"), col("n_diff"),
+          col("purity"))
+        .orderBy("q_id")
+    },
   )
 }

@@ -127,6 +127,16 @@ class RetrievalMixSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q80: purity counts sum to k and purity is the same-language fraction") {
+    val out = SparkEntry.queries("q80_neighbor_lang_purity")(spark, sf).cache()
+    try {
+      assert(out.count() == 50, "one row per query vector")
+      val bad = out.filter(col("n_same") + col("n_diff") =!= 10 ||
+        abs(col("purity") * 10 - col("n_same")) > 1e-9)
+      assert(bad.count() == 0, "n_same + n_diff = k and purity = n_same/k")
+    } finally out.unpersist()
+  }
+
   test("q79: split drift covers the vocabulary; ratios are nonnegative and finite") {
     val out = SparkEntry.queries("q79_split_drift")(spark, sf).cache()
     try {
