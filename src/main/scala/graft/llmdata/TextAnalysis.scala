@@ -256,5 +256,36 @@ object TextAnalysis {
             .as("meta_consistent"))
         .orderBy("doc_id")
     },
+
+    // ---- q81: heavy hitters per language — the Misra–Gries sketch
+    //      aggregator (functions/MisraGries: the custom-AGGREGATE
+    //      extensibility point, O(k) state per group at any stream
+    //      length) run in its EXACTNESS regime: k=64 ≥ the 31-word
+    //      vocabulary, so no decrement/truncation ever fires and the
+    //      sketch must equal a plain GROUP BY count — the oracle
+    //      checks the approximate operator the q59 way. The lossy
+    //      regime (k < distinct) is spec-pinned instead: the n/(k+1)
+    //      error bound and merge-tree invariance. Plan: the sketch IS
+    //      the partial aggregate — map-side buffers are k-bounded
+    //      maps, so the lang-keyed shuffle carries O(k) per task, not
+    //      the vocabulary. ----
+    Q(
+      "q81_heavy_hitters",
+      """WITH t AS (SELECT lang, unnest(string_split(text,' ')) AS w
+        |  FROM documents)
+        |SELECT lang, w AS term, CAST(count(*) AS BIGINT) AS est
+        |FROM t GROUP BY 1, 2 ORDER BY lang, term""".stripMargin,
+    ) { (s, d) =>
+      val mg = udaf(new graft.functions.MisraGries(64),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang")
+        .agg(mg(col("w")).as("hh"))
+        .select(col("lang"), explode(col("hh")))
+        .select(col("lang"), col("key").as("term"),
+          col("value").as("est"))
+        .orderBy("lang", "term")
+    },
   )
 }
