@@ -222,6 +222,83 @@ object Hygiene {
         .orderBy("doc_id")
     },
 
+    // ---- q82: duplicated-span REMOVAL — the rewrite pass that
+    //      completes q64's marking (Lee et al. 2022 REMOVE the
+    //      duplicated substrings, not just measure them): every token
+    //      position inside a cross-doc duplicated 8-token window is
+    //      dropped and the survivors reassemble, in order, into the
+    //      cleaned document. Same one-gram-shuffle plan as q64 for the
+    //      covered set; the rebuild is a doc-keyed anti-join plus one
+    //      ordered fold (sort the kept (position, token) structs
+    //      inside the aggregated array — partition-order-proof, no
+    //      collect_list order assumption). Docs shorter than the
+    //      window pass through verbatim; fully-duplicated docs come
+    //      out empty (n_kept = 0), which is the deletion signal the
+    //      downstream filter consumes. ----
+    Q(
+      "q82_dedup_rewrite",
+      """WITH tl AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i
+        |  FROM tl WHERE len(w) >= 8),
+        |pg AS (SELECT p.doc_id, p.i,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS g
+        |  FROM pos p JOIN tl ON p.doc_id = tl.doc_id),
+        |dup AS (SELECT g FROM pg GROUP BY g
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT DISTINCT pg.doc_id, unnest(range(i, i + 8)) AS p
+        |  FROM pg JOIN dup ON pg.g = dup.g),
+        |allpos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM tl),
+        |keptpos AS (SELECT a.doc_id, a.p FROM allpos a
+        |  LEFT JOIN cov ON cov.doc_id = a.doc_id AND cov.p = a.p
+        |  WHERE cov.p IS NULL),
+        |kept AS (SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w[p], ' ' ORDER BY p) AS cleaned
+        |  FROM keptpos k JOIN tl ON k.doc_id = tl.doc_id
+        |  GROUP BY k.doc_id)
+        |SELECT d.doc_id, len(string_split(d.text,' ')) AS n_tok,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  coalesce(kept.cleaned, '') AS cleaned_text
+        |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = col("w")
+      val pg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(w) >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(w) - 8),
+            i => concat_ws(" ", (0 until 8).map(k => w(i + k)): _*))))
+        .toDF("doc_id", "i", "g")
+      val gw = Window.partitionBy("g")
+      val covered = pg
+        .withColumn("dup",
+          min("doc_id").over(gw) =!= max("doc_id").over(gw))
+        .filter(col("dup"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 7)).as("p"))
+        .distinct()
+      val allpos = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "p", "tok")
+      val kept = allpos
+        .join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")), " ").as("cleaned"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+
     // ---- q79: split-drift audit — per token, the document-frequency
     //      RATE in the train split vs the test split (q50's md5
     //      buckets), as one add-one-smoothed ratio. The data-audit

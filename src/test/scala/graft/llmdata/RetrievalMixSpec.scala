@@ -137,6 +137,20 @@ class RetrievalMixSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q82: rewrite drops exactly q64's covered positions; cleaned text has n_kept tokens") {
+    val rw = SparkEntry.queries("q82_dedup_rewrite")(spark, sf).cache()
+    try {
+      val marked = SparkEntry.queries("q64_dup_spans")(spark, sf)
+        .select(col("doc_id"), col("n_covered"))
+      val bad = rw.join(marked, "doc_id")
+        .filter(col("n_tok") - col("n_kept") =!= col("n_covered"))
+      assert(bad.count() == 0, "removal must equal the marking pass")
+      val badLen = rw.filter(col("n_kept") > 0 &&
+        size(split(col("cleaned_text"), " ")) =!= col("n_kept"))
+      assert(badLen.count() == 0, "cleaned text reassembles exactly n_kept tokens")
+    } finally rw.unpersist()
+  }
+
   test("q79: split drift covers the vocabulary; ratios are nonnegative and finite") {
     val out = SparkEntry.queries("q79_split_drift")(spark, sf).cache()
     try {
