@@ -427,5 +427,55 @@ object Hygiene {
             "[0-9]+", "<NUM>").as("scrubbed"))
         .orderBy("event_id")
     },
+
+    // ---- q85: Bloom-gated cross-split exact dedup — flag every train
+    //      doc whose token-SET fingerprint also occurs in the held-out
+    //      test split (the train/test leak a split-by-doc-id cannot
+    //      prevent when the corpus carries exact near-copies; BFF-style
+    //      bloom gating, Dolma/DataComp pipelines — public literature).
+    //      Scale shape: the 100 TB train side is ONE map-only pass — a
+    //      bloom bitset built from the (small) test split by the
+    //      functions/BloomAgg aggregator arrives as a broadcast scalar,
+    //      and the k-probe membership test is a codegen'd boolean; only
+    //      bloom-POSITIVE rows (true dups + a vanishing fp-rate slice)
+    //      enter the verify join, and bloom negatives are DEFINITE
+    //      misses (no-false-negative invariant, BloomSpec), so the
+    //      output is exactly the oracle's join semantics — the sketch
+    //      gates work, it never decides answers. ----
+    Q(
+      "q85_bloom_crossdup",
+      s"""WITH b AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text,' '))), ' ')) AS fp,
+        |    $SqlBucket AS bucket
+        |  FROM documents),
+        |t AS (SELECT DISTINCT fp FROM b WHERE bucket = 9)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS dup_in_test
+        |FROM b LEFT JOIN t ON b.fp = t.fp
+        |WHERE b.bucket < 8 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import graft.functions.{Bloom, BloomAgg}
+      val mBits = 1 << 17
+      val k = 3
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Text.setFp.as("fp"), bucket.as("bucket"))
+      val test = docs.filter(col("bucket") === 9).select("fp").distinct()
+      val bloomUdaf = udaf(new BloomAgg(mBits),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      val bits = test.select(Bloom.positions(col("fp"), mBits, k).as("pos"))
+        .agg(bloomUdaf(col("pos")).as("bits"))
+      val probed = docs.filter(col("bucket") < 8)
+        .crossJoin(broadcast(bits))
+        .withColumn("hit", Bloom.mightContain(col("bits"), col("fp"), mBits, k))
+      val misses = probed.filter(!col("hit"))
+        .select(col("doc_id"), lit(0).as("dup_in_test"))
+      val hits = probed.filter(col("hit"))
+        .join(test.withColumn("m", lit(1)), Seq("fp"), "left")
+        .select(col("doc_id"),
+          when(col("m").isNotNull, 1).otherwise(0).as("dup_in_test"))
+      misses.unionByName(hits).orderBy("doc_id")
+    },
   )
 }

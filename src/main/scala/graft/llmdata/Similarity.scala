@@ -459,6 +459,143 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // ---- q83: semantic dedup (SemDeDup family, Abbas et al. 2023 —
+    //      public literature): embedding-space near-duplicate pruning
+    //      scoped to LSH buckets. Policy (deterministic, documented):
+    //      greedy-by-id scan — a vector is DROPPED iff some lower-id
+    //      vector in the SAME 8-plane sign bucket has cosine > 0.42
+    //      (q38's threshold; margin vs this data's cosine distribution
+    //      ≥ 1e-3, far beyond cross-engine double noise). Scale shape:
+    //      the only wide op is the equi-join on the sketch bucket
+    //      (expected bucket n/256; plane count is the scale knob, q32),
+    //      never all-pairs; the keep decision is a per-vector aggregate
+    //      over its in-bucket predecessors. ----
+    Q(
+      "q83_semantic_dedup",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_id, a.bucket AS bucket,
+        |  CAST(count(CASE WHEN list_cosine_similarity(a.v, b.v) > 0.42
+        |    THEN 1 END) AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN count(CASE WHEN
+        |      list_cosine_similarity(a.v, b.v) > 0.42 THEN 1 END) = 0
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM v a LEFT JOIN v b
+        |  ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      val sketch = (0 until 8)
+        .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val v = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        sketch.cast("long").as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = v.select(col("vec_id"), col("bucket"), col("v").as("av"),
+        col("nrm").as("an"))
+      val b = v.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      // predecessor condition rides the JOIN (left outer): a bucket's
+      // lowest-id vector keeps its row with a null b side — a post-join
+      // filter would drop it entirely
+      a.join(b,
+          col("bucket") === col("bucket_b") && col("b_id") < col("vec_id"),
+          "left")
+        .withColumn("hit",
+          when(col("b_id").isNotNull &&
+            dot(col("av"), col("bv")) / (col("an") * col("bn")) > 0.42, 1))
+        .groupBy("vec_id", "bucket")
+        .agg(count(col("hit")).as("n_dup"))
+        .select(col("vec_id"), col("bucket"), col("n_dup"),
+          (col("n_dup") === 0).cast("int").as("kept"))
+        .orderBy("vec_id")
+    },
+
+    // ---- q84: quantized-shortlist ANN with full-precision re-rank —
+    //      the production two-stage retrieval shape (FAISS SQ8 / PQ
+    //      shortlist + exact re-rank, public literature): stage 1 ranks
+    //      by the INT8 dot product (q48's symmetric max-abs scaling over
+    //      all 64 dims; products ≤ 127²·64 ≪ 2^53, so the double-typed
+    //      fold is exact integer math — deterministic cross-engine,
+    //      ties broken by id), keeps top-20; stage 2 re-ranks only those
+    //      20 by exact full-precision cosine and emits top-5. Scale
+    //      shape: stage 1 is q31's broadcast-query scan (corpus never
+    //      shuffled) over 4×-compressed vectors; stage 2 touches
+    //      20 rows/query. ----
+    Q(
+      "q84_quantized_rerank",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, e,
+        |    list_transform(range(1, 65),
+        |      d -> CAST(floor(e[d] * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+        |  FROM v WHERE mx > 0),
+        |idot AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      d -> a.qv[d] * b.qv[d])) AS BIGINT) AS s
+        |  FROM q8 a JOIN q8 b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 10),
+        |short AS (SELECT q_id, n_id, s FROM (
+        |    SELECT q_id, n_id, s,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+        |    FROM idot)
+        |  WHERE rn <= 20),
+        |rer AS (
+        |  SELECT short.q_id, short.n_id,
+        |    list_cosine_similarity(av.e, bv.e) AS c
+        |  FROM short JOIN v av ON av.vec_id = short.q_id
+        |             JOIN v bv ON bv.vec_id = short.n_id)
+        |SELECT q_id, CAST(rn AS INT) AS rank, n_id FROM (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |  FROM rer)
+        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) =>
+      // int8 vectors as double arrays: every value and every dot-product
+      // partial stays an exact integer in double range, so VecDot's
+      // sequential fold is exact integer arithmetic (no rounding ever).
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .withColumn("qv",
+          transform(col("e"), x => floor(x * lit(127.0) / col("mx") + lit(0.5)))
+            .cast("array<double>"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+          col("e").as("qe"), col("nrm").as("qn"))
+      val shortW = Window.partitionBy("q_id").orderBy(col("s").desc, col("n_id"))
+      val short = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          dot(col("qqv"), col("qv")).cast("long").as("s"),
+          col("qe"), col("qn"), col("e"), col("nrm"))
+        .withColumn("rn", row_number().over(shortW))
+        .filter(col("rn") <= 20)
+      val rerW = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+      short
+        .withColumn("c", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(rerW))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    },
+
     // ---- q80: embedding-space language purity — the cross-modal
     //      audit: for each query vector, how many of its 10 nearest
     //      cosine neighbors belong to a document of the SAME language
