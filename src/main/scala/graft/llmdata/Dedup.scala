@@ -311,10 +311,14 @@ object Dedup {
           .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
             Seq("doc_id"), "left_semi")
       val p = bitmapPlan(Text.tokenSetOf(joinDocs))
-      val tokDf = p.bits.groupBy("lang", "w").agg(count(lit(1)).as("df"))
+      // df rides the (lang, w)-keyed shuffle as a window count — the
+      // groupBy+self-join alternative would shuffle the full token
+      // table TWICE and re-tokenize the corpus for the join probe
       val aggs = p.maskAggs :+
         array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
-      val sets = p.bits.join(tokDf, Seq("lang", "w"))
+      val sets = p.bits
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("lang", "w")))
         .groupBy("doc_id", "lang")
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("mask", p.maskCol)
@@ -403,10 +407,12 @@ object Dedup {
           .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
             Seq("doc_id"), "left_semi")
       val p = bitmapPlan(Text.tokenSetOf(joinDocs))
-      val tokDf = p.bits.groupBy("lang", "w").agg(count(lit(1)).as("df"))
+      // df as a window count over the (lang, w) shuffle — see q28
       val aggs = p.maskAggs :+
         array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
-      val sets = p.bits.join(tokDf, Seq("lang", "w"))
+      val sets = p.bits
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("lang", "w")))
         .groupBy("doc_id", "lang")
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("mask", p.maskCol)
