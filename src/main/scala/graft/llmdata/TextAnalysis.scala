@@ -287,5 +287,43 @@ object TextAnalysis {
           col("value").as("est"))
         .orderBy("lang", "term")
     },
+
+    // ---- q86: sketch quantiles per language — the compactor-stack
+    //      quantile aggregator (functions/QuantileSketch: MRL/KLL
+    //      family, bounded memory, mergeable) run in its EXACTNESS
+    //      regime: capacity 2^16 ≥ any per-lang doc count at test
+    //      scale, so no compaction ever fires, merge is concatenation,
+    //      and the estimate rule (smallest x with rank ≥ ⌈q·n⌉) must
+    //      equal DuckDB's quantile_disc value-for-value — the q59/q81
+    //      gate pattern for an approximate operator. The lossy regime
+    //      (capacity ≪ n: levels·n/c rank bound, merge-tree
+    //      robustness, determinism) is QuantileSketchSpec's. Values
+    //      are integer char counts in doubles — exact cross-engine. ----
+    Q(
+      "q86_sketch_quantiles",
+      """SELECT lang,
+        |  CAST(quantile_disc(n_chars, 0.1) AS DOUBLE) AS qd10,
+        |  CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS qd50,
+        |  CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS qd90,
+        |  CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS qd99,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      val sk = udaf(
+        new graft.functions.QuantileSketchAgg(1 << 16,
+          Seq(0.1, 0.5, 0.9, 0.99)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sk(col("n_chars").cast("double")).as("qd"),
+          count(lit(1)).as("n"))
+        .select(col("lang"),
+          element_at(col("qd"), 1).as("qd10"),
+          element_at(col("qd"), 2).as("qd50"),
+          element_at(col("qd"), 3).as("qd90"),
+          element_at(col("qd"), 4).as("qd99"),
+          col("n"))
+        .orderBy("lang")
+    },
   )
 }
