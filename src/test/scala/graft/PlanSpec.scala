@@ -202,6 +202,44 @@ class PlanSpec extends SparkSpec {
       "every shuffle keys on a gram or the doc id")
   }
 
+  test("q83: semantic dedup joins on the sketch bucket only — never all-pairs, no corpus broadcast of the big side") {
+    val p = planOf(SparkEntry.queries("q83_semantic_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the only join must be the bucket equi-join")
+  }
+
+  test("q84: quantized shortlist broadcasts the query side; corpus is never shuffled before ranking") {
+    val p = planOf(SparkEntry.queries("q84_quantized_rerank")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle into a join")
+  }
+
+  test("q85: bloom probe is a broadcast scalar onto a map pass; only bloom positives reach the verify join") {
+    val p = planOf(SparkEntry.queries("q85_bloom_crossdup")(spark, sf))
+    // the bitset arrives via a broadcast join (nested-loop on one
+    // aggregate row), never a shuffle of the train side keyed on fp
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bloom bitset must arrive as a broadcast scalar")
+    // the bloom-negative branch must not pay any join: exactly one
+    // fp-keyed join in the whole plan (the verify on positives)
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(smj + bhj <= 2, // formatted explain mentions nodes twice
+      s"expected a single verify join, found $smj SMJ + $bhj BHJ mentions")
+  }
+
+  test("q86: the sketch IS the partial aggregate — map-side combine before the lang shuffle") {
+    val p = planOf(SparkEntry.queries("q86_sketch_quantiles")(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(p).size +
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final aggregate over the sketch buffer")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the only exchange keys on lang")
+  }
+
   test("q74: SCD2 build reuses ONE user-keyed exchange across windows and aggregate") {
     val p = planOf(SparkEntry.queries("q74_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
