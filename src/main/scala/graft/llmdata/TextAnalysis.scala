@@ -325,5 +325,66 @@ object TextAnalysis {
           col("n"))
         .orderBy("lang")
     },
+
+    // ---- q87: one-pass corpus profile — the recurring 100 TB sweep
+    //      (per-shard intake stats dashboards) demonstrating aggregator
+    //      COMPOSITION: token count, doc count, modal term, and token-
+    //      length quantiles per (lang, source) all ride ONE shuffle.
+    //      The modal term comes from the Misra–Gries buffer, the length
+    //      quantiles from the compactor sketch — both in their exact
+    //      regimes here (k=64 ≥ 31-word vocab; capacity 2^16 ≥ per-group
+    //      token count at test scale), so the whole row is DuckDB-
+    //      checkable. Doc count is a pos=0 marker count (posexplode),
+    //      NOT a count-distinct — no Expand, the aggregation stays one
+    //      partial+final pass. Modal tie-break (count desc, term asc)
+    //      via an array_sort comparator over the sketch map — no
+    //      explode, no second aggregation. ----
+    Q(
+      "q87_corpus_profile",
+      """WITH t AS (SELECT lang, source, doc_id,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |base AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(quantile_disc(length(w), 0.5) AS DOUBLE) AS qd50_toklen,
+        |    CAST(quantile_disc(length(w), 0.9) AS DOUBLE) AS qd90_toklen
+        |  FROM t GROUP BY 1, 2),
+        |m AS (SELECT lang, source, w AS modal_term,
+        |    CAST(count(*) AS BIGINT) AS modal_count,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY count(*) DESC, w) AS rn
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT b.lang, b.source, b.n_tokens, b.n_docs,
+        |  m.modal_term, m.modal_count, b.qd50_toklen, b.qd90_toklen
+        |FROM base b JOIN m ON m.lang = b.lang AND m.source = b.source
+        |  AND m.rn = 1
+        |ORDER BY 1, 2""".stripMargin,
+    ) { (s, d) =>
+      val mg = udaf(new graft.functions.MisraGries(64),
+        org.apache.spark.sql.Encoders.STRING)
+      val sk = udaf(
+        new graft.functions.QuantileSketchAgg(1 << 16, Seq(0.5, 0.9)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("pos") === 0, 1)).as("n_docs"),
+          mg(col("w")).as("hh"),
+          sk(length(col("w")).cast("double")).as("qd"))
+        .withColumn("top", expr(
+          """array_sort(map_entries(hh), (l, r) ->
+            |  CASE WHEN l.value > r.value THEN -1
+            |       WHEN l.value < r.value THEN 1
+            |       WHEN l.key < r.key THEN -1
+            |       WHEN l.key > r.key THEN 1 ELSE 0 END)[0]""".stripMargin))
+        .select(col("lang"), col("source"), col("n_tokens"), col("n_docs"),
+          col("top.key").as("modal_term"), col("top.value").as("modal_count"),
+          element_at(col("qd"), 1).as("qd50_toklen"),
+          element_at(col("qd"), 2).as("qd90_toklen"))
+        .orderBy("lang", "source")
+    },
   )
 }

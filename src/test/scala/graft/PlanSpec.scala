@@ -240,6 +240,17 @@ class PlanSpec extends SparkSpec {
       "the only exchange keys on lang")
   }
 
+  test("q87: profile composes both sketch buffers + counts in ONE aggregation pass") {
+    val p = planOf(SparkEntry.queries("q87_corpus_profile")(spark, sf))
+    assert(!p.contains("Expand"),
+      "doc count must ride the pass as a marker count, not count-distinct")
+    // one (lang, source) hash exchange + the final ORDER BY range
+    // exchange; formatted explain mentions each node twice
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "all stats must share one group-keyed shuffle")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q74: SCD2 build reuses ONE user-keyed exchange across windows and aggregate") {
     val p = planOf(SparkEntry.queries("q74_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
