@@ -533,5 +533,91 @@ object EventOps {
               x => x.getField("event_type")), " ").as("dialogue"))
         .orderBy("user_id", "sess_id")
     },
+
+    // ---- q88: funnel analysis — earliest strictly-ordered
+    //      view → click → purchase chain per user (the product-analytics
+    //      staple; the batch rendering of a MATCH_RECOGNIZE-style
+    //      sequence pattern). Each stage's timestamp is a conditional
+    //      whole-partition window min CONDITIONED on the previous
+    //      stage — three window passes and the final dedup all key on
+    //      user_id, so Catalyst plans ONE exchange; no self-joins
+    //      (the n-stage self-join rendering shuffles the fact table n
+    //      times). Strict `>` between stages is exact integer µs both
+    //      engines. ----
+    Q(
+      "q88_funnel",
+      """WITH w1 AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |w2 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'click'
+        |          AND epoch_us(ts) > epoch_us(t1) THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM w1),
+        |w3 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'purchase'
+        |          AND epoch_us(ts) > epoch_us(t2) THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM w2)
+        |SELECT DISTINCT user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 END AS INT) AS step,
+        |  t1, t2, t3
+        |FROM w3 WHERE t1 IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
+    ) { (s, d) =>
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            unix_micros(col("ts")) > unix_micros(col("t1")), col("ts")))
+            .over(wu))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            unix_micros(col("ts")) > unix_micros(col("t2")), col("ts")))
+            .over(wu))
+        .filter(col("t1").isNotNull)
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .otherwise(1).cast("int").as("step"),
+          col("t1"), col("t2"), col("t3"))
+        .distinct()
+        .orderBy("user_id")
+    },
+
+    // ---- q89: retention cohorts — users grouped by first-active day,
+    //      distinct-active counts per (cohort, day offset): the
+    //      retention triangle every growth dashboard renders. The
+    //      (user, day) dedup makes the final count a plain count(*) —
+    //      no count-distinct Expand at the cohort level; the cohort
+    //      assignment is a whole-partition window min over the SAME
+    //      user-keyed exchange the dedup produced. Day arithmetic is
+    //      exact integer dates both engines. ----
+    Q(
+      "q89_retention_cohorts",
+      """WITH dd AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d,
+        |    min(d) OVER (PARTITION BY user_id) AS cohort_day FROM dd)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (s, d) =>
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .withColumn("cohort_day", min("d").over(wu))
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("int").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
   )
 }

@@ -251,6 +251,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q88: funnel stages share ONE user-keyed exchange — no n-stage self-join") {
+    val p = planOf(SparkEntry.queries("q88_funnel")(spark, sf))
+    assert(!p.contains("Join"), "stage timestamps must be windows, not self-joins")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    // one user_id exchange (+ the dedup's reuse) and the final range
+    // sort; formatted explain mentions nodes twice
+    assert(hashEx <= 4, s"funnel must not re-shuffle per stage (found $hashEx)")
+  }
+
+  test("q89: retention counts avoid count-distinct Expand via the (user, day) dedup") {
+    val p = planOf(SparkEntry.queries("q89_retention_cohorts")(spark, sf))
+    assert(!p.contains("Expand"))
+    assert(!p.contains("Join"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q74: SCD2 build reuses ONE user-keyed exchange across windows and aggregate") {
     val p = planOf(SparkEntry.queries("q74_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
