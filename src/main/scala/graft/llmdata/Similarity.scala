@@ -596,6 +596,50 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // ---- q91: quantized class centroids — per (label, dim), the mean
+    //      of the INT8-quantized coordinate (q48's symmetric max-abs
+    //      formula): the codebook-refresh / class-prototype pass of a
+    //      quantized embedding store (SQ/PQ training loop, FAISS-style —
+    //      public literature). Quantizing FIRST is what makes a
+    //      distributed mean cross-engine exact: integer sums are
+    //      order-free, then ONE IEEE division per output cell — the
+    //      float-policy answer to "centroids aren't oracle-checkable"
+    //      (q52's caveat). One partial-aggregated shuffle keyed by
+    //      (label, dim). ----
+    Q(
+      "q91_quantized_centroids",
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT label, dim,
+        |    CAST(floor(e[dim] * 127.0 / mx + 0.5) AS BIGINT) AS q
+        |  FROM v, unnest(range(1, 9)) AS t(dim) WHERE mx > 0)
+        |SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(CAST(sum(q) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_q
+        |FROM q8 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .select(col("label"), explode(sequence(lit(1), lit(8))).as("dim"),
+          col("e"), col("mx"))
+        .select(col("label").cast("int").as("label"),
+          col("dim").cast("int").as("dim"),
+          floor(element_at(col("e"), col("dim")) * lit(127.0) / col("mx") +
+            lit(0.5)).cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+        .withColumn("centroid_q",
+          col("sum_q").cast("double") / col("n"))
+        .orderBy("label", "dim")
+    },
+
     // ---- q80: embedding-space language purity — the cross-modal
     //      audit: for each query vector, how many of its 10 nearest
     //      cosine neighbors belong to a document of the SAME language

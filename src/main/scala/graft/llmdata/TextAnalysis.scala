@@ -386,5 +386,42 @@ object TextAnalysis {
           element_at(col("qd"), 2).as("qd90_toklen"))
         .orderBy("lang", "source")
     },
+
+    // ---- q90: vocabulary novelty per intake batch — corpus-drift
+    //      monitoring: docs arrive in id-ordered shards of 100; per
+    //      shard, how many distinct tokens are active and how many are
+    //      NEW (never seen in an earlier shard). A collapsing novelty
+    //      curve says the crawl is saturating; a spike says the source
+    //      mix changed (intake-QA practice; public literature). Plan:
+    //      distinct (token, batch) pairs, first-batch as a window min
+    //      riding the token-keyed shuffle (never a first-seen join),
+    //      then one batch-keyed aggregate. Novelty is one exact-int
+    //      division. ----
+    Q(
+      "q90_vocab_novelty",
+      """WITH t AS (SELECT DISTINCT unnest(string_split(text,' ')) AS w,
+        |    doc_id // 100 AS batch FROM documents),
+        |f AS (SELECT w, batch,
+        |    min(batch) OVER (PARTITION BY w) AS fb FROM t)
+        |SELECT batch, CAST(count(*) AS BIGINT) AS active_terms,
+        |  CAST(count(CASE WHEN fb = batch THEN 1 END) AS BIGINT)
+        |    AS new_terms,
+        |  CAST(count(CASE WHEN fb = batch THEN 1 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM f GROUP BY batch ORDER BY batch""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"),
+          expr("doc_id div 100").as("batch"))
+        .distinct()
+        .withColumn("fb", min("batch").over(Window.partitionBy("w")))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("active_terms"),
+          count(when(col("fb") === col("batch"), 1)).as("new_terms"))
+        .select(col("batch"), col("active_terms"), col("new_terms"),
+          (col("new_terms").cast("double") / col("active_terms"))
+            .as("novelty"))
+        .orderBy("batch")
+    },
   )
 }
