@@ -619,5 +619,34 @@ object EventOps {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "day_offset")
     },
+
+    // ---- q92: grouped top-k via the bounded-heap aggregator
+    //      (functions/TopK) — "top N per key" WITHOUT the window
+    //      rendering's full per-group sort: O(k) state per group,
+    //      partial-aggregated map-side, merge-tree safe under the
+    //      total (value desc, id asc) order — so the result is EXACT
+    //      and the window-SQL oracle checks it value-for-value. The
+    //      per-group twin of q07's TakeOrderedAndProject. ----
+    Q(
+      "q92_grouped_topk",
+      """SELECT event_type, CAST(rn AS INT) AS rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, rank""".stripMargin,
+    ) { (s, d) =>
+      val tk = udaf(new graft.functions.TopK(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(tk(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rank"),
+          col("p._2").as("event_id"), col("p._1").as("value"))
+        .orderBy("event_type", "rank")
+    },
   )
 }
