@@ -596,6 +596,71 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // ---- q93: multi-probe LSH ANN — q32's sign-bucket search with the
+    //      RECALL knob made concrete (multi-probe LSH, Lv et al.
+    //      VLDB'07 — public literature): each query probes its own
+    //      bucket plus all 8 Hamming-1 buckets (one sign flip — the
+    //      neighbors most likely to hide across a near-zero plane), so
+    //      recall rises at a measured 9× candidate cost instead of
+    //      all-pairs. Buckets are disjoint ⇒ each candidate appears
+    //      exactly once, no dedup pass; `n_cand` exposes the audited
+    //      cost. Same scale shape as q32: equi-join on the bucket,
+    //      query side broadcast, corpus never shuffled twice. ----
+    Q(
+      "q93_multiprobe_ann",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, v AS qv,
+        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |      xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
+        |      xor(bucket, 64), xor(bucket, 128)]) AS pb
+        |  FROM v WHERE vec_id < 10),
+        |c AS (SELECT p.q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(p.qv, b.v) AS c
+        |  FROM p JOIN v b ON b.bucket = p.pb AND b.vec_id != p.q_id)
+        |SELECT q_id, CAST(rn AS INT) AS rank, n_id, n_cand FROM (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_cand
+        |  FROM c)
+        |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val sketch = (0 until 8)
+        .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val v = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        sketch.cast("long").as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val probes = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(array(col("bucket") +: (0 until 8).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+      val rankW = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+      val candW = Window.partitionBy("q_id")
+      v.join(broadcast(probes),
+          col("bucket") === col("pb") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n_cand", count(lit(1)).over(candW))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("int").as("rank"), col("n_id"),
+          col("n_cand"))
+        .orderBy("q_id", "rank")
+    },
+
     // ---- q91: quantized class centroids — per (label, dim), the mean
     //      of the INT8-quantized coordinate (q48's symmetric max-abs
     //      formula): the codebook-refresh / class-prototype pass of a
