@@ -80,8 +80,31 @@ object GraftExtensions {
 
   /** Programmatic registration for sessions built without the
     * extensions config. Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(spikeScoreFn, vecDotFn, rollingFpFn).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    registerAggregators(spark)
+  }
+
+  /** SQL-text forms of the sketch aggregators (§2.11 UDAF surface).
+    * `spark.udf.register` takes a concrete Aggregator instance, so each
+    * SQL name pins one parameterization (the registry queries' regimes);
+    * the typed Scala API (`udaf(new MisraGries(k), …)`) parameterizes
+    * freely. Idempotent (re-registration replaces). */
+  def registerAggregators(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("mg_sketch",
+      udaf(new graft.functions.MisraGries(64), Encoders.STRING))
+    spark.udf.register("quantile_sketch",
+      udaf(new graft.functions.QuantileSketchAgg(1 << 16,
+        Seq(0.1, 0.5, 0.9, 0.99)), Encoders.scalaDouble))
+    spark.udf.register("topk5",
+      udaf(new graft.functions.TopK(5),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)))
+    spark.udf.register("bloom_build",
+      udaf(new graft.functions.BloomAgg(1 << 17),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()))
+  }
 }

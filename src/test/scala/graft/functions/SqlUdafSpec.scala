@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL-text surface of the sketch aggregators (§2.11): each
+  * registered name must be callable from `spark.sql` and agree with
+  * the typed path / exact reference in its pinned parameterization. */
+class SqlUdafSpec extends SparkSpec {
+
+  test("mg_sketch is callable from SQL and exact at k=64 ≥ distinct") {
+    val sp = spark
+    import sp.implicits._
+    Seq(("en", "a"), ("en", "b"), ("en", "a"), ("fr", "x"))
+      .toDF("lang", "w").createOrReplaceTempView("mg_in")
+    val rows = sp.sql(
+      """SELECT lang, hh['a'] AS a, hh['b'] AS b FROM
+        |  (SELECT lang, mg_sketch(w) AS hh FROM mg_in GROUP BY lang)
+        |WHERE lang = 'en'""".stripMargin).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(1) === 2L && rows(0).getLong(2) === 1L)
+  }
+
+  test("quantile_sketch is callable from SQL and exact below capacity") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 100).map(_.toDouble).toDF("x").createOrReplaceTempView("qs_in")
+    val qd = sp.sql("SELECT quantile_sketch(x) AS qd FROM qs_in")
+      .collect()(0).getSeq[Double](0)
+    // rank-lower rule at n=100: ⌈q·n⌉-th element
+    assert(qd === Seq(10.0, 50.0, 90.0, 99.0))
+  }
+
+  test("topk5 is callable from SQL and matches sort-take") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 50).map(i => (((i * 13) % 7).toDouble, i.toLong))
+      .toDF("v", "id").createOrReplaceTempView("tk_in")
+    val got = sp.sql(
+      """SELECT inline(transform(topk5(v, id), p -> struct(p._1, p._2)))
+        |FROM tk_in""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val want = (1 to 50).map(i => (((i * 13) % 7).toDouble, i.toLong))
+      .sortBy { case (v, id) => (-v, id) }.take(5)
+    assert(got === want)
+  }
+
+  test("bloom_build is callable from SQL and agrees with the typed path") {
+    val sp = spark
+    import sp.implicits._
+    val keys = (1 to 30).map(i => s"key-$i")
+    keys.toDF("fp")
+      .select(Bloom.positions(col("fp"), 1 << 17, 3).as("pos"))
+      .createOrReplaceTempView("bl_in")
+    val viaSql = sp.sql("SELECT bloom_build(pos) AS bits FROM bl_in")
+      .collect()(0).getSeq[Long](0)
+    val agg = udaf(new BloomAgg(1 << 17),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+    val typed = keys.toDF("fp")
+      .select(Bloom.positions(col("fp"), 1 << 17, 3).as("pos"))
+      .agg(agg(col("pos")).as("bits"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql === typed)
+    assert(viaSql.map(java.lang.Long.bitCount).sum > 0)
+  }
+}
