@@ -152,5 +152,41 @@ object Multimodal {
           (length(blob) % 256).cast("long").as("fake_feature"))
         .orderBy("doc_id")
     },
+
+    // ---- q94: cross-modal referential-integrity audit — the check a
+    //      multimodal pipeline runs before trusting any doc↔vector
+    //      join (q80's shape): per language, how many docs have no
+    //      embedding row and how many embedding ids have no document.
+    //      Orphans on either side silently shrink every downstream
+    //      cross-modal result. Plan: two anti-join shapes rendered as
+    //      ONE full outer join on the id (each side scanned once,
+    //      single id-keyed shuffle), counts aggregated per lang (the
+    //      doc-side attribute; vector orphans carry a NULL lang
+    //      bucket). ----
+    Q(
+      "q94_crossmodal_integrity",
+      """SELECT d.lang,
+        |  CAST(count(CASE WHEN d.doc_id IS NOT NULL
+        |    AND e.vec_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(count(CASE WHEN d.doc_id IS NOT NULL
+        |    AND e.vec_id IS NULL THEN 1 END) AS BIGINT) AS n_doc_orphans,
+        |  CAST(count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_vec_orphans
+        |FROM documents d FULL OUTER JOIN embeddings e
+        |  ON e.vec_id = d.doc_id
+        |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+      docs.join(vecs, col("vec_id") === col("doc_id"), "full_outer")
+        .groupBy("lang")
+        .agg(
+          count(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1))
+            .as("n_matched"),
+          count(when(col("doc_id").isNotNull && col("vec_id").isNull, 1))
+            .as("n_doc_orphans"),
+          count(when(col("doc_id").isNull, 1)).as("n_vec_orphans"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
   )
 }

@@ -267,6 +267,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q90: first-seen shard is a window over the token shuffle, not a join") {
+    val p = planOf(SparkEntry.queries("q90_vocab_novelty")(spark, sf))
+    assert(!p.contains("Join"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q91: centroid sums partial-aggregate; no join, no Expand") {
+    val p = planOf(SparkEntry.queries("q91_quantized_centroids")(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Expand"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final aggregate")
+  }
+
+  test("q93: multi-probe stays a bucket equi-join with the query side broadcast") {
+    val p = planOf(SparkEntry.queries("q93_multiprobe_ann")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q74: SCD2 build reuses ONE user-keyed exchange across windows and aggregate") {
     val p = planOf(SparkEntry.queries("q74_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
