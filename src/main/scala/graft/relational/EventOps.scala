@@ -648,5 +648,46 @@ object EventOps {
           col("p._2").as("event_id"), col("p._1").as("value"))
         .orderBy("event_type", "rank")
     },
+
+    // ---- q95: pure range join (NO equi-key) — every purchase within
+    //      60 s after ANY error ("orders placed while an error
+    //      condition was live": the incident-impact correlation that
+    //      has no shared key to join on). Spark's naive plan for a
+    //      keyless theta join is a broadcast-nested-loop — O(n·m)
+    //      comparisons and a single-executor hotspot at scale. The
+    //      scale rendering BUCKETS time at the window width: the left
+    //      side replicates to the (≤ 2) buckets its window touches,
+    //      the right side keeps its own bucket, and the theta
+    //      condition verifies inside a bucket EQUI-join — each
+    //      qualifying pair meets in exactly one bucket (the right
+    //      row's), so no dedup pass. Comparisons drop from n·m to
+    //      pairs-per-bucket; the bucket key is open-cardinality (time
+    //      advances), so no hot partitions. PlanSpec asserts no BNLJ /
+    //      cartesian survives. ----
+    Q(
+      "q95_range_join",
+      """SELECT a.event_id AS error_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.event_type = 'error' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + 60000000
+        |ORDER BY error_id, purchase_id""".stripMargin,
+    ) { (s, d) =>
+      val w = 60000000L
+      val ev = Tables.events(s, d)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("a_us"))
+        .select(col("error_id"), col("a_us"),
+          explode(array_distinct(array(
+            expr(s"a_us div $w"), expr(s"(a_us + $w) div $w")))).as("bucket"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("b_us"))
+        .withColumn("bucket", expr(s"b_us div $w"))
+      errs.join(buys, Seq("bucket"))
+        .filter(col("b_us") >= col("a_us") && col("b_us") < col("a_us") + w)
+        .select("error_id", "purchase_id")
+        .orderBy("error_id", "purchase_id")
+    },
   )
 }
