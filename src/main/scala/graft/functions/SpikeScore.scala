@@ -56,7 +56,7 @@ final case class SpikeScore(
     val v = value.eval(input)
     if (v == null) SpikeScore.ZeroRow()
     else SpikeScore.score(
-      if (h == null) SpikeScore.EmptyArray else h.asInstanceOf[ArrayData],
+      if (h == null) SpikeScore.EmptyArray() else h.asInstanceOf[ArrayData],
       v.asInstanceOf[Double], params)
   }
 

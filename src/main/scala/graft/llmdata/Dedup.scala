@@ -85,9 +85,9 @@ object Dedup {
     * handful of tasks (the skew hazard of blocked similarity joins). */
   private def saltedPairs(sets: DataFrame, key: String, nSalts: Int)
       : DataFrame = {
-    val a = sets.toDF(sets.columns.map(_ + "_a"): _*)
+    val a = sets.toDF(sets.columns.toIndexedSeq.map(_ + "_a"): _*)
       .withColumn("salt_a", pmod(col("doc_id_a"), lit(nSalts)))
-    val b = sets.toDF(sets.columns.map(_ + "_b"): _*)
+    val b = sets.toDF(sets.columns.toIndexedSeq.map(_ + "_b"): _*)
       .withColumn("salt_b", explode(sequence(lit(0), lit(nSalts - 1))))
     a.join(b,
       col(s"${key}_a") === col(s"${key}_b") &&
