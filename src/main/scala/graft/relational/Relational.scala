@@ -280,6 +280,61 @@ object Relational {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     },
 
+    // ---- q96: rank-family window completeness — ntile deciles,
+    //      percent_rank, cume_dist over doc length per lang. All three
+    //      are exact-integer-derived: ntile is an int bucket,
+    //      percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are
+    //      single int/int IEEE divisions — bit-identical cross-engine
+    //      (the q34 ratio policy). Tie-proof total order (n_chars,
+    //      doc_id). ----
+    Q(
+      "q96_rank_family",
+      """SELECT doc_id, lang,
+        |  CAST(ntile(10) OVER w AS INT) AS decile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          ntile(10).over(w).cast("int").as("decile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q97: explicit GROUPING SETS + grouping_id — the third
+    //      grouping-set surface next to ROLLUP (q12) and CUBE (q13):
+    //      an arbitrary, non-hierarchical set list ((status), (priority),
+    //      ()) with grouping() flags disambiguating real NULLs from
+    //      subtotal rows. ----
+    Q(
+      "q97_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .createOrReplaceTempView("orders_q97")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  count(*) AS n
+          |FROM orders_q97
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio,
+          |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
     // ---- q14: HAVING post-aggregate filter ----
     Q(
       "q14_having",
