@@ -95,6 +95,10 @@ object GraftExtensions {
   def registerAggregators(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.udaf
+    // tune() runs per query invocation: skip the four encoder
+    // derivations + udaf wrappers once this session has them
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("mg_sketch"))) return
     spark.udf.register("mg_sketch",
       udaf(new graft.functions.MisraGries(64), Encoders.STRING))
     spark.udf.register("quantile_sketch",

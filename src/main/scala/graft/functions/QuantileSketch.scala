@@ -45,21 +45,30 @@ object QuantileSketch {
       s.levels ++ Seq.fill(depth - s.levels.length)(Seq.empty[Double]),
       s.flips ++ Seq.fill(depth - s.flips.length)(0))
 
-  /** Compact every over-cap level bottom-up. */
+  /** Compact every over-cap level bottom-up. Only an EVEN count of
+    * items is ever compacted: an odd-length level (routine after a
+    * merge concatenation) leaves its largest element behind at the
+    * level, so total weight is conserved exactly — promoting half of
+    * an odd count at doubled weight would drift `count` and void the
+    * rank bound. Compaction fires strictly ABOVE cap, so the exact
+    * regime is precisely n ≤ capacity (q86/q87's premise). */
   def compacted(s0: QState, cap: Int): QState = {
     var s = s0
     var i = 0
     while (i < s.levels.length) {
-      if (s.levels(i).length >= cap) {
+      if (s.levels(i).length > cap) {
         val sorted = s.levels(i).sorted
+        val evenLen = sorted.length - (sorted.length % 2)
         val off = s.flips(i) & 1
-        val kept = sorted.indices.collect {
+        val kept = (0 until evenLen).collect {
           case j if j % 2 == off => sorted(j)
         }
+        val leftover: Seq[Double] =
+          if (evenLen < sorted.length) Seq(sorted.last) else Seq.empty
         s = pad(s, i + 2)
         s = QState(
           s.levels
-            .updated(i, Seq.empty[Double])
+            .updated(i, leftover)
             .updated(i + 1, s.levels(i + 1) ++ kept),
           s.flips.updated(i, s.flips(i) + 1))
       }

@@ -28,9 +28,17 @@ final class TopK(k: Int)
       Seq[(Double, Long)]] {
   require(k >= 1, "k must be at least 1")
 
-  /** (value desc, id asc): a is ranked strictly before b. */
-  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (value desc, id asc): a is ranked strictly before b. Values
+    * compare via `java.lang.Double.compare` — a TOTAL order (NaN sorts
+    * as the largest value, matching Spark SQL's descending sort), so a
+    * NaN input cannot make both directions false and silently drop a
+    * row in `merge`'s equal-pair branch. */
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    // + 0.0 normalizes -0.0 to +0.0 (NaN unaffected) — SQL engines
+    // sort the two zeros as equal (Spark NormalizeFloatingNumbers)
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: List[(Double, Long)] = Nil
 

@@ -466,9 +466,15 @@ object Hygiene {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
       val bits = test.select(Bloom.positions(col("fp"), mBits, k).as("pos"))
         .agg(bloomUdaf(col("pos")).as("bits"))
+      // persisted: the misses and hits branches both consume `probed`,
+      // and without the persist each union arm would re-scan and
+      // re-probe the full train side (the dominant cost this op
+      // exists to pay exactly once)
       val probed = docs.filter(col("bucket") < 8)
         .crossJoin(broadcast(bits))
         .withColumn("hit", Bloom.mightContain(col("bits"), col("fp"), mBits, k))
+        .select("doc_id", "fp", "hit")
+        .transform(graft.Caches.persist)
       val misses = probed.filter(!col("hit"))
         .select(col("doc_id"), lit(0).as("dup_in_test"))
       val hits = probed.filter(col("hit"))

@@ -140,6 +140,24 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The sign-bucket LSH sketch: bit i set iff plane-i coordinate is
+    * strictly positive. THE shared definition — q32, q83, q93 and
+    * `streaming.StreamingAnn` must agree bit-for-bit or the
+    * batch/stream and probe/index parity contracts silently break, so
+    * none of them re-declares it. */
+  private[graft] def signBucket(emb: Column, planes: Int = 8): Column =
+    (0 until planes)
+      .map(i => when(element_at(emb, i + 1) > 0, lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+      .cast("long")
+
+  /** q48's symmetric max-abs INT8 quantization of one coordinate —
+    * shared by q48/q84/q91 (the quantize-first exactness pattern
+    * depends on all three using the same grid). */
+  private[graft] def quantizeInt8(x: Column, mx: Column): Column =
+    floor(x * lit(127.0) / mx + lit(0.5))
+
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -202,13 +220,10 @@ object Similarity {
         |  FROM cos)
         |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
     ) { (s, d) =>
-      val sketch = (0 until 8)
-        .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
-          .otherwise(lit(0L)))
-        .reduce(_ + _)
+      val sketch = signBucket(col("embedding"))
       val v = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        sketch.cast("long").as("bucket"))
+        sketch.as("bucket"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val scored = v.as("a")
         .join(v.as("b"),
@@ -285,8 +300,8 @@ object Similarity {
         .select(col("vec_id"), col("e"), col("mx"),
           explode(sequence(lit(1), lit(8))).as("dim"))
         .select(col("vec_id"), col("dim").cast("int").as("dim"),
-          floor(element_at(col("e"), col("dim")) * lit(127.0) / col("mx") +
-            lit(0.5)).cast("int").as("qval"))
+          quantizeInt8(element_at(col("e"), col("dim")), col("mx"))
+            .cast("int").as("qval"))
         .orderBy("vec_id", "dim")
     },
 
@@ -493,13 +508,10 @@ object Similarity {
         |  ON a.bucket = b.bucket AND b.vec_id < a.vec_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     ) { (s, d) =>
-      val sketch = (0 until 8)
-        .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
-          .otherwise(lit(0L)))
-        .reduce(_ + _)
+      val sketch = signBucket(col("embedding"))
       val v = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        sketch.cast("long").as("bucket"))
+        sketch.as("bucket"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val a = v.select(col("vec_id"), col("bucket"), col("v").as("av"),
         col("nrm").as("an"))
@@ -574,7 +586,7 @@ object Similarity {
         .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
         .filter(col("mx") > 0)
         .withColumn("qv",
-          transform(col("e"), x => floor(x * lit(127.0) / col("mx") + lit(0.5)))
+          transform(col("e"), x => quantizeInt8(x, col("mx")))
             .cast("array<double>"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       val q = v.filter(col("vec_id") < 10)
@@ -634,13 +646,10 @@ object Similarity {
         |  FROM c)
         |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
     ) { (s, d) =>
-      val sketch = (0 until 8)
-        .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
-          .otherwise(lit(0L)))
-        .reduce(_ + _)
+      val sketch = signBucket(col("embedding"))
       val v = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        sketch.cast("long").as("bucket"))
+        sketch.as("bucket"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val probes = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -696,8 +705,8 @@ object Similarity {
           col("e"), col("mx"))
         .select(col("label").cast("int").as("label"),
           col("dim").cast("int").as("dim"),
-          floor(element_at(col("e"), col("dim")) * lit(127.0) / col("mx") +
-            lit(0.5)).cast("long").as("q"))
+          quantizeInt8(element_at(col("e"), col("dim")), col("mx"))
+            .cast("long").as("q"))
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
         .withColumn("centroid_q",

@@ -58,13 +58,9 @@ object StreamingAnn {
     * zero-norm vectors are dropped (no cosine is defined for them). */
   def bucketed(vecs: DataFrame): Dataset[VecRow] = {
     import vecs.sparkSession.implicits._
-    val sketch = (0 until 8)
-      .map(i => when(element_at(col("embedding"), i + 1) > 0, lit(1L << i))
-        .otherwise(lit(0L)))
-      .reduce(_ + _)
     vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        sketch.cast("long").as("bucket"))
+        graft.llmdata.Similarity.signBucket(col("embedding")).as("bucket"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .filter(col("nrm") > 0)
@@ -83,10 +79,13 @@ object StreamingAnn {
       val prev = st.getOption.getOrElse(BucketState(Nil, Nil))
       var kept = prev.vecs
       var over = prev.overflowIds
+      // probe the replay memory as a Set: O(1) per arrival instead of
+      // an O(|overflowIds|) list scan on every row of a hot bucket
+      var overSet = over.toSet
       val out = List.newBuilder[Neighbor]
       // deterministic within-batch order: ids, not partition order
       rows.toSeq.sortBy(_.vec_id).foreach { r =>
-        if (!kept.exists(_.vec_id == r.vec_id) && !over.contains(r.vec_id)) {
+        if (!kept.exists(_.vec_id == r.vec_id) && !overSet.contains(r.vec_id)) {
           kept.foreach { p =>
             var acc = 0.0
             var i = 0
@@ -98,7 +97,7 @@ object StreamingAnn {
                 math.max(p.vec_id, r.vec_id), bucket, acc)
           }
           if (kept.size < maxPerBucket) kept = BucketVec(r.vec_id, r.vn) :: kept
-          else over = r.vec_id :: over
+          else { over = r.vec_id :: over; overSet += r.vec_id }
         }
       }
       st.update(BucketState(kept, over))

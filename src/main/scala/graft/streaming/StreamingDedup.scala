@@ -118,10 +118,13 @@ object StreamingDedup {
       val prev = st.getOption.getOrElse(BandState(Nil, Nil))
       var kept = prev.docs
       var over = prev.overflowIds
+      // probe the replay memory as a Set: O(1) per arrival instead of
+      // an O(|overflowIds|) list scan on every row of a hot bucket
+      var overSet = over.toSet
       val out = List.newBuilder[Candidate]
       // deterministic within-batch order: ids, not partition order
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
-        if (!kept.exists(_.doc_id == r.doc_id) && !over.contains(r.doc_id)) {
+        if (!kept.exists(_.doc_id == r.doc_id) && !overSet.contains(r.doc_id)) {
           kept.foreach { p =>
             val est = p.sig.zip(r.sig).count { case (a, b) => a == b }
               .toDouble / NPerm
@@ -130,7 +133,7 @@ object StreamingDedup {
                 math.max(p.doc_id, r.doc_id), band, est)
           }
           if (kept.size < maxPerBucket) kept = BandDoc(r.doc_id, r.sig) :: kept
-          else over = r.doc_id :: over
+          else { over = r.doc_id :: over; overSet += r.doc_id }
         }
       }
       st.update(BandState(kept, over))

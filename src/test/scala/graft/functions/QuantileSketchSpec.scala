@@ -72,6 +72,23 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("weight is conserved through odd-length compactions (merge concatenation shapes)") {
+    val cap = 64
+    // merge level-0 lengths 63 + 2 → 65 items at the level: an odd
+    // compaction must leave one item behind, never promote ceil(65/2)
+    val a = build((1 to 63).map(_.toDouble), cap)
+    val b = build(Seq(1000.0, 2000.0), cap)
+    val m = mergeStates(a, b, cap)
+    assert(count(m) === 65L)
+    // boundary: exactly n == capacity stays in the exact regime
+    val full = build((1 to cap).map(_.toDouble), cap)
+    assert(full.levels(0).length === cap, "no compaction at n == capacity")
+    assert(quantiles(full, Seq(0.5)).head === exactQ((1 to cap).map(_.toDouble), 0.5))
+    // odd capacity: repeated sequential inserts also conserve weight
+    val odd = build((1 to 500).map(_.toDouble), 65)
+    assert(count(odd) === 500L)
+  }
+
   test("determinism: identical input and merge tree give bit-identical states") {
     val cap = 32
     val xs = (0 until 5000).map(i => ((i * 48611) % 7919).toDouble)
