@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental (streaming) quantile tracking — the cross-batch twin of
+  * the compactor-stack quantile aggregator (q86,
+  * `functions/QuantileSketch`), the way [[StreamingHeavyHitters]] twins
+  * the Misra–Gries aggregator: maintain per-group rank sketches ACROSS
+  * micro-batches (ingest-time latency/length percentiles), bounded
+  * memory per group at any stream length.
+  *
+  * The fold is literally `QuantileSketch.insert` — one definition of
+  * the sketch, two execution surfaces — so the compactor guarantees
+  * (weight conservation, levels·n/c rank bound, n ≤ capacity exact
+  * regime) carry over verbatim, and a stream that stays under capacity
+  * reproduces the batch aggregator's output exactly (spec-pinned).
+  *
+  * Ordering contract: within a micro-batch the fold order is
+  * (doc_id, seq) — deterministic, partition-order-proof; across
+  * batches it is arrival order. In the exact regime order is
+  * irrelevant (the state is the multiset); in the lossy regime the
+  * rank BOUND is order-free even though the concrete estimate is not.
+  *
+  * Emission: every batch that touches a group emits that group's
+  * current quantile snapshot versioned by `n_seen` (same contract as
+  * [[StreamingHeavyHitters]]).
+  *
+  * Scale: state is O(capacity · log(n/capacity)) doubles per group
+  * key; shuffle is the group-keyed exchange the batch aggregator
+  * uses. RocksDB state store for high-cardinality keys.
+  */
+object StreamingQuantiles {
+  import graft.functions.QuantileSketch
+  import graft.functions.QuantileSketch.QState
+
+  /** One observation with its deterministic fold position. */
+  final case class Obs(key: String, doc_id: Long, seq: Int, x: Double)
+
+  /** One snapshot row (versioned by n_seen). */
+  final case class Snapshot(key: String, n_seen: Long, qs: Seq[Double])
+
+  /** The stateful sketch stage; batch or streaming. */
+  def track(in: Dataset[Obs], capacity: Int, quantiles: Seq[Double])
+      : Dataset[Snapshot] = {
+    import in.sparkSession.implicits._
+    def fn(key: String, rows: Iterator[Obs],
+        st: GroupState[QState]): Iterator[Snapshot] = {
+      val prev = st.getOption.getOrElse(QuantileSketch.empty)
+      val batch = rows.toSeq.sortBy(o => (o.doc_id, o.seq))
+      val next = batch.foldLeft(prev)((s, o) =>
+        QuantileSketch.insert(s, o.x, capacity))
+      st.update(next)
+      Iterator.single(Snapshot(key, QuantileSketch.count(next),
+        QuantileSketch.quantiles(next, quantiles)))
+    }
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Convenience: per-lang doc-length percentiles over a
+    * (doc_id, lang, text) frame. */
+  def docLengths(docs: DataFrame, capacity: Int = 1 << 16,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Dataset[Snapshot] = {
+    import docs.sparkSession.implicits._
+    track(
+      docs.select(col("lang").as("key"), col("doc_id"), lit(0).as("seq"),
+        length(col("text")).cast("double").as("x")).as[Obs],
+      capacity, quantiles)
+  }
+}
