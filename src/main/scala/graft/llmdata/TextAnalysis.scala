@@ -387,6 +387,44 @@ object TextAnalysis {
         .orderBy("lang", "source")
     },
 
+    // ---- q98: sketch-boundary bucketing — the 100 TB curriculum
+    //      pass q96's scale caveat points at: instead of an exact
+    //      per-key ntile (one sort task per key), cut decile
+    //      BOUNDARIES with the quantile sketch (one partial-aggregated
+    //      pass), broadcast the 9 doubles per lang, and assign buckets
+    //      map-side by comparison — no per-key sort anywhere, so the
+    //      pass scales with executors, not key cardinality. Bucket
+    //      semantics are boundary-based (bucket = 1 + #boundaries
+    //      strictly below x): at test scale the sketch is in its exact
+    //      regime, boundaries ARE quantile_disc values, and DuckDB
+    //      replays the whole assignment value-for-value. ----
+    Q(
+      "q98_sketch_bucketing",
+      """WITH b AS (SELECT lang,
+        |    quantile_disc(n_chars,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(1 + len(list_filter(b.bs, v -> d.n_chars > v)) AS INT)
+        |    AS bucket
+        |FROM documents d JOIN b ON b.lang = d.lang
+        |ORDER BY d.doc_id""".stripMargin,
+    ) { (s, d) =>
+      val sk = udaf(
+        new graft.functions.QuantileSketchAgg(1 << 16,
+          (1 to 9).map(_ / 10.0)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val bounds = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sk(col("n_chars").cast("double")).as("bs"))
+      Tables.documents(s, d)
+        .join(broadcast(bounds), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (lit(1) + size(filter(col("bs"),
+            b => col("n_chars").cast("double") > b))).cast("int").as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // ---- q90: vocabulary novelty per intake batch — corpus-drift
     //      monitoring: docs arrive in id-ordered shards of 100; per
     //      shard, how many distinct tokens are active and how many are

@@ -286,7 +286,14 @@ object Relational {
     //      percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are
     //      single int/int IEEE divisions — bit-identical cross-engine
     //      (the q34 ratio policy). Tie-proof total order (n_chars,
-    //      doc_id). ----
+    //      doc_id). Scale caveat (unlike the open-keyed windows
+    //      elsewhere): lang is LOW-cardinality, so each partition is
+    //      corpus/5 and sorts in one task — exact global ranks per
+    //      lang inherently serialize per key. At 100 TB a curriculum
+    //      pass uses the q86 SKETCH quantiles to cut decile
+    //      boundaries (one aggregate), then buckets by comparison —
+    //      this query is the exact-rank contract those boundaries
+    //      are validated against. ----
     Q(
       "q96_rank_family",
       """SELECT doc_id, lang,
