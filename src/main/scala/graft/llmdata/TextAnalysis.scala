@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import graft.{Q, Tables}
+import graft.{Caches, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -423,6 +423,55 @@ object TextAnalysis {
           (lit(1) + size(filter(col("bs"),
             b => col("n_chars").cast("double") > b))).cast("int").as("bucket"))
         .orderBy("doc_id")
+    },
+
+    // ---- q99: cross-source vocabulary overlap matrix — for every
+    //      ordered source pair, |V_a ∩ V_b| / |V_a ∪ V_b| (the corpus
+    //      composition audit: which feeds are near-mirrors, which add
+    //      novel vocabulary; run before mixing weights are chosen).
+    //      Plan: distinct (source, token) pairs once (persisted), then
+    //      the intersection counts ride ONE token-keyed self-join —
+    //      each token fans out to at most C(#sources, 2) pair rows, a
+    //      bound independent of corpus size, so the join output is
+    //      O(vocab · sources²), never O(corpus²). Union sizes derive
+    //      from the per-source vocab counts. Everything is exact
+    //      integers + one int/int division. ----
+    Q(
+      "q99_source_overlap",
+      """WITH ts AS (SELECT DISTINCT source,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |sz AS (SELECT source, count(*) AS nv FROM ts GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+        |  FROM ts a JOIN ts b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, ni,
+        |  CAST(sa.nv + sb.nv - ni AS BIGINT) AS nu,
+        |  CAST(ni AS DOUBLE) / (sa.nv + sb.nv - ni) AS jaccard
+        |FROM inter JOIN sz sa ON sa.source = src_a
+        |           JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    ) { (s, d) =>
+      // distinct (source, token) pairs, then the pair counts ride ONE
+      // token-keyed self-join — at 16 sources each token contributes
+      // ≤ C(16,2) pair rows, bounded fan-out independent of corpus size
+      val ts = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .transform(Caches.persist)
+      val sz = ts.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = ts.toDF("src_a", "w")
+        .join(ts.toDF("src_b", "w_b"),
+          col("w") === col("w_b") && col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("ni"))
+      inter
+        .join(sz.toDF("src_a", "nv_a"), "src_a")
+        .join(sz.toDF("src_b", "nv_b"), "src_b")
+        .select(col("src_a"), col("src_b"), col("ni"),
+          (col("nv_a") + col("nv_b") - col("ni")).as("nu"),
+          (col("ni").cast("double") /
+            (col("nv_a") + col("nv_b") - col("ni"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
     },
 
     // ---- q90: vocabulary novelty per intake batch — corpus-drift
