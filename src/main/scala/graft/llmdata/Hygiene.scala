@@ -483,5 +483,67 @@ object Hygiene {
           when(col("m").isNotNull, 1).otherwise(0).as("dup_in_test"))
       misses.unionByName(hits).orderBy("doc_id")
     },
+
+    // ---- q100: training-data readiness report — the capstone audit a
+    //      corpus ships with: per (lang, split), document and token
+    //      counts, exact-dup copies (token-set fp with a lower-id twin
+    //      anywhere in the corpus), test-split leaks (fp also present
+    //      in the held-out split), and the aggregate type-token ratio.
+    //      Plan: every per-doc stat is a MAP-side array fold (no
+    //      tokenize explode); the dup and leak flags are window
+    //      min/max riding ONE fp-keyed shuffle (q62's membership
+    //      pattern); then one (lang, split) aggregate — two shuffles
+    //      end to end at any corpus size. The aggregate TTR is
+    //      sum(int)/sum(int) — ONE IEEE division per output row, never
+    //      a float sum (the q91 policy). ----
+    Q(
+      "q100_readiness_report",
+      s"""WITH b AS (SELECT doc_id, lang,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text,' '))), ' ')) AS fp,
+        |    len(string_split(text,' ')) AS nt,
+        |    len(list_distinct(string_split(text,' '))) AS nd,
+        |    $SqlBucket AS bucket
+        |  FROM documents),
+        |f AS (SELECT *,
+        |    CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+        |    max(CASE WHEN bucket = 9 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY fp) AS in_test
+        |  FROM b)
+        |SELECT lang, split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN doc_id <> keep_id THEN 1 END) AS BIGINT)
+        |    AS n_dup_copies,
+        |  CAST(count(CASE WHEN bucket <> 9 AND in_test = 1 THEN 1 END)
+        |    AS BIGINT) AS n_test_leaks,
+        |  CAST(sum(nd) AS DOUBLE) / sum(nt) AS ttr_agg
+        |FROM f GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    ) { (s, d) =>
+      val w = split(col("text"), " ")
+      val fpW = Window.partitionBy("fp")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), Text.setFp.as("fp"),
+          size(w).cast("long").as("nt"),
+          size(array_distinct(w)).cast("long").as("nd"),
+          bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .withColumn("keep_id", min("doc_id").over(fpW))
+        .withColumn("in_test",
+          max(when(col("bucket") === 9, 1).otherwise(0)).over(fpW))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          count(when(col("doc_id") =!= col("keep_id"), 1)).as("n_dup_copies"),
+          count(when(col("bucket") =!= 9 && col("in_test") === 1, 1))
+            .as("n_test_leaks"),
+          (sum("nd").cast("double") / sum("nt")).as("ttr_agg"))
+        .orderBy("lang", "split")
+    },
   )
 }
