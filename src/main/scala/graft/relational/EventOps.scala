@@ -257,6 +257,46 @@ object EventOps {
         .orderBy("user_id", "sess_id")
     },
 
+    // ---- q101: native session_window — the BUILT-IN gap-session
+    //      operator (same 6 h rule as q39's manual window rendering;
+    //      Spark merges overlapping per-event windows per key). Kept
+    //      alongside q39 deliberately: the manual form is the
+    //      portable/streaming-free rendering, this is the engine
+    //      operator a Spark user would reach for first — both must
+    //      agree with the same DuckDB oracle. Session bounds differ
+    //      from q39's output shape: session_window's `end` is
+    //      last-event + gap, so the oracle adds the gap to the max
+    //      event time. ----
+    Q(
+      "q101_session_window_native",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 21600 SECOND AS sess_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")
+    },
+
     // ---- q40: event-time interval join — click→purchase attribution
     //      within 24 h per user (the batch rendering of a stream-stream
     //      join with an event-time range condition; streaming twin uses
@@ -336,6 +376,55 @@ object EventOps {
         .select(col("event_id"), col("user_id"),
           col("lv.r_event_id").as("last_view_id"),
           col("lv.r_value").as("last_view_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- q102: FORWARD as-of join — each purchase takes the EARLIEST
+    //      view STRICTLY AFTER its event time (the "next touchpoint"
+    //      attribution; the time-reversed twin of q54). Same
+    //      union-and-window shape, mirrored: views order BEFORE
+    //      purchases at equal ts (so a same-instant view is correctly
+    //      EXCLUDED from the strictly-after frame), and the lookup is
+    //      `first(_, ignoreNulls)` over a (current+1 → unbounded
+    //      following) frame — still one user-keyed shuffle, no per-row
+    //      subquery. ----
+    Q(
+      "q102_asof_forward",
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts > p.ts
+        |   ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS next_view_id,
+        |  (SELECT v.value FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts > p.ts
+        |   ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS next_view_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tagged = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("r_event_id"),
+          lit(null).cast("double").as("r_value"))
+        .unionByName(ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"),
+            col("event_id").as("r_event_id"), col("value").as("r_value")))
+      // views (side 0) sort BEFORE purchases at equal ts: a same-ts
+      // view lands outside the strictly-following frame, matching the
+      // oracle's `v.ts > p.ts`
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), col("r_event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      // single struct aggregate for the same NULL-value reason as q54
+      tagged
+        .withColumn("nv", first(
+          when(col("side") === 0, struct(col("r_event_id"), col("r_value"))),
+          ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("nv.r_event_id").as("next_view_id"),
+          col("nv.r_value").as("next_view_value"))
         .orderBy("event_id")
     },
 
