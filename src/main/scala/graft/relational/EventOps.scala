@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   * one definition serves both; the oracle checks the batch rendering.
   */
 object EventOps {
+  /** Shared DuckDB CTE: the 6 h gap-session assignment
+    * (`s(user_id, event_id, ts, event_type, sess_id)`) — consumed by
+    * the q39/q78/q101 oracles so the session rule (gap constant,
+    * tie-order, running-sum id) has exactly ONE definition. */
+  private val SqlSessionCte: String =
+    """g AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sess_id
+      |  FROM g)""".stripMargin
+
   private val D2 = "decimal(38,2)"
 
   /** The W1 spike-and-dip detector over events, partitioned per
@@ -225,18 +244,7 @@ object EventOps {
     //      windows + one aggregate, all partitioned by user_id. ----
     Q(
       "q39_sessionize",
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-        |  FROM g)
+      s"""WITH $SqlSessionCte
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(ts) AS sess_start, max(ts) AS sess_end
         |FROM s GROUP BY user_id, sess_id
@@ -269,18 +277,7 @@ object EventOps {
     //      event time. ----
     Q(
       "q101_session_window_native",
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-        |  FROM g)
+      s"""WITH $SqlSessionCte
         |SELECT user_id, min(ts) AS sess_start,
         |  max(ts) + INTERVAL 21600 SECOND AS sess_end,
         |  count(*) AS n_events
@@ -586,19 +583,7 @@ object EventOps {
     //      bounded by user activity, never corpus size. ----
     Q(
       "q78_dialogue_pack",
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS sess_id
-        |  FROM g)
+      s"""WITH $SqlSessionCte
         |SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_turns,
         |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS dialogue
         |FROM s GROUP BY user_id, sess_id

@@ -7,4 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * session; build.sbt forks a single test JVM). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local(4)
+
+  /** Run `body` with the RocksDB state-store provider, restoring the
+    * previous provider even when `body` (or a query stop inside it)
+    * throws — a leaked provider conf would silently change what every
+    * later suite on the shared session exercises. */
+  def withRocksDBStateStore[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

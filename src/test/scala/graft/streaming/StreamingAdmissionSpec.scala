@@ -71,29 +71,21 @@ class StreamingAdmissionSpec extends SparkSpec {
   test("state survives under the RocksDB state store (the corpus-scale provider)") {
     val sp = spark
     import sp.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = sp.conf.getOption(key)
-    sp.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[(Long, String, String)](sp)
-    val q = StreamingAdmission.admitDocs(
-        input.toDF.toDF("doc_id", "source", "text"), budget = 100)
-      .writeStream.format("memory").queryName("adm_rocks").start()
-    try {
-      input.addData(doc(1, "s", 60))
-      q.processAllAvailable()
-      input.addData(doc(2, "s", 60))
-      q.processAllAvailable()
-      val d = sp.table("adm_rocks").as[Decision].collect()
-        .map(x => x.doc_id -> x).toMap
-      assert(d(1L).admitted && !d(2L).admitted,
-        "cross-batch spend must survive in RocksDB state")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => sp.conf.set(key, v)
-        case None => sp.conf.unset(key)
-      }
+    withRocksDBStateStore {
+      val input = MemoryStream[(Long, String, String)](sp)
+      val q = StreamingAdmission.admitDocs(
+          input.toDF.toDF("doc_id", "source", "text"), budget = 100)
+        .writeStream.format("memory").queryName("adm_rocks").start()
+      try {
+        input.addData(doc(1, "s", 60))
+        q.processAllAvailable()
+        input.addData(doc(2, "s", 60))
+        q.processAllAvailable()
+        val d = sp.table("adm_rocks").as[Decision].collect()
+          .map(x => x.doc_id -> x).toMap
+        assert(d(1L).admitted && !d(2L).admitted,
+          "cross-batch spend must survive in RocksDB state")
+      } finally q.stop()
     }
   }
 

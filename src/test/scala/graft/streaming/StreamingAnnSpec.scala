@@ -67,28 +67,20 @@ class StreamingAnnSpec extends SparkSpec {
   test("bucket state survives under the RocksDB state store (the corpus-scale provider)") {
     val sp = spark
     import sp.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = sp.conf.getOption(key)
-    sp.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[(Long, Seq[Float])](sp)
-    val q = StreamingAnn.neighborsForVecs(
-        input.toDF.toDF("vec_id", "embedding"))
-      .writeStream.format("memory").queryName("ann_rocks").start()
-    try {
-      input.addData((1L, axis(0)))
-      q.processAllAvailable()
-      input.addData((3L, mix(0, 1, 1f, 0.1f)))
-      q.processAllAvailable()
-      val pairs = sp.table("ann_rocks").as[Neighbor].collect()
-      assert(pairs.map(p => (p.a_id, p.b_id)).toSet === Set((1L, 3L)),
-        "cross-batch vector state must survive in RocksDB")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => sp.conf.set(key, v)
-        case None => sp.conf.unset(key)
-      }
+    withRocksDBStateStore {
+      val input = MemoryStream[(Long, Seq[Float])](sp)
+      val q = StreamingAnn.neighborsForVecs(
+          input.toDF.toDF("vec_id", "embedding"))
+        .writeStream.format("memory").queryName("ann_rocks").start()
+      try {
+        input.addData((1L, axis(0)))
+        q.processAllAvailable()
+        input.addData((3L, mix(0, 1, 1f, 0.1f)))
+        q.processAllAvailable()
+        val pairs = sp.table("ann_rocks").as[Neighbor].collect()
+        assert(pairs.map(p => (p.a_id, p.b_id)).toSet === Set((1L, 3L)),
+          "cross-batch vector state must survive in RocksDB")
+      } finally q.stop()
     }
   }
 

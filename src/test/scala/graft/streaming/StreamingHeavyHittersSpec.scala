@@ -66,28 +66,20 @@ class StreamingHeavyHittersSpec extends SparkSpec {
   test("sketch state survives under the RocksDB state store (the corpus-scale provider)") {
     val sp = spark
     import sp.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = sp.conf.getOption(key)
-    sp.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[(Long, String, String)](sp)
-    val q = StreamingHeavyHitters.sketchDocs(
-        input.toDF.toDF("doc_id", "lang", "text"), k = 8)
-      .writeStream.format("memory").queryName("hh_rocks").start()
-    try {
-      input.addData(doc(1, "en", "a", "a"))
-      q.processAllAvailable()
-      input.addData(doc(2, "en", "a", "b"))
-      q.processAllAvailable()
-      val snap = latest(sp.table("hh_rocks").as[Estimate].collect().toSeq)
-      assert(snap("en") === Map("a" -> 3L, "b" -> 1L),
-        "cross-batch counts must survive in RocksDB state")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => sp.conf.set(key, v)
-        case None => sp.conf.unset(key)
-      }
+    withRocksDBStateStore {
+      val input = MemoryStream[(Long, String, String)](sp)
+      val q = StreamingHeavyHitters.sketchDocs(
+          input.toDF.toDF("doc_id", "lang", "text"), k = 8)
+        .writeStream.format("memory").queryName("hh_rocks").start()
+      try {
+        input.addData(doc(1, "en", "a", "a"))
+        q.processAllAvailable()
+        input.addData(doc(2, "en", "a", "b"))
+        q.processAllAvailable()
+        val snap = latest(sp.table("hh_rocks").as[Estimate].collect().toSeq)
+        assert(snap("en") === Map("a" -> 3L, "b" -> 1L),
+          "cross-batch counts must survive in RocksDB state")
+      } finally q.stop()
     }
   }
 
