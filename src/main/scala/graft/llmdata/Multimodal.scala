@@ -153,6 +153,70 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // ---- q103: frame-sampling under the oracle — the typed-Dataset
+    //      `sampleFrames` kernel (video → per-frame rows) checked
+    //      value-for-value: DuckDB recomputes each frame's bytes with
+    //      the same integer boundary math (k = min(4, len), size =
+    //      len div k, last frame takes the remainder) via substr on
+    //      the ASCII payload. This puts the mapPartitions/flatMap
+    //      execution surface itself — not just its column plumbing —
+    //      under the correctness gate. ----
+    Q(
+      "q103_frame_stats",
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+        |    least(4, length(text)) AS k,
+        |    length(text) // least(4, length(text)) AS sz
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |    CASE WHEN i < k - 1
+        |      THEN substr(text, CAST(i*sz + 1 AS INT), CAST(sz AS INT))
+        |      ELSE substr(text, CAST(i*sz + 1 AS INT)) END AS frame
+        |  FROM b, unnest(range(0, 4)) AS t(i)
+        |  WHERE i < k)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS n_bytes,
+        |  sha256(frame) AS sha
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      sampleFrames(mediaRecords(s, d), 4)
+        .map(f => (f.docId, f.frameIdx, f.payload.length.toLong,
+          f.payload))
+        .toDF("doc_id", "frame_idx", "n_bytes", "p")
+        .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
+          sha2(col("p"), 256).as("sha"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---- q104: resize kernel under the oracle — the stride-sampling
+    //      byte-domain resize (`resize`, the image-downsample stand-in)
+    //      checked value-for-value: DuckDB rebuilds the resized payload
+    //      with the same position formula (floor(i·len/target), 1-based
+    //      substr) and compares the hex rendering. Docs at or under the
+    //      target pass through untouched (both sides). ----
+    Q(
+      "q104_resize_bytes",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(text) <= 32 THEN length(text) ELSE 32 END
+        |    AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(CASE WHEN length(text) <= 32 THEN text
+        |    ELSE array_to_string(list_transform(range(0, 32),
+        |      i -> substr(text,
+        |        CAST(floor(i * length(text) / 32.0) AS INT) + 1, 1)), '')
+        |    END))) AS payload_hex
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      resize(mediaRecords(s, d), 32)
+        .map(r => (r.docId, r.payload.length.toLong, r.payload))
+        .toDF("doc_id", "n_bytes", "p")
+        .select(col("doc_id"), col("n_bytes"),
+          lower(hex(col("p"))).as("payload_hex"))
+        .orderBy("doc_id")
+    },
+
     // ---- q94: cross-modal referential-integrity audit — the check a
     //      multimodal pipeline runs before trusting any doc↔vector
     //      join (q80's shape): per language, how many docs have no
