@@ -217,6 +217,37 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // ---- q105: the decode kernel under the oracle — `extractFeatures`
+    //      with the deterministic byte-statistics decoder, recomputed
+    //      by DuckDB over the payload's code points. The float feature
+    //      (mean byte) is ONE int/int IEEE division on both sides
+    //      (sum and count are exact integers), so even the Float
+    //      channel compares exactly after a float→double round trip on
+    //      both engines. Completes the kernel trio q103/q104 started:
+    //      all three mapPartitions/flatMap stages are gate-checked,
+    //      only the codec binding itself stays a stub. ----
+    Q(
+      "q105_decode_features",
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1))) AS cps
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS n_bytes,
+        |  CAST(n AS FLOAT) AS f_len,
+        |  CAST(CAST(list_sum(cps) AS FLOAT) / n AS FLOAT) AS f_mean,
+        |  CAST(list_min(cps) AS FLOAT) AS f_min,
+        |  CAST(list_max(cps) AS FLOAT) AS f_max
+        |FROM b ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      extractFeatures(mediaRecords(s, d), FakeDecoder)
+        .map(f => (f.docId, f.nBytes, f.feature(0), f.feature(1),
+          f.feature(2), f.feature(3)))
+        .toDF("doc_id", "n_bytes", "f_len", "f_mean", "f_min", "f_max")
+        .orderBy("doc_id")
+    },
+
     // ---- q94: cross-modal referential-integrity audit — the check a
     //      multimodal pipeline runs before trusting any doc↔vector
     //      join (q80's shape): per language, how many docs have no
