@@ -35,7 +35,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the same lang-keyed exchange the batch aggregator uses; RocksDB
   * state store for high-cardinality group keys.
   */
-object StreamingHeavyHitters {
+object StreamingHeavyHitters extends Serializable {
 
   /** One token occurrence with its deterministic fold position. */
   final case class Tok(lang: String, doc_id: Long, pos: Int, w: String)
@@ -58,27 +58,73 @@ object StreamingHeavyHitters {
       .as[Tok]
   }
 
+  /** ONE fold for both stateful APIs (fMGWS and transformWithState) —
+    * the same definition-sharing discipline as the anomaly stage
+    * (`CuratedPipeline.anomalyStage`/`anomalyStageTws`), so the two
+    * surfaces cannot drift. */
+  private def foldBatch(lang: String, prev: HHState, rows: Iterator[Tok],
+      k: Int): (HHState, Iterator[Estimate]) = {
+    val mg = new graft.functions.MisraGries(k)
+    val batch = rows.toSeq.sortBy(t => (t.doc_id, t.pos))
+    val counts = batch.foldLeft(prev.counts)((b, t) => mg.reduce(b, t.w))
+    val nSeen = prev.n_seen + batch.size
+    val next = HHState(counts, nSeen)
+    (next, counts.iterator.map { case (term, est) =>
+      Estimate(lang, nSeen, term, est)
+    })
+  }
+
   /** The stateful sketch stage; works under a streaming query
     * (cross-batch fold) and in batch mode (one fold per group). */
   def sketch(in: Dataset[Tok], k: Int): Dataset[Estimate] = {
     import in.sparkSession.implicits._
-    val mg = new graft.functions.MisraGries(k)
     def fn(lang: String, rows: Iterator[Tok],
         st: GroupState[HHState]): Iterator[Estimate] = {
       val prev = st.getOption.getOrElse(HHState(Map.empty, 0L))
-      val batch = rows.toSeq.sortBy(t => (t.doc_id, t.pos))
-      val counts = batch.foldLeft(prev.counts)((b, t) => mg.reduce(b, t.w))
-      val nSeen = prev.n_seen + batch.size
-      st.update(HHState(counts, nSeen))
-      counts.iterator.map { case (term, est) =>
-        Estimate(lang, nSeen, term, est)
-      }
+      val (next, out) = foldBatch(lang, prev, rows, k)
+      st.update(next)
+      out
     }
     in.groupByKey(_.lang)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** The same stage on Spark 4's `transformWithState` API (typed state
+    * handles, RocksDB-backed store) — the forward path as TWS replaces
+    * flatMapGroupsWithState; shares [[foldBatch]] with [[sketch]], so
+    * both emit identical snapshots (spec-pinned). Streaming queries
+    * need the RocksDB state-store provider. */
+  final class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Tok, Estimate] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[HHState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[HHState]("hhState",
+        org.apache.spark.sql.Encoders.product[HHState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Tok],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Estimate] = {
+      val prev = Option(state.get()).getOrElse(HHState(Map.empty, 0L))
+      val (next, out) = foldBatch(key, prev, rows, k)
+      state.update(next)
+      out
+    }
+  }
+
+  def sketchTws(in: Dataset[Tok], k: Int): Dataset[Estimate] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.lang)
+      .transformWithState(new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   /** Convenience: docs(doc_id, lang, text) → sketch snapshots. */
   def sketchDocs(docs: DataFrame, k: Int): Dataset[Estimate] =
     sketch(tokens(docs), k)
+
+  /** [[sketchDocs]] through the transformWithState surface. */
+  def sketchDocsTws(docs: DataFrame, k: Int): Dataset[Estimate] =
+    sketchTws(tokens(docs), k)
 }
