@@ -31,7 +31,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key; shuffle is the group-keyed exchange the batch aggregator
   * uses. RocksDB state store for high-cardinality keys.
   */
-object StreamingQuantiles {
+object StreamingQuantiles extends Serializable {
   import graft.functions.QuantileSketch
   import graft.functions.QuantileSketch.QState
 
@@ -41,6 +41,17 @@ object StreamingQuantiles {
   /** One snapshot row (versioned by n_seen). */
   final case class Snapshot(key: String, n_seen: Long, qs: Seq[Double])
 
+  /** ONE fold for both stateful APIs — the anomaly-stage /
+    * heavy-hitters definition-sharing discipline. */
+  private def foldBatch(key: String, prev: QState, rows: Iterator[Obs],
+      capacity: Int, quantiles: Seq[Double]): (QState, Snapshot) = {
+    val batch = rows.toSeq.sortBy(o => (o.doc_id, o.seq))
+    val next = batch.foldLeft(prev)((s, o) =>
+      QuantileSketch.insert(s, o.x, capacity))
+    (next, Snapshot(key, QuantileSketch.count(next),
+      QuantileSketch.quantiles(next, quantiles)))
+  }
+
   /** The stateful sketch stage; batch or streaming. */
   def track(in: Dataset[Obs], capacity: Int, quantiles: Seq[Double])
       : Dataset[Snapshot] = {
@@ -48,15 +59,41 @@ object StreamingQuantiles {
     def fn(key: String, rows: Iterator[Obs],
         st: GroupState[QState]): Iterator[Snapshot] = {
       val prev = st.getOption.getOrElse(QuantileSketch.empty)
-      val batch = rows.toSeq.sortBy(o => (o.doc_id, o.seq))
-      val next = batch.foldLeft(prev)((s, o) =>
-        QuantileSketch.insert(s, o.x, capacity))
+      val (next, snap) = foldBatch(key, prev, rows, capacity, quantiles)
       st.update(next)
-      Iterator.single(Snapshot(key, QuantileSketch.count(next),
-        QuantileSketch.quantiles(next, quantiles)))
+      Iterator.single(snap)
     }
     in.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The same stage on the `transformWithState` API (typed state
+    * handles, RocksDB-backed) — shares [[foldBatch]] with [[track]]. */
+  final class QuantileProcessor(capacity: Int, quantiles: Seq[Double])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Obs, Snapshot] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[QState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[QState]("qState",
+        org.apache.spark.sql.Encoders.product[QState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Obs],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Snapshot] = {
+      val prev = Option(state.get()).getOrElse(QuantileSketch.empty)
+      val (next, snap) = foldBatch(key, prev, rows, capacity, quantiles)
+      state.update(next)
+      Iterator.single(snap)
+    }
+  }
+
+  def trackTws(in: Dataset[Obs], capacity: Int, quantiles: Seq[Double])
+      : Dataset[Snapshot] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .transformWithState(new QuantileProcessor(capacity, quantiles),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
   /** Convenience: per-lang doc-length percentiles over a
