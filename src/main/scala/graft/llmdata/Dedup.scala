@@ -29,11 +29,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-  /** The shared bitmap-encoding plan: tokens joined to the dictionary
-    * with per-token bucket/bit, plus the aggregate expressions that
-    * fold them into an exact token-set bitmap. q28 consumes it via
-    * `tokenBitmaps`; q29 appends its minhash aggregates to the same
-    * single groupBy pass.
+  /** One-pass foundation shared by the set-similarity joins (q28
+    * word-set Jaccard, q75 containment, q29 MinHash+LSH): a SINGLE
+    * corpus scan+tokenize feeds every per-doc input those joins need —
+    * the exact token-set bitmap, the set size, the (df, token) prefix
+    * order (when `withPrefix`), the minhash signatures (when
+    * `nMinhash > 0`), and the row-local token-set fingerprint that
+    * drives the adaptive exact-dup collapse. The previous shape
+    * re-tokenized the corpus three times per query (collapse probe,
+    * vocab build, set aggregation); at 100 TB the corpus scan IS the
+    * cost, so every derived column now rides one pass over the
+    * persisted token set (two cached re-reads: the vocab distinct and
+    * the per-doc aggregate).
     *
     * Why bitmaps: set similarity on this corpus is degenerate for
     * inverted-index joins — the vocabulary is tiny (~31 words), so
@@ -43,33 +50,88 @@ object Dedup {
     * exact, not sketched. The dictionary is one small distinct-scan
     * (real pipelines precompute it); generic over vocab size via one
     * long per 64 ids. For open vocabularies where no dictionary fits,
-    * q29's MinHash+LSH banding is the scale route. */
-  private final case class BitmapPlan(bits: DataFrame, nBuckets: Int) {
-    def maskAggs: Seq[Column] = (0 until nBuckets).map(b =>
-      expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
-        .as(s"m$b")) :+ count(lit(1)).as("nw")
-    def maskCol: Column =
-      array((0 until nBuckets).map(b => col(s"m$b")): _*)
+    * q29's MinHash+LSH banding is the scale route and q58's count-join
+    * verify the exact one.
+    *
+    * The collapse decision happens AFTER the aggregation: `sets` is
+    * built for all docs (the scan admits no choice), and when the
+    * measured dup ratio pays ([[shouldCollapse]]) the pairwise
+    * machinery runs over [[SetSim.work]]'s representatives and pairs
+    * expand back afterwards. Aggregating masks for duplicates the
+    * collapse then discards costs one aggregation visit per dup row —
+    * strictly cheaper than the second corpus scan the pre-aggregation
+    * probe used to pay. */
+  private final case class SetSim(
+      sets: DataFrame, members: DataFrame, collapse: Boolean) {
+    /** The frame the pairwise machinery runs over: every doc, or one
+      * representative per distinct (blocking key, token set). */
+    def work: DataFrame =
+      if (collapse)
+        sets.join(members.filter(col("doc_id") === col("gid"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      else sets
   }
 
-  private def bitmapPlan(words: DataFrame): BitmapPlan = {
-    val s = words.sparkSession
+  private def setSim(s: SparkSession, d: String,
+      fpKey: Seq[String], withPrefix: Boolean, nMinhash: Int): SetSim = {
+    // (doc_id, lang, fp, w): fp is ROW-LOCAL (md5 of the sorted
+    // distinct tokens) so the collapse key costs no extra pass, and the
+    // distinct-per-doc token rows behind it are persisted — the vocab
+    // scan and the per-doc aggregate below both read this cache, never
+    // the raw corpus again.
+    val ts = Caches.persist(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.setFp.as("fp"),
+        explode(split(col("text"), " ")).as("w"))
+      .distinct())
     // Dense ids via zipWithIndex (per-partition offsets from one count
     // job) instead of a global row_number() window — no single-partition
     // sort at a real vocabulary size. Bit positions are internal: no
     // output depends on which bit a word gets, only that the assignment
     // is injective; sortWithinPartitions pins the within-partition order
     // so a task retry cannot reshuffle ids mid-query.
-    val distinctW = Caches.persist(words.select("w").distinct())
+    val distinctW = Caches.persist(ts.select("w").distinct())
     val nWords = distinctW.count() // tiny driver action: |vocab|
     val vocab = s.createDataFrame(
       distinctW.sortWithinPartitions("w").rdd
         .map(_.getString(0)).zipWithIndex()).toDF("w", "wid")
     val nBuckets = math.max(1, ((nWords + 63) / 64).toInt)
-    val bits = words.join(broadcast(vocab), "w")
+    val bits0 = ts.join(broadcast(vocab), "w")
       .withColumn("bucket", (col("wid") / 64).cast("int"))
       .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
-    BitmapPlan(bits, nBuckets)
+    // df (the PPJoin rarest-first prefix order) rides the same pass as
+    // a window count over the (lang, w) exchange the aggregate needs
+    // anyway — the groupBy+self-join alternative would shuffle the
+    // token table twice
+    val bits = if (withPrefix)
+      bits0.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("lang", "w")))
+    else bits0
+    val maskAggs = (0 until nBuckets).map(b =>
+      expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
+        .as(s"m$b")) :+ count(lit(1)).as("nw")
+    val prefixAggs = if (withPrefix)
+      Seq(array_sort(collect_list(struct(col("df"), col("w")))).as("toks"))
+    else Nil
+    val mhAggs = (0 until nMinhash).map(i =>
+      min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i"))
+    val aggs = maskAggs ++ prefixAggs ++ mhAggs
+    // one row per doc; consumed by candidate generation AND both
+    // verify sides — persisted (tracked, so library callers release
+    // via Caches.release()).
+    val sets = Caches.persist(bits
+      .groupBy("doc_id", "lang", "fp")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mask", array((0 until nBuckets).map(b => col(s"m$b")): _*))
+      .drop((0 until nBuckets).map(b => s"m$b"): _*))
+    // (doc_id, gid) over the persisted per-doc rows — the window runs
+    // over doc-count rows, not tokens, and only enters the RETURNED
+    // plan when the collapse engages (expansion joins); the decision
+    // itself is two cheap counts on this cached base.
+    val members = sets
+      .withColumn("gid",
+        min("doc_id").over(Window.partitionBy(fpKey.map(col): _*)))
+      .select("doc_id", "gid")
+    SetSim(sets, members, shouldCollapse(members))
   }
 
   /** popcount of the AND of two bitmap arrays = |intersection|. */
@@ -106,7 +168,7 @@ object Dedup {
     * duplication factor: a cluster of k identical docs costs 1 unit of
     * similarity-join work instead of k (candidates) + k² (verify).
     *
-    * `members`: (doc_id, gid) from [[groupIds]] — gid is the group's
+    * `members`: (doc_id, gid) from [[setSim]] — gid is the group's
     * min doc_id, so representatives satisfy `doc_id === gid` and the
     * verified rep pairs (a_id, b_id, jaccard) expand with two
     * long-keyed joins, no string keys. Expansion emits
@@ -153,22 +215,13 @@ object Dedup {
     intra.unionByName(cross)
   }
 
-  /** (doc_id, gid) where gid = the group's min doc_id under the given
-    * collapse key — the numeric group id [[expandPairs]] expects (and
-    * the representative's own id: `doc_id === gid` picks reps). */
-  private def groupIds(docs: DataFrame, key: Seq[String]): DataFrame =
-    docs
-      .withColumn("gid",
-        min("doc_id").over(Window.partitionBy(key.map(col): _*)))
-      .select("doc_id", "gid")
-
   /** Adaptive collapse decision: run the pairwise machinery over
     * representatives only when the collapse actually shrinks the input
     * (≥ 20% fewer groups than docs — below that the rep indirection's
-    * two expansion joins cost more than they save). `members` must
-    * already be persisted: both counts and the expansion reuse it, so
-    * the decision costs two cheap actions on cached data. The same
-    * AQE-style measure-then-plan pattern Catalyst applies to join
+    * two expansion joins cost more than they save). `members` derives
+    * from the persisted per-doc `sets`, so the decision costs two
+    * doc-count-sized actions on cached data — never a corpus scan. The
+    * same AQE-style measure-then-plan pattern Catalyst applies to join
     * strategy, applied to dedup topology. */
   private def shouldCollapse(members: DataFrame): Boolean = {
     val docs = members.count()
@@ -298,51 +351,34 @@ object Dedup {
       //
       // The whole join runs over one REPRESENTATIVE per distinct
       // (lang, token-set) when that shrinks the input — exact dups
-      // collapse first, pairs expand after (expandPairs /
-      // shouldCollapse scaladoc): sublinear in the dup factor.
-      val members = Caches.persist(groupIds(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), Text.setFp.as("fp")),
-        Seq("lang", "fp")))
-      val collapse = shouldCollapse(members)
-      val joinDocs =
-        if (!collapse) Tables.documents(s, d)
-        else Tables.documents(s, d)
-          .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-      val p = bitmapPlan(Text.tokenSetOf(joinDocs))
-      // df rides the (lang, w)-keyed shuffle as a window count — the
-      // groupBy+self-join alternative would shuffle the full token
-      // table TWICE and re-tokenize the corpus for the join probe
-      val aggs = p.maskAggs :+
-        array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
-      val sets = p.bits
-        .withColumn("df",
-          count(lit(1)).over(Window.partitionBy("lang", "w")))
-        .groupBy("doc_id", "lang")
-        .agg(aggs.head, aggs.tail: _*)
-        .withColumn("mask", p.maskCol)
+      // collapse first, pairs expand after (expandPairs / setSim
+      // scaladoc): sublinear in the dup factor. Everything (bitmap,
+      // set size, prefix order, collapse fp) comes from ONE corpus
+      // scan (setSim).
+      val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true, nMinhash = 0)
+      val sets = f.work
         // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
         .withColumn("plen",
           (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
         .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
         .select("doc_id", "lang", "nw", "mask", "pre")
-        // consumed three times (prefix explode + both verify sides);
-        // tracked so callers release via Caches.release()
-        .transform(Caches.persist)
       val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
         explode(col("pre")).as("pw"))
       val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
       val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
       // J ≥ 0.95 also forces 20·min(|a|,|b|) ≥ 19·max(|a|,|b|): prune
-      // size-incompatible pairs inside the join (output-preserving)
+      // size-incompatible pairs inside the join (output-preserving).
+      // NO distinct here: a pair surfacing through several shared
+      // prefix tokens rides the cheap popcount verify more than once
+      // and dedups AFTER the jaccard filter — survivors ≪ candidates,
+      // so the dedup shuffle moves orders of magnitude fewer rows than
+      // a candidate-level distinct would.
       val cand = a.join(b,
         col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
           col("doc_id_a") < col("doc_id_b") &&
           least(col("nw_a"), col("nw_b")) * 20 >=
             greatest(col("nw_a"), col("nw_b")) * 19)
         .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
-        .distinct()
       // exact bitmap verify on candidates only; no broadcast hints —
       // AQE picks broadcast while sets is small, shuffle join past that
       val ni = maskIntersect(col("mask_a"), col("mask_b"))
@@ -356,7 +392,8 @@ object Dedup {
           col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
         .filter(col("jaccard") >= 0.95)
         .select("a_id", "b_id", "jaccard")
-      (if (collapse) expandPairs(members, repPairs) else repPairs)
+        .dropDuplicates("a_id", "b_id")
+      (if (f.collapse) expandPairs(f.members, repPairs) else repPairs)
         .orderBy("a_id", "b_id")
     },
 
@@ -396,32 +433,14 @@ object Dedup {
         |FROM dirs WHERE CAST(ni AS DOUBLE)/nw_a >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      val members = Caches.persist(groupIds(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), Text.setFp.as("fp")),
-        Seq("lang", "fp")))
-      val collapse = shouldCollapse(members)
-      val joinDocs =
-        if (!collapse) Tables.documents(s, d)
-        else Tables.documents(s, d)
-          .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-      val p = bitmapPlan(Text.tokenSetOf(joinDocs))
-      // df as a window count over the (lang, w) shuffle — see q28
-      val aggs = p.maskAggs :+
-        array_sort(collect_list(struct(col("df"), col("w")))).as("toks")
-      val sets = p.bits
-        .withColumn("df",
-          count(lit(1)).over(Window.partitionBy("lang", "w")))
-        .groupBy("doc_id", "lang")
-        .agg(aggs.head, aggs.tail: _*)
-        .withColumn("mask", p.maskCol)
+      // One corpus scan for bitmap/size/prefix/fp (setSim scaladoc)
+      val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true, nMinhash = 0)
+      val sets = f.work
         // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
         .withColumn("plen",
           (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
         .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
         .select("doc_id", "lang", "nw", "mask", "pre", "toks")
-        .transform(Caches.persist)
       val pre = sets.select(col("doc_id").as("doc_id_a"),
         col("lang").as("lang_a"), col("nw").as("pnw_a"),
         explode(col("pre")).as("pw"))
@@ -431,7 +450,13 @@ object Dedup {
         col("lang").as("lang_b"), col("nw").as("pnw_b"),
         explode(expr("transform(toks, t -> t.w)")).as("w"))
       // probe = smaller set (ties broken by id); verify decides the
-      // passing direction(s)
+      // passing direction(s). The candidate distinct stays here
+      // (unlike q28): the container side explodes FULL token lists, so
+      // the token join's output is both large and skewed (every bucket
+      // holds most of the corpus on this vocab) — the distinct's
+      // exchange is what lets AQE rebalance before the verify joins;
+      // without it the verify fuses into the skewed join's stage and
+      // stragglers own the whole pipeline (measured 4–5× slower).
       val cand = pre.join(full,
         col("pw") === col("w") && col("lang_a") === col("lang_b") &&
           (col("pnw_a") < col("pnw_b") ||
@@ -446,6 +471,11 @@ object Dedup {
         .join(sets.select(col("doc_id").as("b_id"),
           col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
         .withColumn("ni", ni)
+        // gate BEFORE the persist, with the SAME double comparisons the
+        // per-direction filters (and the oracle) apply: the cache holds
+        // survivors only, not every verified candidate
+        .filter(col("ni").cast("double") / col("nw_a") >= 0.95 ||
+          col("ni").cast("double") / col("nw_b") >= 0.95)
         .transform(Caches.persist)
       def dir(x: String, y: String) = verified
         .withColumn("containment",
@@ -454,7 +484,7 @@ object Dedup {
         .select(col(s"${x}_id").as("a_id"), col(s"${y}_id").as("b_id"),
           col("containment"))
       val repPairs = dir("a", "b").unionByName(dir("b", "a"))
-      (if (collapse) expandOrderedPairs(members, repPairs) else repPairs)
+      (if (f.collapse) expandOrderedPairs(f.members, repPairs) else repPairs)
         .orderBy("a_id", "b_id")
     },
 
@@ -557,7 +587,7 @@ object Dedup {
       // one tokenize + one shuffle: the per-doc groupBy computes the 8
       // minhash signatures, the exact token bitmap, and the set size in
       // a single aggregation pass (bitmap encoding shared with q28 via
-      // bitmapPlan).
+      // setSim).
       //
       // Identical token sets have identical signatures, bands and
       // verify outcomes — so when the collapse shrinks the input
@@ -565,26 +595,12 @@ object Dedup {
       // representative per distinct set and pairs expand afterwards
       // (expandPairs scaladoc). Banding equivalence is exact: a rep
       // pair shares a band iff every member pair does.
-      val members = Caches.persist(groupIds(
-        Tables.documents(s, d).select(col("doc_id"), Text.setFp.as("fp")),
-        Seq("fp")))
-      val collapse = shouldCollapse(members)
-      val joinDocs =
-        if (!collapse) Tables.documents(s, d)
-        else Tables.documents(s, d)
-          .join(members.filter(col("doc_id") === col("gid")).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-      val p = bitmapPlan(Text.tokenSetOf(joinDocs))
-      val aggs =
-        (0 until 8).map(i =>
-          min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")) ++ p.maskAggs
-      // consumed three times (bands + both verify sides): persist the
-      // 1-row-per-doc result instead of recomputing the tokenize+agg.
-      // Tracked via Caches so library callers can release the storage
-      // (CacheManager itself never frees caches without an unpersist).
-      val sets = p.bits.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .withColumn("mask", p.maskCol)
-        .transform(Caches.persist)
+      // One corpus scan for signatures/bitmap/size/fp (setSim scaladoc);
+      // the persisted per-doc result is consumed three times (bands +
+      // both verify sides), tracked via Caches so library callers can
+      // release the storage.
+      val f = setSim(s, d, Seq("fp"), withPrefix = false, nMinhash = 8)
+      val sets = f.work
       val bands = sets.select(col("doc_id"), col("nw"),
         explode(array(
           md5(concat(lit("0"), col("s0"), col("s1"), col("s2"), col("s3"))),
@@ -618,7 +634,7 @@ object Dedup {
         .filter(col("jaccard") >= 0.9)
         .select("a_id", "b_id", "jaccard")
         .dropDuplicates("a_id", "b_id")
-      (if (collapse) expandPairs(members, repPairs) else repPairs)
+      (if (f.collapse) expandPairs(f.members, repPairs) else repPairs)
         .orderBy("a_id", "b_id")
     },
 
