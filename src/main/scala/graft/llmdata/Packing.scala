@@ -4,11 +4,13 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** `[EXT]` Sequence packing for LLM pretraining: the concat-and-chunk
-  * pass that turns a curated document stream into fixed-token-budget
-  * training sequences (every major pretraining pipeline ends with this —
-  * GPT-3 §2.1 "documents are concatenated and split into sequences";
-  * T5/Gopher pack similarly; public literature).
+/** `[EXT]` Sequence packing and document chunking for LLM pretraining:
+  * the concat-and-chunk pass that turns a curated document stream into
+  * fixed-token-budget training sequences (every major pretraining
+  * pipeline ends with this — GPT-3 §2.1 "documents are concatenated and
+  * split into sequences"; T5/Gopher pack similarly; public literature),
+  * and the per-document overlapping-window chunker that RAG indexing and
+  * long-document training both preprocess with.
   *
   * Contract: within each (lang, source) stream, documents are
   * concatenated in doc_id order and the token stream is cut into shards
@@ -37,6 +39,13 @@ object Packing {
   /** Tokens per packed training sequence. Small relative to the test
     * docs (~40–200 tokens) so shard boundaries are well exercised. */
   private val B = 256
+
+  /** Chunk geometry for q106: 32-token windows every 24 tokens (8-token
+    * overlap) — small relative to the test docs for boundary coverage.
+    * (Declared before `qs`: the oracle SQL interpolates these at object
+    * construction.) */
+  private val ChunkWidth = 32
+  private val ChunkStride = 24
 
   val qs: Seq[Q] = Seq(
     // ---- q65: pack-sequences assignment — per-doc shard id, in-shard
@@ -68,6 +77,44 @@ object Packing {
           (expr(s"strt div $B") =!=
             expr(s"(strt + n_tok - 1) div $B")).cast("int").as("straddles"))
         .orderBy("doc_id")
+    },
+
+    // ---- q106: overlapping-window document chunking — cut every doc
+    //      into fixed-width token windows (width 32, stride 24, so
+    //      consecutive chunks overlap by 8 tokens), the preprocessing
+    //      unit of RAG indexing and long-document training. Chunk
+    //      starts are 0, S, 2S, … < n_tok; the final chunk truncates at
+    //      the document end. Pure MAP pass: tokenize, generate starts
+    //      with one row-local `sequence`+`posexplode`, slice — no
+    //      shuffle anywhere but the final ORDER BY, so the operator
+    //      scales with executors at any corpus size. Integer-only
+    //      offsets (start, index, length) keep the contract bit-stable
+    //      cross-engine; the chunk text is an exact substring
+    //      reassembly, verified verbatim by the oracle. ----
+    Q(
+      "q106_doc_chunks",
+      s"""WITH tl AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS chunk_start
+        |  FROM tl)
+        |SELECT doc_id, chunk_start // $ChunkStride AS chunk_idx, chunk_start,
+        |  CAST(len(list_slice(w, chunk_start + 1, chunk_start + $ChunkWidth)) AS BIGINT)
+        |    AS n_chunk,
+        |  array_to_string(list_slice(w, chunk_start + 1, chunk_start + $ChunkWidth), ' ')
+        |    AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    ) { (s, d) =>
+      val chunk = slice(col("w"),
+        (col("chunk_start") + 1).cast("int"), lit(ChunkWidth))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), size(col("w")) - 1, lit(ChunkStride))))
+        .toDF("doc_id", "w", "chunk_idx", "chunk_start")
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          col("chunk_start").cast("long"),
+          size(chunk).cast("long").as("n_chunk"),
+          concat_ws(" ", chunk).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     },
   )
 }

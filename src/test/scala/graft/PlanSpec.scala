@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "packing needs no join")
   }
 
+  test("q106: chunking is a pure map pass — generate + slice, shuffle only for the final sort") {
+    val p = planOf(SparkEntry.queries("q106_doc_chunks")(spark, sf))
+    assert(p.contains("Generate"), "chunk starts come from posexplode")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    // formatted explain lists each node twice (tree + details)
+    assert("Exchange".r.findAllIn(p).size == 2,
+      "only the final ORDER BY exchange")
+    assert(p.contains("rangepartitioning"), "and it is the ORDER BY")
+  }
+
   test("q66: scrub is map-only — the only exchange is the final ORDER BY") {
     val p = planOf(SparkEntry.queries("q66_pii_scrub")(spark, sf))
     // formatted explain lists each node twice (tree + details)
