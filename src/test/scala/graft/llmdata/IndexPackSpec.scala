@@ -36,6 +36,39 @@ class IndexPackSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q106: chunks cover every token and reconstruct each document verbatim") {
+    val out = SparkEntry.queries("q106_doc_chunks")(spark, sf).cache()
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // geometry: starts are 0, S, 2S, … < n_tok; every chunk holds
+      // min(W, n_tok - start) tokens, so the windows cover position
+      // n_tok - 1 and nothing beyond it
+      val geom = out.join(docs.select("doc_id", "n_tok"), "doc_id")
+        .filter(col("chunk_start") =!= col("chunk_idx") * 24 ||
+          col("chunk_start") >= col("n_tok") ||
+          col("n_chunk") =!= least(lit(32L), col("n_tok") - col("chunk_start")))
+      assert(geom.count() == 0, "chunk geometry must match width 32 / stride 24")
+      // reconstruction: the first `stride` tokens of each chunk, in
+      // chunk order, concatenate back to the original text — the
+      // overlap-removal identity every chunk consumer relies on. (The
+      // final start always exceeds n_tok - stride, so the stride-wide
+      // prefixes tile the whole document with nothing left over.)
+      val rebuilt = out
+        .withColumn("piece",
+          concat_ws(" ", slice(split(col("chunk_text"), " "), 1, 24)))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ",
+          flatten(transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("piece")))),
+            t => split(t("piece"), " ")))).as("rebuilt_text"))
+      val bad = rebuilt.join(docs, "doc_id")
+        .filter(col("rebuilt_text") =!= col("text"))
+      assert(bad.count() == 0, "stride-prefix concatenation must reproduce the text")
+    } finally out.unpersist()
+  }
+
   test("q66: scrub redacts every digit run and round-trips structure") {
     val out = SparkEntry.queries("q66_pii_scrub")(spark, sf)
     val rows = out.limit(100).collect()
