@@ -763,5 +763,56 @@ object EventOps {
         .select("error_id", "purchase_id")
         .orderBy("error_id", "purchase_id")
     },
+
+    // ---- q107: hourly gap-fill + last-observation-carried-forward —
+    //      the resampling pass every telemetry/IoT dashboard and
+    //      feature-engineering job runs over an irregular event stream
+    //      (the reference's own domain: Power BI charts over telemetry
+    //      arriving at arbitrary times). Per user, the hour grid spans
+    //      first→last activity; empty hours materialize with
+    //      n_events = 0, an is_gap flag, and the value carried forward
+    //      from the latest event (deterministic in-hour pick: last by
+    //      (ts, event_id), rendered as max_by over the unique tuple —
+    //      never a float aggregate, so LOCF values compare exactly).
+    //      Plan: one (user, hour) shuffle with partial aggregation, a
+    //      per-user span aggregate whose sequence() explode generates
+    //      the grid (bounded by the retention window per user, never
+    //      corpus-sized), one left join back, and a user-keyed LOCF
+    //      window — every stage keyed on open-cardinality user_id. ----
+    Q(
+      "q107_resample_locf",
+      """WITH hv AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events,
+        |    last(value ORDER BY ts, event_id) AS hv
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hv GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.hr, coalesce(h.n_events, 0) AS n_events, h.hv
+        |  FROM grid g LEFT JOIN hv h ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_events = 0 AS INT) AS is_gap,
+        |  last_value(hv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM j ORDER BY user_id, hr""".stripMargin,
+    ) { (s, d) =>
+      val hv = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("hv"))
+      val grid = hv.groupBy("user_id")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+            .as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hv, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          (coalesce(col("n_events"), lit(0L)) === 0).cast("int").as("is_gap"),
+          last("hv", ignoreNulls = true).over(w).as("v"))
+        .orderBy("user_id", "hr")
+    },
   )
 }

@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "packing needs no join")
   }
 
+  test("q107: resample keeps every stage keyed on user_id — no single-partition exchange") {
+    val p = planOf(SparkEntry.queries("q107_resample_locf")(spark, sf))
+    assert(p.contains("Window"), "LOCF must be the user-keyed window")
+    assert(!p.contains("Exchange SinglePartition"),
+      "grid/LOCF stages must stay user-partitioned")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the hourly rollup must partial-aggregate")
+  }
+
   test("q106: chunking is a pure map pass — generate + slice, shuffle only for the final sort") {
     val p = planOf(SparkEntry.queries("q106_doc_chunks")(spark, sf))
     assert(p.contains("Generate"), "chunk starts come from posexplode")
