@@ -108,4 +108,48 @@ object Maintenance {
     }
     CompactionStats(nFiles, nAfter, bytes)
   }
+
+  final case class RetentionStats(
+      deleted: Seq[String], kept: Long, skipped: Seq[String])
+
+  /** Enforce a retention window on a date-partitioned directory table
+    * ([[graft.sources.Clustered]] layout: `dir/<col>=<yyyy-MM-dd>/…`):
+    * delete every partition whose date is strictly before `cutoff`.
+    *
+    * Dropping whole partition directories is the only retention shape
+    * that needs no data rewrite — a predicate delete on unpartitioned
+    * files would rewrite everything (that is what transactional table
+    * formats add delete logs for). This is the batch analog of the
+    * reference's bounded retentions (Event Hub 1 day, Power BI
+    * `defaultRetentionPolicy=basicFIFO` — BASELINE.md).
+    *
+    * Safety: only first-level directories named exactly
+    * `<partitionCol>=<parseable ISO date>` are candidates; anything
+    * else (other columns' partitions, `_SUCCESS`, stray files,
+    * malformed values) is reported in `skipped` and NEVER deleted —
+    * a retention job must not destroy what it cannot interpret.
+    * Idempotent and crash-safe: each partition delete is independent,
+    * and a partial run is itself a valid retention state. */
+  def expireDatePartitions(spark: SparkSession, dir: String,
+      partitionCol: String, cutoff: java.time.LocalDate): RetentionStats = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partitionCol + "="
+    val deleted = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    var kept = 0L
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (!st.isDirectory || !name.startsWith(prefix)) skipped += name
+      else scala.util.Try(java.time.LocalDate.parse(
+          name.substring(prefix.length))).toOption match {
+        case Some(d) if d.isBefore(cutoff) =>
+          if (fs.delete(st.getPath, true)) deleted += name
+          else throw new java.io.IOException(s"retention delete failed: ${st.getPath}")
+        case Some(_) => kept += 1
+        case None => skipped += name
+      }
+    }
+    RetentionStats(deleted.result().sorted, kept, skipped.result().sorted)
+  }
 }

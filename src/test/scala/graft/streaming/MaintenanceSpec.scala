@@ -35,6 +35,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(stats.filesAfter < stats.filesBefore)
   }
 
+  test("retention drops only expired date partitions; unparseable entries survive") {
+    val dir = java.nio.file.Files.createTempDirectory("ret").toString + "/events"
+    Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L),
+        ("2024-01-04", 4L))
+      .toDF("day", "n").write.partitionBy("day").parquet(dir)
+    // things a retention job must never touch: another table's partition
+    // naming, and a malformed date value
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "/other=2020-01-01"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "/day=not-a-date"))
+    val stats = Maintenance.expireDatePartitions(spark, dir, "day",
+      java.time.LocalDate.parse("2024-01-03"))
+    assert(stats.deleted == Seq("day=2024-01-01", "day=2024-01-02"))
+    assert(stats.kept == 2)
+    assert(stats.skipped.contains("other=2020-01-01") &&
+      stats.skipped.contains("day=not-a-date"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "/other=2020-01-01")))
+    // surviving data reads back intact (ignore the malformed dir we made)
+    val rows = spark.read
+      .option("basePath", dir)
+      .parquet(dir + "/day=2024-01-03", dir + "/day=2024-01-04")
+      .select("n").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(3L, 4L))
+    // idempotent: a second run deletes nothing more
+    val again = Maintenance.expireDatePartitions(spark, dir, "day",
+      java.time.LocalDate.parse("2024-01-03"))
+    assert(again.deleted.isEmpty && again.kept == 2)
+  }
+
   test("a leftover tmp dir from a crashed run refuses, never overwrites") {
     val dir = java.nio.file.Files.createTempDirectory("crash").toString + "/bronze"
     Seq("a", "b").toDF("value").write.mode("append").text(dir)
