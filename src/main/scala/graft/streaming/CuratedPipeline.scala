@@ -295,6 +295,46 @@ object CuratedPipeline {
       .write.mode("append").parquet(devicesDir)
   }
 
+  /** The reference's implied Devices FK join (§2.3: the DDL declares
+    * `Telemetry.deviceId → Devices.deviceId` and README.MD:56 motivates
+    * the curated store with "business intelligence joins", but no query
+    * ships): enrich telemetry with device metadata by a broadcast left
+    * join on deviceId.
+    *
+    * Per-BATCH function, meant for `foreachBatch`: the dimension is
+    * re-read on every call, so rows merged by [[mergeDevices]] between
+    * triggers enrich the next batch. That re-read is deliberate — a
+    * stream-static join over a plain parquet path would pin the file
+    * listing captured at query start (`InMemoryFileIndex` lives in the
+    * analyzed plan) and silently never see new devices; fresh
+    * driver-side reads inside foreachBatch are the plain-directory way
+    * to get slowly-changing-dimension pickup. LEFT join: a fact row
+    * with an unknown device survives with null metadata — the stream
+    * must not lose rows to a lagging dimension. Broadcast: the device
+    * dimension is bounded by the fleet size, the canonical broadcast
+    * side at any telemetry scale. */
+  def enrichWithDevices(batch: DataFrame, devicesDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val metaCols = Seq("applicationId", "templateId", "component", "module")
+    val devices =
+      try spark.read.parquet(devicesDir)
+        .select(("deviceId" +: metaCols).map(col): _*)
+      catch {
+        // only a genuinely absent table means "no devices yet" — same
+        // guard discipline as mergeDevices
+        case e: org.apache.spark.sql.AnalysisException
+            if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+              .contains(e.getCondition) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              ("deviceId" +: metaCols).map(n =>
+                org.apache.spark.sql.types.StructField(
+                  n, org.apache.spark.sql.types.StringType))))
+      }
+    batch.join(broadcast(devices), Seq("deviceId"), "left")
+  }
+
   /** Dead-letter sink: the rows the curated sinks reject (null
     * deviceId), archived with a machine-usable failure reason. Bronze
     * already keeps EVERY verbatim line; quarantine is the triage view —

@@ -215,6 +215,38 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(files == 1, "no new part file may be appended after a failed read")
   }
 
+  test("device enrichment: broadcast left join, unknown devices survive, merges show up next call") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("devjoin").toString + "/devices"
+    val fact = Seq(("devA", 90L), ("devB", 85L), ("devC", 80L))
+      .toDF("deviceId", "battery")
+    // no devices table yet: every row survives, metadata all null
+    val cold = CuratedPipeline.enrichWithDevices(fact, dir)
+    assert(cold.count() == 3 &&
+      cold.filter(col("templateId").isNotNull).count() == 0)
+    // merge two devices, then enrich: known rows carry metadata, the
+    // unknown one keeps null (a lagging dim must not drop fact rows)
+    CuratedPipeline.mergeDevices(
+      CuratedPipeline.toPipeEvents(Seq(
+        rawJson("devA", "2024-01-01T00:00:01Z", 90, 1010.0),
+        rawJson("devB", "2024-01-01T00:00:02Z", 85, 1009.0))
+        .toDF("value")).toDF(), dir)
+    val warm = CuratedPipeline.enrichWithDevices(fact, dir)
+    assert(warm.filter(col("templateId").isNotNull)
+      .select("deviceId").as[String].collect().sorted.toSeq == Seq("devA", "devB"))
+    assert(warm.filter(col("deviceId") === "devC").count() == 1)
+    // the join must broadcast the dimension, never shuffle the facts
+    assert(warm.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // a device merged BETWEEN calls is visible to the next call — the
+    // SCD pickup a stream-static parquet join would silently miss
+    CuratedPipeline.mergeDevices(
+      CuratedPipeline.toPipeEvents(Seq(
+        rawJson("devC", "2024-01-01T00:00:03Z", 80, 1008.0))
+        .toDF("value")).toDF(), dir)
+    val next = CuratedPipeline.enrichWithDevices(fact, dir)
+    assert(next.filter(col("templateId").isNotNull).count() == 3)
+  }
+
   test("transformWithState stage emits identical results to flatMapGroupsWithState") {
     import spark.implicits._
     val events = (0 until 60).map { i =>
