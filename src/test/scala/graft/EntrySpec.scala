@@ -31,6 +31,25 @@ class EntrySpec extends SparkSpec {
     })
   }
 
+  test("registry determinism: two runs of every query emit identical rows") {
+    // the float policy's wholesale check: no output value anywhere in
+    // the registry may depend on partition order, task scheduling, or
+    // any other run-to-run instability — two fresh executions (caches
+    // dropped between) must match bit-for-bit, doubles included. This
+    // is the property that makes the DuckDB hash gate repeatable.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      def snap(): Seq[String] = {
+        val rows = fn(spark, sf).collect().map(_.toString).sorted.toSeq
+        Caches.release()
+        spark.catalog.clearCache()
+        rows
+      }
+      val a = snap()
+      val b = snap()
+      assert(a == b, s"$name emitted different rows across two runs")
+    }
+  }
+
   test("cosine top-k is self-exclusive and correctly ranked") {
     val res = SparkEntry.queries("q31_cosine_topk")(spark, sf).collect()
     assert(res.forall(r => r.getLong(0) != r.getLong(2))) // q_id != n_id
