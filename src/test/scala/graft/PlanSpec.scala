@@ -131,6 +131,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "packing needs no join")
   }
 
+  test("AQE splits a skewed shuffle-join partition (the skew path every big join relies on)") {
+    // the session profile (GraftSession) turns skew-join handling on;
+    // this pins that it actually ENGAGES: one key owning half the left
+    // side must come out of AQE as a split (skew-marked) join, not one
+    // straggler task. Thresholds are lowered to make a test-sized build
+    // exhibit what a 100 TB key distribution would at the defaults.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{lit, md5, when}
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> sp.conf.getOption(k) }
+    keys.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      // pad is a FUNCTION of id (not a literal): a constant would fold
+      // above the join and the hot partition's shuffle bytes would
+      // compress to nothing, hiding the skew from AQE's size stats
+      val left = sp.range(200000)
+        .select(when($"id" < 100000, 0L).otherwise($"id").as("k"),
+          md5($"id".cast("string")).as("pad"))
+      val right = sp.range(2000).select($"id".as("k"), lit(1).as("w"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS df's adaptive plan (count() would build
+      // and execute a different one)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"),
+        s"skewed partition was not split (no skew-marked AQEShuffleRead):\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
+
   test("q107: resample keeps every stage keyed on user_id — no single-partition exchange") {
     val p = planOf(SparkEntry.queries("q107_resample_locf")(spark, sf))
     assert(p.contains("Window"), "LOCF must be the user-keyed window")
