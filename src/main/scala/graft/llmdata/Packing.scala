@@ -43,9 +43,10 @@ object Packing {
   /** Chunk geometry for q106: 32-token windows every 24 tokens (8-token
     * overlap) — small relative to the test docs for boundary coverage.
     * (Declared before `qs`: the oracle SQL interpolates these at object
-    * construction.) */
-  private val ChunkWidth = 32
-  private val ChunkStride = 24
+    * construction. Package-visible so the spec pins the SAME geometry
+    * instead of duplicating the literals.) */
+  private[llmdata] val ChunkWidth = 32
+  private[llmdata] val ChunkStride = 24
 
   val qs: Seq[Q] = Seq(
     // ---- q65: pack-sequences assignment — per-doc shard id, in-shard

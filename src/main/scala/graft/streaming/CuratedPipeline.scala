@@ -270,6 +270,28 @@ object CuratedPipeline {
       col("magMagnitude").as("MagMagnitude"),
       col("anomaly").as("Anomaly"))
 
+  /** Read the devices table's given columns, or an empty typed frame
+    * when the table does not exist yet. Only a genuinely ABSENT table
+    * falls back: any other read failure (corrupt file, transient FS
+    * error) PROPAGATES — both consumers ([[mergeDevices]]'s anti-join
+    * and [[enrichWithDevices]]'s left join) would otherwise silently
+    * treat the whole dimension as empty, re-inserting duplicate PKs
+    * resp. null-enriching every fact row. One definition so the guarded
+    * error set cannot drift between the two paths. */
+  private def devicesOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      devicesDir: String, cols: Seq[String]): DataFrame =
+    try spark.read.parquet(devicesDir).select(cols.map(col): _*)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            .contains(e.getCondition) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(cols.map(n =>
+            org.apache.spark.sql.types.StructField(
+              n, org.apache.spark.sql.types.StringType))))
+    }
+
   /** Devices-sink dedup-merge: at-most-one-row-per-device (the PK
     * semantics the reference gets from constraint violations, S3). */
   def mergeDevices(batch: DataFrame, devicesDir: String): Unit = {
@@ -278,19 +300,7 @@ object CuratedPipeline {
       .select("deviceId", "applicationId", "templateId", "component", "module")
       .filter(col("deviceId").isNotNull)
       .dropDuplicates("deviceId")
-    // Only a genuinely absent table means "no existing devices". Any
-    // other read failure (corrupt file, transient FS error) must
-    // PROPAGATE: swallowing it would make the anti-join see an empty
-    // set and re-insert duplicates — silently breaking the PK
-    // semantics this sink exists to enforce.
-    val existing =
-      try spark.read.parquet(devicesDir).select("deviceId")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-              .contains(e.getCondition) =>
-          spark.emptyDataFrame.withColumn("deviceId", lit(""))
-      }
+    val existing = devicesOrEmpty(spark, devicesDir, Seq("deviceId"))
     newDevs.join(existing, Seq("deviceId"), "left_anti")
       .write.mode("append").parquet(devicesDir)
   }
@@ -314,24 +324,8 @@ object CuratedPipeline {
     * dimension is bounded by the fleet size, the canonical broadcast
     * side at any telemetry scale. */
   def enrichWithDevices(batch: DataFrame, devicesDir: String): DataFrame = {
-    val spark = batch.sparkSession
-    val metaCols = Seq("applicationId", "templateId", "component", "module")
-    val devices =
-      try spark.read.parquet(devicesDir)
-        .select(("deviceId" +: metaCols).map(col): _*)
-      catch {
-        // only a genuinely absent table means "no devices yet" — same
-        // guard discipline as mergeDevices
-        case e: org.apache.spark.sql.AnalysisException
-            if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-              .contains(e.getCondition) =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              ("deviceId" +: metaCols).map(n =>
-                org.apache.spark.sql.types.StructField(
-                  n, org.apache.spark.sql.types.StringType))))
-      }
+    val devices = devicesOrEmpty(batch.sparkSession, devicesDir,
+      Seq("deviceId", "applicationId", "templateId", "component", "module"))
     batch.join(broadcast(devices), Seq("deviceId"), "left")
   }
 

@@ -56,14 +56,8 @@ object Maintenance {
       targetBytes: Long): CompactionStats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // flat object stores implement rename as copy+delete — the swap
-    // window would not be atomic there (see scaladoc)
-    val nonAtomicRename =
-      Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs")
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    require(!nonAtomicRename.contains(scheme.toLowerCase),
-      s"compact requires atomic rename; '$scheme' is a flat object store " +
-        "(copy+delete rename) — use a transactional table format there")
+    requireAtomicFs(fs, "compact",
+      "atomic rename (the two-rename swap window)")
     val tmp = new Path(dir + ".compact-tmp")
     val trash = new Path(dir + ".compact-trash")
     require(!fs.exists(tmp),
@@ -109,6 +103,22 @@ object Maintenance {
     CompactionStats(nFiles, nAfter, bytes)
   }
 
+  /** Flat object stores fake both rename (copy+delete) and recursive
+    * directory delete (per-object batches) — neither is the atomic
+    * metadata operation the maintenance protocols here rely on. Shared
+    * guard for [[compact]]'s swap and [[expireDatePartitions]]'s
+    * partition drops; best-effort by scheme (see class scaladoc for
+    * the non-HNS `abfs://` caveat). */
+  private def requireAtomicFs(fs: org.apache.hadoop.fs.FileSystem,
+      op: String, needs: String): Unit = {
+    val flatSchemes =
+      Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(!flatSchemes.contains(scheme.toLowerCase),
+      s"$op requires $needs; '$scheme' is a flat object store — " +
+        "use a transactional table format there")
+  }
+
   final case class RetentionStats(
       deleted: Seq[String], kept: Long, skipped: Seq[String])
 
@@ -128,12 +138,19 @@ object Maintenance {
     * else (other columns' partitions, `_SUCCESS`, stray files,
     * malformed values) is reported in `skipped` and NEVER deleted —
     * a retention job must not destroy what it cannot interpret.
-    * Idempotent and crash-safe: each partition delete is independent,
-    * and a partial run is itself a valid retention state. */
+    * Idempotent and crash-safe ON HDFS-LIKE FILESYSTEMS, where a
+    * recursive directory delete is one atomic namenode operation: each
+    * partition delete is then independent and a partial run is itself
+    * a valid retention state. Flat object stores delete per object — a
+    * crash mid-partition would leave a TORN partition that scans as
+    * silently-partial data — so they are rejected up front, like
+    * [[compact]]'s swap. */
   def expireDatePartitions(spark: SparkSession, dir: String,
       partitionCol: String, cutoff: java.time.LocalDate): RetentionStats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicFs(fs, "expireDatePartitions",
+      "atomic recursive delete (per-partition drop)")
     val prefix = partitionCol + "="
     val deleted = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]

@@ -124,9 +124,13 @@ object StreamingResample extends Serializable {
         prev.map(_.cursor), prev.map(_.pending).getOrElse(Map.empty),
         rows.toSeq, wm)
       cur.foreach(c => st.update(FillState(c, pending)))
-      // timer > watermark always: the finalize loop only stops at an
-      // hour the watermark has not passed (or with nothing pending)
-      timer.foreach(st.setTimeoutTimestamp)
+      // arm 1 ms BEFORE the semantic boundary: event-time timeouts fire
+      // only when the watermark STRICTLY exceeds the armed timestamp, so
+      // arming the boundary itself would never fire for a watermark that
+      // lands exactly on an hour end and then stops — while the fold's
+      // finalize rule (and batch q107) includes that hour. Watermarks
+      // are ms-granular, so end−1 fires exactly when wm ≥ end.
+      timer.foreach(t => st.setTimeoutTimestamp(t - 1))
       out.iterator
     }
     ds.withWatermark("ts", lateness)
@@ -163,8 +167,10 @@ object StreamingResample extends Serializable {
       pending.foreach { case (k, v) =>
         if (!pending0.get(k).contains(v)) pendingState.updateValue(k, v)
       }
+      // same strict-fire guard as the fMGWS path: arm end−1 so a
+      // watermark landing exactly on the hour boundary still fires
       val armed0 = cur0.map(_.armedMs).getOrElse(0L)
-      val armed1 = timer.getOrElse(0L)
+      val armed1 = timer.map(_ - 1).getOrElse(0L)
       if (armed1 != armed0) {
         if (armed0 != 0L) getHandle.deleteTimer(armed0)
         if (armed1 != 0L) getHandle.registerTimer(armed1)

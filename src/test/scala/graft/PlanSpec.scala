@@ -97,7 +97,8 @@ class PlanSpec extends SparkSpec {
   test("dedup vocab ids avoid the single-partition window") {
     // at this sf the adaptive collapse is off (shouldCollapse=false), so
     // ANY Window in the plan could only be the vocab id assignment; the
-    // collapse path's fp-keyed groupIds window is partitioned and fine
+    // collapse path's fp-keyed members window (setSim) is partitioned
+    // and fine
     val p = planOf(SparkEntry.queries("q29_minhash_lsh")(spark, sf))
     assert(!p.contains("Window"), "vocab id assignment must not plan a WindowExec")
   }

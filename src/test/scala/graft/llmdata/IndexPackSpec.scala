@@ -37,6 +37,7 @@ class IndexPackSpec extends SparkSpec {
   }
 
   test("q106: chunks cover every token and reconstruct each document verbatim") {
+    val (w, s) = (Packing.ChunkWidth, Packing.ChunkStride) // single-sourced geometry
     val out = SparkEntry.queries("q106_doc_chunks")(spark, sf).cache()
     try {
       val docs = graft.Tables.documents(spark, sf)
@@ -46,10 +47,10 @@ class IndexPackSpec extends SparkSpec {
       // min(W, n_tok - start) tokens, so the windows cover position
       // n_tok - 1 and nothing beyond it
       val geom = out.join(docs.select("doc_id", "n_tok"), "doc_id")
-        .filter(col("chunk_start") =!= col("chunk_idx") * 24 ||
+        .filter(col("chunk_start") =!= col("chunk_idx") * s ||
           col("chunk_start") >= col("n_tok") ||
-          col("n_chunk") =!= least(lit(32L), col("n_tok") - col("chunk_start")))
-      assert(geom.count() == 0, "chunk geometry must match width 32 / stride 24")
+          col("n_chunk") =!= least(lit(w.toLong), col("n_tok") - col("chunk_start")))
+      assert(geom.count() == 0, s"chunk geometry must match width $w / stride $s")
       // reconstruction: the first `stride` tokens of each chunk, in
       // chunk order, concatenate back to the original text — the
       // overlap-removal identity every chunk consumer relies on. (The
@@ -57,7 +58,7 @@ class IndexPackSpec extends SparkSpec {
       // prefixes tile the whole document with nothing left over.)
       val rebuilt = out
         .withColumn("piece",
-          concat_ws(" ", slice(split(col("chunk_text"), " "), 1, 24)))
+          concat_ws(" ", slice(split(col("chunk_text"), " "), 1, s)))
         .groupBy("doc_id")
         .agg(concat_ws(" ",
           flatten(transform(

@@ -17,7 +17,11 @@ class StreamingResampleSpec extends SparkSpec {
   private val H = 3600000L
   private def ts(h: Long, m: Long = 0): Timestamp = new Timestamp(h * H + m * 60000L)
 
-  /** Feed batches through `stage` and collect (user, hourMs, n, gap, v). */
+  /** Feed batches through `stage` and collect (user, hourMs, n, gap, v).
+    * Asserts no hour row is ever emitted twice BEFORE collapsing to a
+    * set — duplicate emission (input path + timer path double-firing,
+    * the characteristic bug of a dual-path stateful op) must not hide
+    * inside set semantics. */
   private def run(name: String,
       stage: Dataset[Ev] => Dataset[HourRow],
       batches: Seq[Seq[(Long, Long, Timestamp, Double)]])
@@ -29,8 +33,11 @@ class StreamingResampleSpec extends SparkSpec {
       .writeStream.format("memory").queryName(name).start()
     try {
       batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
-      sp.table(name).as[HourRow].collect()
-        .map(r => (r.user_id, r.hr.getTime, r.n_events, r.is_gap, r.v)).toSet
+      val rows = sp.table(name).as[HourRow].collect()
+        .map(r => (r.user_id, r.hr.getTime, r.n_events, r.is_gap, r.v)).toSeq
+      assert(rows.size == rows.distinct.size,
+        s"an hour row was emitted more than once: ${rows.diff(rows.distinct)}")
+      rows.toSet
     } finally q.stop()
   }
 
@@ -78,6 +85,25 @@ class StreamingResampleSpec extends SparkSpec {
         Seq((99L, 4L, ts(9, 30), 0.0))))
     assert(got.filter(_._1 == 5L) ===
       Set((5L, 4 * H, 1L, 0, 7.0), (5L, 5 * H, 1L, 0, 9.0)))
+  }
+
+  test("a watermark landing EXACTLY on an hour end still finalizes that hour") {
+    // event-time timeouts fire only when the watermark strictly exceeds
+    // the armed timestamp; the stage arms end−1 so a watermark that
+    // stops exactly at the boundary (common with on-the-hour events)
+    // still emits — without that, this trailing hour would hang forever
+    for ((nm, stage) <- Seq(
+        ("rs_edge_f", StreamingResample.fill(_: Dataset[Ev])),
+        ("rs_edge_t", StreamingResample.fillTws(_: Dataset[Ev])))) {
+      val got = withRocksDBStateStore {
+        run(nm, stage, Seq(
+          Seq((11L, 1L, ts(4, 10), 5.0)),
+          Seq((99L, 2L, ts(5), 0.0)), // watermark becomes exactly 05:00:00.000
+          Seq((99L, 3L, ts(5), 0.0))))
+      }
+      assert(got.filter(_._1 == 11L) === Set((11L, 4 * H, 1L, 0, 5.0)),
+        s"$nm must finalize the hour at an exact-boundary watermark")
+    }
   }
 
   test("one-shot replay of the whole stream matches the multi-batch rows") {
