@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.spikeScoreFn)
     e.injectFunction(GraftExtensions.vecDotFn)
     e.injectFunction(GraftExtensions.rollingFpFn)
+    GraftExtensions.aggregatorFns.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
@@ -78,37 +79,60 @@ object GraftExtensions {
     },
   )
 
-  /** Programmatic registration for sessions built without the
-    * extensions config. Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(spikeScoreFn, vecDotFn, rollingFpFn).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
-    registerAggregators(spark)
+  /** SQL-text forms of the sketch aggregators (§2.11 UDAF surface), as
+    * FunctionRegistry builders so BOTH session-construction routes —
+    * `spark.sql.extensions=graft.GraftExtensions` and programmatic
+    * `register(spark)` — expose the identical surface (previously the
+    * aggregators were registered only on the programmatic path via
+    * `spark.udf.register`, so an extensions-only session resolved
+    * spike_score but not mg_sketch). Each builder hand-constructs the
+    * same [[ScalaAggregator]] expression `functions.udaf` would; the
+    * analyzer's built-in ResolveEncodersInScalaAgg rule resolves the
+    * encoders regardless of registration route. Each SQL name pins one
+    * parameterization (the registry queries' regimes); the typed Scala
+    * API (`udaf(new MisraGries(k), …)`) parameterizes freely. */
+  val aggregatorFns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.{encoderFor, ExpressionEncoder}
+    import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+    import org.apache.spark.sql.expressions.Aggregator
+    // fresh aggregator per call site: Aggregator instances are
+    // stateless folds, but sharing one across plans buys nothing
+    def fn[IN, BUF, OUT](name: String, mk: () => Aggregator[IN, BUF, OUT],
+        in: Encoder[IN]): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+      FunctionIdentifier(name),
+      new ExpressionInfo(mk().getClass.getName, name),
+      (args: Seq[Expression]) => {
+        val agg = mk()
+        ScalaAggregator(args, agg, encoderFor(in), encoderFor(agg.bufferEncoder),
+          nullable = true, isDeterministic = true, 0, 0, Some(name))
+      },
+    )
+    Seq(
+      fn("mg_sketch", () => new graft.functions.MisraGries(64), Encoders.STRING),
+      fn("quantile_sketch", () => new graft.functions.QuantileSketchAgg(1 << 16,
+        Seq(0.1, 0.5, 0.9, 0.99)), Encoders.scalaDouble),
+      fn("topk5", () => new graft.functions.TopK(5),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)),
+      fn("bloom_build", () => new graft.functions.BloomAgg(1 << 17),
+        ExpressionEncoder[Seq[Int]]()),
+    )
   }
 
-  /** SQL-text forms of the sketch aggregators (§2.11 UDAF surface).
-    * `spark.udf.register` takes a concrete Aggregator instance, so each
-    * SQL name pins one parameterization (the registry queries' regimes);
-    * the typed Scala API (`udaf(new MisraGries(k), …)`) parameterizes
-    * freely. Idempotent (re-registration replaces). */
-  def registerAggregators(spark: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.functions.udaf
-    // tune() runs per query invocation: skip the four encoder
-    // derivations + udaf wrappers once this session has them
-    if (spark.sessionState.functionRegistry
-        .functionExists(FunctionIdentifier("mg_sketch"))) return
-    spark.udf.register("mg_sketch",
-      udaf(new graft.functions.MisraGries(64), Encoders.STRING))
-    spark.udf.register("quantile_sketch",
-      udaf(new graft.functions.QuantileSketchAgg(1 << 16,
-        Seq(0.1, 0.5, 0.9, 0.99)), Encoders.scalaDouble))
-    spark.udf.register("topk5",
-      udaf(new graft.functions.TopK(5),
-        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)))
-    spark.udf.register("bloom_build",
-      udaf(new graft.functions.BloomAgg(1 << 17),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()))
+  /** Programmatic registration for sessions built without the
+    * extensions config. Idempotent (re-registration replaces with the
+    * same builders). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    (Seq(spikeScoreFn, vecDotFn, rollingFpFn) ++ aggregatorFns).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
+
+  /** Kept as the aggregators-only entry point (GraftSession.tune calls
+    * it per query invocation — cheap: four hashmap puts). */
+  def registerAggregators(spark: org.apache.spark.sql.SparkSession): Unit =
+    aggregatorFns.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

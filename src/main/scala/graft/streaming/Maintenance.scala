@@ -151,6 +151,10 @@ object Maintenance {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireAtomicFs(fs, "expireDatePartitions",
       "atomic recursive delete (per-partition drop)")
+    // A table whose first write has not happened yet (or that a prior
+    // run expired entirely) is an empty retention state, not an error —
+    // the retention job must be schedulable before the writer runs.
+    if (!fs.exists(path)) return RetentionStats(Nil, 0L, Nil)
     val prefix = partitionCol + "="
     val deleted = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]

@@ -28,7 +28,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Replay: arrivals are remembered by id — retained or overflowed, a
   * replayed vector re-emits nothing (at-least-once safe), same
-  * contract as [[StreamingDedup]].
+  * contract and same BOUNDED overflow memory as [[StreamingDedup]]
+  * (exact for the retained window, best-effort beyond it).
   *
   * Scale (100 TB, 1000 executors): shuffle + state key on the bucket
   * (2^planes spread; planes grow with the corpus), each vector's
@@ -46,8 +47,14 @@ object StreamingAnn {
   final case class BucketVec(vec_id: Long, vn: Seq[Double])
 
   /** Per-bucket state: retained vectors (newest first) + turned-away
-    * ids (replay memory; size = overflow count). */
-  final case class BucketState(vecs: List[BucketVec], overflowIds: List[Long])
+    * ids (replay memory, BOUNDED at [[StreamingDedup.overflowMemoryFactor]]
+    * × maxPerBucket like [[StreamingDedup]]: unbounded it would grow one
+    * id per turned-away arrival — the hot-bucket blow-up `maxPerBucket`
+    * exists to prevent). A replay of an evicted id re-emits its pairs
+    * (at-least-once duplication, never wrong pairs); `overflowCount` is
+    * the running total and survives eviction. */
+  final case class BucketState(vecs: List[BucketVec], overflowIds: List[Long],
+      overflowCount: Long)
 
   /** An emitted exact in-bucket neighbor pair (a_id < b_id). */
   final case class Neighbor(a_id: Long, b_id: Long, bucket: Long,
@@ -74,11 +81,13 @@ object StreamingAnn {
   def neighbors(in: Dataset[VecRow], maxPerBucket: Int = 1024,
       minCos: Double = 0.42): Dataset[Neighbor] = {
     import in.sparkSession.implicits._
+    val overflowCap = StreamingDedup.overflowMemoryFactor * maxPerBucket
     def fn(bucket: Long, rows: Iterator[VecRow],
         st: GroupState[BucketState]): Iterator[Neighbor] = {
-      val prev = st.getOption.getOrElse(BucketState(Nil, Nil))
+      val prev = st.getOption.getOrElse(BucketState(Nil, Nil, 0L))
       var kept = prev.vecs
       var over = prev.overflowIds
+      var overCount = prev.overflowCount
       // probe the replay memory as a Set: O(1) per arrival instead of
       // an O(|overflowIds|) list scan on every row of a hot bucket
       var overSet = over.toSet
@@ -97,10 +106,12 @@ object StreamingAnn {
                 math.max(p.vec_id, r.vec_id), bucket, acc)
           }
           if (kept.size < maxPerBucket) kept = BucketVec(r.vec_id, r.vn) :: kept
-          else { over = r.vec_id :: over; overSet += r.vec_id }
+          else { over = r.vec_id :: over; overSet += r.vec_id; overCount += 1 }
         }
       }
-      st.update(BucketState(kept, over))
+      // cap the replay memory (newest-first list: take keeps newest)
+      if (over.length > overflowCap) over = over.take(overflowCap)
+      st.update(BucketState(kept, over, overCount))
       out.result().iterator
     }
     in.groupByKey(_.bucket)

@@ -42,9 +42,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    retries. This covers OVERFLOW docs too: a doc turned away by
   *    `maxPerBucket` is remembered by id (8 bytes, no signature), so
   *    its replay does not re-emit candidate pairs or re-count the
-  *    overflow. The id memory grows with distinct arrivals to a hot
-  *    bucket — in production, bound it with the same TTL as the rest
-  *    of the state (see below).
+  *    overflow. The id memory is BOUNDED ([[overflowMemoryFactor]] ×
+  *    maxPerBucket, newest kept): a replay of an id old enough to have
+  *    been evicted re-emits its pairs — duplicate output under
+  *    at-least-once, never wrong pairs — so replay stability is exact
+  *    for the retained window and best-effort beyond it.
   *
   * Scale (100 TB corpus, 1000 executors):
   *  - The shuffle key is the band hash — open cardinality, grows with
@@ -74,8 +76,19 @@ object StreamingDedup {
   /** Per-bucket state: retained docs (newest first) + the ids of
     * arrivals the `maxPerBucket` bound turned away (ids only — kept so
     * an at-least-once REPLAY of an overflow doc is recognized and does
-    * not re-emit its pairs; `overflowIds.size` is the overflow count). */
-  final case class BandState(docs: List[BandDoc], overflowIds: List[Long])
+    * not re-emit its pairs). The replay memory is itself bounded
+    * ([[overflowMemoryFactor]] × maxPerBucket, newest-first): without a
+    * cap it would grow one id per turned-away arrival and a hot bucket
+    * would blow up the state row — the exact failure `maxPerBucket`
+    * exists to prevent. Evicting an old id only weakens REPLAY
+    * suppression for that id (a replay re-emits its pairs — duplicate
+    * output under at-least-once, never wrong pairs); `overflowCount` is
+    * the running total and survives eviction. */
+  final case class BandState(docs: List[BandDoc], overflowIds: List[Long],
+      overflowCount: Long)
+
+  /** Replay-memory bound, as a multiple of `maxPerBucket`. */
+  val overflowMemoryFactor = 8
 
   /** An emitted candidate pair (a_id < b_id), with the minhash
     * Jaccard estimate that cleared `minEst`. */
@@ -113,11 +126,13 @@ object StreamingDedup {
   def candidates(db: Dataset[DocBand], maxPerBucket: Int = 256,
       minEst: Double = 0.5): Dataset[Candidate] = {
     import db.sparkSession.implicits._
+    val overflowCap = overflowMemoryFactor * maxPerBucket
     def fn(band: String, rows: Iterator[DocBand],
         st: GroupState[BandState]): Iterator[Candidate] = {
-      val prev = st.getOption.getOrElse(BandState(Nil, Nil))
+      val prev = st.getOption.getOrElse(BandState(Nil, Nil, 0L))
       var kept = prev.docs
       var over = prev.overflowIds
+      var overCount = prev.overflowCount
       // probe the replay memory as a Set: O(1) per arrival instead of
       // an O(|overflowIds|) list scan on every row of a hot bucket
       var overSet = over.toSet
@@ -133,10 +148,12 @@ object StreamingDedup {
                 math.max(p.doc_id, r.doc_id), band, est)
           }
           if (kept.size < maxPerBucket) kept = BandDoc(r.doc_id, r.sig) :: kept
-          else { over = r.doc_id :: over; overSet += r.doc_id }
+          else { over = r.doc_id :: over; overSet += r.doc_id; overCount += 1 }
         }
       }
-      st.update(BandState(kept, over))
+      // cap the replay memory (newest-first list: take keeps newest)
+      if (over.length > overflowCap) over = over.take(overflowCap)
+      st.update(BandState(kept, over, overCount))
       out.result().iterator
     }
     db.groupByKey(_.band)

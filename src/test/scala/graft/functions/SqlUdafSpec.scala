@@ -63,4 +63,28 @@ class SqlUdafSpec extends SparkSpec {
     assert(viaSql === typed)
     assert(viaSql.map(java.lang.Long.bitCount).sum > 0)
   }
+
+  test("extensions route alone exposes the aggregators: newSession resolves mg_sketch with no register() call") {
+    // newSession() rebuilds sessionState from builtins + the injected
+    // extensions — programmatic register() effects do NOT carry over,
+    // so this is exactly the spark-submit --conf spark.sql.extensions
+    // route the class scaladoc documents
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    Seq("a", "b", "a").toDF("w").createOrReplaceTempView("ext_mg_in")
+    val rows = fresh.sql(
+      "SELECT hh['a'] FROM (SELECT mg_sketch(w) AS hh FROM ext_mg_in)")
+      .collect()
+    assert(rows(0).getLong(0) === 2L)
+    // and the other three resolve too
+    (1 to 10).map(_.toDouble).toDF("x").createOrReplaceTempView("ext_qs_in")
+    assert(fresh.sql("SELECT quantile_sketch(x) FROM ext_qs_in")
+      .collect()(0).getSeq[Double](0) === Seq(1.0, 5.0, 9.0, 10.0))
+    assert(fresh.sql(
+      "SELECT size(topk5(x, CAST(x AS BIGINT))) FROM ext_qs_in")
+      .collect()(0).getInt(0) === 5)
+    assert(fresh.sql(
+      "SELECT size(bloom_build(array(1, 2, 3))) FROM ext_qs_in LIMIT 1")
+      .collect()(0).getInt(0) === (1 << 17) / 64)
+  }
 }

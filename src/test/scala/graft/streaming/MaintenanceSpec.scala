@@ -65,6 +65,14 @@ class MaintenanceSpec extends SparkSpec {
     assert(again.deleted.isEmpty && again.kept == 2)
   }
 
+  test("retention on an absent table dir reports empty stats, not an error") {
+    // schedulable before the writer's first run (and after a full expiry)
+    val stats = Maintenance.expireDatePartitions(spark,
+      java.nio.file.Files.createTempDirectory("ret").toString + "/never_written",
+      "day", java.time.LocalDate.parse("2024-01-03"))
+    assert(stats.deleted.isEmpty && stats.kept == 0 && stats.skipped.isEmpty)
+  }
+
   test("a leftover tmp dir from a crashed run refuses, never overwrites") {
     val dir = java.nio.file.Files.createTempDirectory("crash").toString + "/bronze"
     Seq("a", "b").toDF("value").write.mode("append").text(dir)
