@@ -77,6 +77,35 @@ class StreamingDedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L)))
   }
 
+  test("overflow replay memory is bounded: evicted ids re-emit on replay, retained ids stay silent") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[(Long, String)](sp)
+    // maxPerBucket=1 ⇒ replay-memory cap = overflowMemoryFactor × 1 = 8
+    val q = StreamingDedup.candidatesForDocs(
+        input.toDF.toDF("doc_id", "text"), maxPerBucket = 1)
+      .writeStream.format("memory").queryName("sdedup_evict").start()
+    try {
+      input.addData((1L, dup1)) // admitted
+      q.processAllAvailable()
+      // 9 overflow arrivals: newest-first memory [10..2] caps at 8,
+      // evicting doc 2 (the oldest turned-away id)
+      input.addData((2L to 10L).map(i => (i, dup1)): _*)
+      q.processAllAvailable()
+      val n = sp.table("sdedup_evict").count()
+      input.addData((10L, dup1)) // replay of a REMEMBERED overflow id
+      q.processAllAvailable()
+      assert(sp.table("sdedup_evict").count() === n) // still suppressed
+      input.addData((2L, dup1)) // replay of the EVICTED id
+      q.processAllAvailable()
+      // documented weakening: duplicate pair output, never wrong pairs
+      val after = sp.table("sdedup_evict").as[Candidate].collect()
+      assert(after.length > n)
+      assert(after.map(c => (c.a_id, c.b_id)).distinct.sorted.toSeq ===
+        (2L to 10L).map(i => (1L, i)))
+    } finally q.stop()
+  }
+
   test("batch mode sees the same pairs as the streamed batches") {
     val sp = spark
     import sp.implicits._
