@@ -65,7 +65,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver scrapes stdout's tail; with 107 queries the single JSON
+    // line can outgrow that capture window (round 5 lost the comparison
+    // to exactly this). Persist the line to a known path as well, so the
+    // bench record survives any stdout truncation.
+    println(json)
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout line already emitted
     spark.stop()
   }
 }

@@ -163,6 +163,76 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Block count for q38's block-nested-loop: smallest B with a group
+    * (~2n/B vectors) at or under `targetPerBlock`, floored at 32 so the
+    * dev-scale plan keeps round-5's measured parallelism. Derived from
+    * the corpus size — a hard-coded B meant a 100× corpus silently
+    * grew each group 100× until a task OOMed (round-5 VERDICT). */
+  private[llmdata] def blockCount(n: Long, targetPerBlock: Int): Int =
+    math.max(32, math.ceil(2.0 * n / math.max(1, targetPerBlock)).toInt)
+
+  /** q38 body, parameterized for the spec. Distributed block-nested-
+    * loop: vectors hash into B blocks by vec_id; every unordered
+    * block-pair (i ≤ j) is one group, and each vector is replicated to
+    * the B groups whose pair contains its block. Each unordered vector
+    * pair lands in EXACTLY one group, so the join is exact with no
+    * dedup pass. The dot-product loop stays primitive-array JIT'd (no
+    * per-pair Catalyst eval), but nothing touches the driver: no
+    * collect, no broadcast — shuffle volume is n·B rows and a group
+    * holds ~2n/B vectors, so B is the scale knob. B is DERIVED from
+    * the corpus count (one cheap count-aggregate pass over the id
+    * column) so a group is bounded by `targetPerBlock` vectors at any
+    * corpus size. Exact all-pairs stays O(n²) work by declared
+    * semantics — q83 (SemDeDup) is the bucket-scoped scale route.
+    * Threshold margin vs the oracle's formula is ≥1e-3 on this data —
+    * far beyond cross-engine double noise. */
+  private[llmdata] def embedNearDup(s: SparkSession, d: String,
+      targetPerBlock: Int = 4096): DataFrame = {
+    import s.implicits._
+    val norm = vectors(s, d)
+    val B = blockCount(norm.count(), targetPerBlock)
+    val rep = norm
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("vn"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("g"))
+      .as[(Long, Array[Double], Int)]
+      .flatMap { case (id, vn, g) =>
+        (0 until B).iterator.map { o =>
+          val (i, j) = if (o < g) (o, g) else (g, o)
+          (i * B + j, g, id, vn)
+        }
+      }
+    rep.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val bi = key / B
+        val bj = key % B
+        val rows = it.toArray
+        val as = rows.collect { case (_, g, id, v) if g == bi => (id, v) }
+        val bs =
+          if (bi == bj) as
+          else rows.collect { case (_, g, id, v) if g == bj => (id, v) }
+        val out = Array.newBuilder[(Long, Long)]
+        var x = 0
+        while (x < as.length) {
+          val (aId, av) = as(x)
+          var y = if (bi == bj) x + 1 else 0
+          while (y < bs.length) {
+            val (bId, bv) = bs(y)
+            var acc = 0.0
+            var k = 0
+            while (k < av.length) { acc += av(k) * bv(k); k += 1 }
+            if (acc > 0.42)
+              out += (if (aId < bId) (aId, bId) else (bId, aId))
+            y += 1
+          }
+          x += 1
+        }
+        out.result().iterator
+      }
+      .toDF("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q31: brute-force cosine top-k (k=5) for query set vec_id<10.
     //      Exact baseline; ranks only (scores are cross-engine
@@ -314,61 +384,7 @@ object Similarity {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) > 0.42
         |ORDER BY a_id, b_id""".stripMargin,
-    ) { (s, d) =>
-      // Distributed block-nested-loop: vectors hash into B blocks by
-      // vec_id; every unordered block-pair (i ≤ j) is one group, and
-      // each vector is replicated to the B groups whose pair contains
-      // its block. Each unordered vector pair lands in EXACTLY one
-      // group, so the join is exact with no dedup pass. The dot-product
-      // loop stays primitive-array JIT'd (no per-pair Catalyst eval),
-      // but nothing touches the driver: no collect, no broadcast —
-      // shuffle volume is n·B rows and a group holds ~2n/B vectors,
-      // so B is the scale knob (grow it with the corpus so one group
-      // fits one task). Threshold margin vs the oracle's formula is
-      // ≥1e-3 on this data — far beyond cross-engine double noise.
-      import s.implicits._
-      val B = 32
-      val rep = vectors(s, d)
-        .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("vn"),
-          pmod(col("vec_id"), lit(B)).cast("int").as("g"))
-        .as[(Long, Array[Double], Int)]
-        .flatMap { case (id, vn, g) =>
-          (0 until B).iterator.map { o =>
-            val (i, j) = if (o < g) (o, g) else (g, o)
-            (i * B + j, g, id, vn)
-          }
-        }
-      rep.groupByKey(_._1)
-        .flatMapGroups { (key, it) =>
-          val bi = key / B
-          val bj = key % B
-          val rows = it.toArray
-          val as = rows.collect { case (_, g, id, v) if g == bi => (id, v) }
-          val bs =
-            if (bi == bj) as
-            else rows.collect { case (_, g, id, v) if g == bj => (id, v) }
-          val out = Array.newBuilder[(Long, Long)]
-          var x = 0
-          while (x < as.length) {
-            val (aId, av) = as(x)
-            var y = if (bi == bj) x + 1 else 0
-            while (y < bs.length) {
-              val (bId, bv) = bs(y)
-              var acc = 0.0
-              var k = 0
-              while (k < av.length) { acc += av(k) * bv(k); k += 1 }
-              if (acc > 0.42)
-                out += (if (aId < bId) (aId, bId) else (bId, aId))
-              y += 1
-            }
-            x += 1
-          }
-          out.result().iterator
-        }
-        .toDF("a_id", "b_id")
-        .orderBy("a_id", "b_id")
-    },
+    ) { (s, d) => embedNearDup(s, d) },
 
     // ---- q68: k-NN label propagation — predict each query vector's
     //      label as the majority label of its 10 nearest neighbors by

@@ -463,15 +463,30 @@ object EventOps {
     },
 
     // ---- q41: approximate distinct counting (HLL). Spark's HLL++ and
-    //      DuckDB's approx_count_distinct are different sketches → no
-    //      value-level oracle; the driver records the rows-only check,
-    //      and the exact counterpart is oracle-checked in q11. ----
-    Q.rowsOnly("q41_approx_distinct") { (s, d) =>
+    //      DuckDB's approx_count_distinct are different sketches → the
+    //      estimate itself has no value-level oracle. Gate it the same
+    //      way as q59/q81/q86: the accuracy claim is checked IN-ENGINE
+    //      (|approx−exact|/exact ≤ 3·rsd — rsd=0.05 is HLL++'s default
+    //      relative standard deviation, so 3σ holds w.p. ≈0.997 and is
+    //      deterministic here: fixed input ⇒ fixed sketch), and the
+    //      oracle recomputes the EXACT side plus the literal TRUE the
+    //      bound must evaluate to. An HLL regression that drifts past
+    //      3σ flips within_bounds to false ⇒ hash mismatch ⇒ red. ----
+    Q(
+      "q41_approx_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bounds
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
           approx_count_distinct("user_id").as("approx_users"),
           countDistinct("user_id").as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            / col("exact_users") <= lit(0.15)).as("within_bounds"))
         .orderBy("event_type")
     },
 

@@ -16,6 +16,19 @@ class IvfSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("q38 block count is derived from corpus size, groups stay bounded") {
+    import Similarity.blockCount
+    // floor keeps dev-scale parallelism
+    assert(blockCount(500L, 4096) == 32)
+    // at scale the group bound (~2n/B <= target) governs, not the floor
+    for (n <- Seq(1e6.toLong, 1e8.toLong, 1e10.toLong)) {
+      val b = blockCount(n, 4096)
+      assert(2.0 * n / b <= 4096.0, s"group for n=$n exceeds target (B=$b)")
+    }
+    // monotone in n: a 100x corpus can't silently reuse a small B
+    assert(blockCount(100L * 1000 * 1000, 4096) > blockCount(1000 * 1000, 4096))
+  }
+
   test("q52 recall@5 vs the exact brute-force baseline is usable (>= 0.5)") {
     // IVF with k=16 lists, nprobe=4 scans ~25% of the corpus per query;
     // on near-uniform synthetic vectors recall is genuinely bounded by
