@@ -49,9 +49,11 @@ object Dedup {
     * bitmap makes the pair *verify* O(V/64) longs of AND+popcount —
     * exact, not sketched. The dictionary is one small distinct-scan
     * (real pipelines precompute it); generic over vocab size via one
-    * long per 64 ids. For open vocabularies where no dictionary fits,
-    * q29's MinHash+LSH banding is the scale route and q58's count-join
-    * verify the exact one.
+    * long per 64 ids. When the measured vocabulary exceeds
+    * [[VocabBitmapBudget]] the verify AUTO-SWITCHES to q58's
+    * count-join shape ([[SetSim.verified]]) — same exact results, no
+    * driver-held dictionary, no |V|-wide per-doc mask; q29's
+    * MinHash+LSH banding remains the candidate-generation scale route.
     *
     * The collapse decision happens AFTER the aggregation: `sets` is
     * built for all docs (the scan admits no choice), and when the
@@ -62,7 +64,8 @@ object Dedup {
     * strictly cheaper than the second corpus scan the pre-aggregation
     * probe used to pay. */
   private final case class SetSim(
-      sets: DataFrame, members: DataFrame, collapse: Boolean) {
+      sets: DataFrame, members: DataFrame, collapse: Boolean,
+      tokens: DataFrame, bitmap: Boolean) {
     /** The frame the pairwise machinery runs over: every doc, or one
       * representative per distinct (blocking key, token set). */
     def work: DataFrame =
@@ -70,10 +73,56 @@ object Dedup {
         sets.join(members.filter(col("doc_id") === col("gid"))
           .select("doc_id"), Seq("doc_id"), "left_semi")
       else sets
+
+    /** Exact verify for (a_id, b_id) candidate pairs → (a_id, b_id,
+      * ni, nw_a, nw_b) with ni = |A∩B|. Two regimes, same values:
+      *  - bitmap (vocab fit the budget): AND+popcount over the per-doc
+      *    masks. Candidate rows may repeat (a pair surfacing through
+      *    several shared prefix tokens / bands) — each repeat re-runs
+      *    the cheap popcount and callers dedup AFTER their threshold
+      *    filter, when survivors ≪ candidates;
+      *  - count-join (vocab over budget — the auto-fallback): distinct
+      *    the candidates FIRST (each shared token contributes one row
+      *    to the count, so a duplicated candidate row would double-
+      *    count), then join the persisted per-doc token rows on both
+      *    sides and count matches — q58's open-vocabulary verify
+      *    shape. Exact like the bitmap; no dictionary, no driver
+      *    state, no per-doc mask whose width grows with |V|. */
+    def verified(cand: DataFrame): DataFrame =
+      if (bitmap)
+        cand
+          .join(sets.select(col("doc_id").as("a_id"),
+            col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"),
+            col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
+          .withColumn("ni", maskIntersect(col("mask_a"), col("mask_b")))
+          .select("a_id", "b_id", "ni", "nw_a", "nw_b")
+      else {
+        val w = tokens.select(col("doc_id"), col("w"))
+        cand.distinct()
+          .join(w.toDF("a_id", "w"), "a_id")
+          .join(w.toDF("b_id", "w"), Seq("b_id", "w"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("ni"))
+          .join(sets.select(col("doc_id").as("a_id"),
+            col("nw").as("nw_a")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"),
+            col("nw").as("nw_b")), "b_id")
+          .select("a_id", "b_id", "ni", "nw_a", "nw_b")
+      }
   }
 
+  /** Vocabulary ceiling for the dictionary-bitmap verify: past this,
+    * [[setSim]] auto-switches to the count-join verify. Both hazards
+    * grow linearly in |V|: the driver-built broadcast dictionary AND
+    * the per-doc mask (|V|/8 bytes riding every candidate-join row) —
+    * at 2^16 words the mask is already 8 KB/doc, and the count-join
+    * wins well before the broadcast itself would OOM the driver. The
+    * spec forces the fallback with budget 0 and pins output equality. */
+  private[llmdata] val VocabBitmapBudget: Long = 1L << 16
+
   private def setSim(s: SparkSession, d: String,
-      fpKey: Seq[String], withPrefix: Boolean, nMinhash: Int): SetSim = {
+      fpKey: Seq[String], withPrefix: Boolean, nMinhash: Int,
+      vocabBudget: Long = VocabBitmapBudget): SetSim = {
     // (doc_id, lang, fp, w): fp is ROW-LOCAL (md5 of the sorted
     // distinct tokens) so the collapse key costs no extra pass, and the
     // distinct-per-doc token rows behind it are persisted — the vocab
@@ -91,38 +140,50 @@ object Dedup {
     // so a task retry cannot reshuffle ids mid-query.
     val distinctW = Caches.persist(ts.select("w").distinct())
     val nWords = distinctW.count() // tiny driver action: |vocab|
-    val vocab = s.createDataFrame(
-      distinctW.sortWithinPartitions("w").rdd
-        .map(_.getString(0)).zipWithIndex()).toDF("w", "wid")
+    // the one measured scalar that picks the verify regime — the
+    // AQE-style measure-then-plan pattern applied to the dictionary
+    // decision (round-5 VERDICT: a manual-only fallback is a driver
+    // OOM waiting for the first open-vocabulary corpus)
+    val bitmap = nWords <= vocabBudget
     val nBuckets = math.max(1, ((nWords + 63) / 64).toInt)
-    val bits0 = ts.join(broadcast(vocab), "w")
-      .withColumn("bucket", (col("wid") / 64).cast("int"))
-      .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
+    val base = if (bitmap) {
+      val vocab = s.createDataFrame(
+        distinctW.sortWithinPartitions("w").rdd
+          .map(_.getString(0)).zipWithIndex()).toDF("w", "wid")
+      ts.join(broadcast(vocab), "w")
+        .withColumn("bucket", (col("wid") / 64).cast("int"))
+        .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
+    } else ts
     // df (the PPJoin rarest-first prefix order) rides the same pass as
     // a window count over the (lang, w) exchange the aggregate needs
     // anyway — the groupBy+self-join alternative would shuffle the
     // token table twice
     val bits = if (withPrefix)
-      bits0.withColumn("df",
+      base.withColumn("df",
         count(lit(1)).over(Window.partitionBy("lang", "w")))
-    else bits0
-    val maskAggs = (0 until nBuckets).map(b =>
-      expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
-        .as(s"m$b")) :+ count(lit(1)).as("nw")
+    else base
+    val maskAggs = if (bitmap)
+      (0 until nBuckets).map(b =>
+        expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
+          .as(s"m$b"))
+    else Nil
     val prefixAggs = if (withPrefix)
       Seq(array_sort(collect_list(struct(col("df"), col("w")))).as("toks"))
     else Nil
     val mhAggs = (0 until nMinhash).map(i =>
       min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i"))
-    val aggs = maskAggs ++ prefixAggs ++ mhAggs
+    val aggs = (maskAggs :+ count(lit(1)).as("nw")) ++ prefixAggs ++ mhAggs
     // one row per doc; consumed by candidate generation AND both
     // verify sides — persisted (tracked, so library callers release
     // via Caches.release()).
-    val sets = Caches.persist(bits
+    val agged = bits
       .groupBy("doc_id", "lang", "fp")
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("mask", array((0 until nBuckets).map(b => col(s"m$b")): _*))
-      .drop((0 until nBuckets).map(b => s"m$b"): _*))
+    val sets = Caches.persist(
+      if (bitmap) agged
+        .withColumn("mask", array((0 until nBuckets).map(b => col(s"m$b")): _*))
+        .drop((0 until nBuckets).map(b => s"m$b"): _*)
+      else agged)
     // (doc_id, gid) over the persisted per-doc rows — the window runs
     // over doc-count rows, not tokens, and only enters the RETURNED
     // plan when the collapse engages (expansion joins); the decision
@@ -131,7 +192,7 @@ object Dedup {
       .withColumn("gid",
         min("doc_id").over(Window.partitionBy(fpKey.map(col): _*)))
       .select("doc_id", "gid")
-    SetSim(sets, members, shouldCollapse(members))
+    SetSim(sets, members, shouldCollapse(members), ts, bitmap)
   }
 
   /** popcount of the AND of two bitmap arrays = |intersection|. */
@@ -302,6 +363,172 @@ object Dedup {
     (sh, vp)
   }
 
+  /** q28 body, parameterized so the spec can force the count-join
+    * fallback (tiny `vocabBudget`) and pin output equality.
+    *
+    * PPJoin-style prefix-filtered exact similarity join (Bayardo et
+    * al. "Scaling Up All Pairs", Xiao et al. PPJoin — public
+    * literature): under ANY total token order shared by both sides,
+    * two sets with J ≥ t MUST share a token among the first
+    * |x| − ⌈t·|x|⌉ + 1 tokens of each side — so candidate pairs come
+    * from an equi-join on *prefix* tokens only, never from
+    * enumerating n²/2 pairs per lang block. The order used is
+    * (doc-frequency asc, token), rarest-first, which makes prefix
+    * buckets the SMALLEST buckets of the inverted index — the
+    * anti-skew choice. Survivors are verified exactly via
+    * [[SetSim.verified]] (bitmap popcount, or the count-join when the
+    * vocab outgrows the budget), so results are identical to the
+    * oracle's token-join rendering in both regimes.
+    *
+    * The whole join runs over one REPRESENTATIVE per distinct
+    * (lang, token-set) when that shrinks the input — exact dups
+    * collapse first, pairs expand after (expandPairs / setSim
+    * scaladoc): sublinear in the dup factor. Everything (bitmap,
+    * set size, prefix order, collapse fp) comes from ONE corpus
+    * scan (setSim). */
+  private[llmdata] def jaccardPairs(s: SparkSession, d: String,
+      vocabBudget: Long = VocabBitmapBudget): DataFrame = {
+    val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,
+      nMinhash = 0, vocabBudget = vocabBudget)
+    val sets = f.work
+      // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
+      .withColumn("plen",
+        (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
+      .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
+      .select("doc_id", "lang", "nw", "pre")
+    val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
+      explode(col("pre")).as("pw"))
+    val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
+    val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
+    // J ≥ 0.95 also forces 20·min(|a|,|b|) ≥ 19·max(|a|,|b|): prune
+    // size-incompatible pairs inside the join (output-preserving).
+    // NO distinct here: a pair surfacing through several shared
+    // prefix tokens rides the cheap popcount verify more than once
+    // and dedups AFTER the jaccard filter — survivors ≪ candidates,
+    // so the dedup shuffle moves orders of magnitude fewer rows than
+    // a candidate-level distinct would. (The count-join regime
+    // dedups candidates itself — SetSim.verified scaladoc.)
+    val cand = a.join(b,
+      col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
+        col("doc_id_a") < col("doc_id_b") &&
+        least(col("nw_a"), col("nw_b")) * 20 >=
+          greatest(col("nw_a"), col("nw_b")) * 19)
+      .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+    // exact verify on candidates only; no broadcast hints — AQE picks
+    // broadcast while sets is small, shuffle join past that
+    val repPairs = f.verified(cand)
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
+      .filter(col("jaccard") >= 0.95)
+      .select("a_id", "b_id", "jaccard")
+      .dropDuplicates("a_id", "b_id")
+    (if (f.collapse) expandPairs(f.members, repPairs) else repPairs)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q75 body, parameterized like [[jaccardPairs]]. One corpus scan
+    * for bitmap/size/prefix/fp (setSim scaladoc); verify via
+    * [[SetSim.verified]] — bitmap popcount or count-join fallback. */
+  private[llmdata] def containmentPairs(s: SparkSession, d: String,
+      vocabBudget: Long = VocabBitmapBudget): DataFrame = {
+    val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,
+      nMinhash = 0, vocabBudget = vocabBudget)
+    val sets = f.work
+      // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
+      .withColumn("plen",
+        (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
+      .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
+      .select("doc_id", "lang", "nw", "pre", "toks")
+    val pre = sets.select(col("doc_id").as("doc_id_a"),
+      col("lang").as("lang_a"), col("nw").as("pnw_a"),
+      explode(col("pre")).as("pw"))
+    // the container side re-explodes the cached per-doc token list —
+    // no second pass over the raw corpus, no doc-count join
+    val full = sets.select(col("doc_id").as("doc_id_b"),
+      col("lang").as("lang_b"), col("nw").as("pnw_b"),
+      explode(expr("transform(toks, t -> t.w)")).as("w"))
+    // probe = smaller set (ties broken by id); verify decides the
+    // passing direction(s). The candidate distinct stays here
+    // (unlike q28): the container side explodes FULL token lists, so
+    // the token join's output is both large and skewed (every bucket
+    // holds most of the corpus on this vocab) — the distinct's
+    // exchange is what lets AQE rebalance before the verify joins;
+    // without it the verify fuses into the skewed join's stage and
+    // stragglers own the whole pipeline (measured 4–5× slower).
+    val cand = pre.join(full,
+      col("pw") === col("w") && col("lang_a") === col("lang_b") &&
+        (col("pnw_a") < col("pnw_b") ||
+          (col("pnw_a") === col("pnw_b") &&
+            col("doc_id_a") < col("doc_id_b"))))
+      .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+      .distinct()
+    val verified = f.verified(cand)
+      // gate BEFORE the persist, with the SAME double comparisons the
+      // per-direction filters (and the oracle) apply: the cache holds
+      // survivors only, not every verified candidate
+      .filter(col("ni").cast("double") / col("nw_a") >= 0.95 ||
+        col("ni").cast("double") / col("nw_b") >= 0.95)
+      .transform(Caches.persist)
+    def dir(x: String, y: String) = verified
+      .withColumn("containment",
+        col("ni").cast("double") / col(s"nw_$x"))
+      .filter(col("containment") >= 0.95)
+      .select(col(s"${x}_id").as("a_id"), col(s"${y}_id").as("b_id"),
+        col("containment"))
+    val repPairs = dir("a", "b").unionByName(dir("b", "a"))
+    (if (f.collapse) expandOrderedPairs(f.members, repPairs) else repPairs)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q29 body, parameterized like [[jaccardPairs]]. One tokenize + one
+    * shuffle: the per-doc groupBy computes the 8 minhash signatures,
+    * the exact token bitmap (when the vocab fits the budget), and the
+    * set size in a single aggregation pass (setSim).
+    *
+    * Identical token sets have identical signatures, bands and verify
+    * outcomes — so when the collapse shrinks the input (shouldCollapse)
+    * the whole LSH pipeline runs over one representative per distinct
+    * set and pairs expand afterwards (expandPairs scaladoc). Banding
+    * equivalence is exact: a rep pair shares a band iff every member
+    * pair does. */
+  private[llmdata] def minhashLsh(s: SparkSession, d: String,
+      vocabBudget: Long = VocabBitmapBudget): DataFrame = {
+    val f = setSim(s, d, Seq("fp"), withPrefix = false,
+      nMinhash = 8, vocabBudget = vocabBudget)
+    val sets = f.work
+    val bands = sets.select(col("doc_id"), col("nw"),
+      explode(array(
+        md5(concat(lit("0"), col("s0"), col("s1"), col("s2"), col("s3"))),
+        md5(concat(lit("1"), col("s4"), col("s5"), col("s6"), col("s7")))))
+        .as("band"))
+    // salted band self-join (dense band buckets on this corpus would
+    // otherwise hot-spot) with the exact size-compatibility bound
+    // applied IN the join: J ≥ 0.9 forces min(|r|,|s|)/max(|r|,|s|)
+    // ≥ 0.9, i.e. 10·min ≥ 9·max in integers — pairs that fail can
+    // never survive the verify, so pruning here is output-preserving.
+    // Then exact verify (SetSim.verified) — same values as the
+    // oracle's token-join rendering in both regimes. Candidates are
+    // deduped AFTER the cheap popcount filter (survivor set ≪
+    // candidate set) in the bitmap regime; the count-join regime
+    // dedups first by construction. The verify joins carry NO
+    // broadcast hint: the per-doc table is corpus-sized, so a forced
+    // broadcast would OOM the driver at scale — AQE picks broadcast
+    // while it is small and degrades to a shuffle join past the
+    // threshold.
+    val cand = saltedPairs(bands, "band", 16)
+      .filter(least(col("nw_a"), col("nw_b")) * 10 >=
+        greatest(col("nw_a"), col("nw_b")) * 9)
+      .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+    val repPairs = f.verified(cand)
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
+      .filter(col("jaccard") >= 0.9)
+      .select("a_id", "b_id", "jaccard")
+      .dropDuplicates("a_id", "b_id")
+    (if (f.collapse) expandPairs(f.members, repPairs) else repPairs)
+      .orderBy("a_id", "b_id")
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q27: exact dedup — keep the first doc of each content-hash
     //      group (hash-groupBy; dropDuplicates semantics made explicit) ----
@@ -335,67 +562,7 @@ object Dedup {
         |           JOIN wc cb ON cb.doc_id = b_id
         |WHERE CAST(ni AS DOUBLE)/(ca.nw + cb.nw - ni) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
-    ) { (s, d) =>
-      // PPJoin-style prefix-filtered exact similarity join (Bayardo et
-      // al. "Scaling Up All Pairs", Xiao et al. PPJoin — public
-      // literature): under ANY total token order shared by both sides,
-      // two sets with J ≥ t MUST share a token among the first
-      // |x| − ⌈t·|x|⌉ + 1 tokens of each side — so candidate pairs come
-      // from an equi-join on *prefix* tokens only, never from
-      // enumerating n²/2 pairs per lang block. The order used is
-      // (doc-frequency asc, token), rarest-first, which makes prefix
-      // buckets the SMALLEST buckets of the inverted index — the
-      // anti-skew choice. Survivors are verified exactly with the
-      // shared bitmap popcount (O(V/64) longs per pair), so results are
-      // identical to the oracle's token-join rendering.
-      //
-      // The whole join runs over one REPRESENTATIVE per distinct
-      // (lang, token-set) when that shrinks the input — exact dups
-      // collapse first, pairs expand after (expandPairs / setSim
-      // scaladoc): sublinear in the dup factor. Everything (bitmap,
-      // set size, prefix order, collapse fp) comes from ONE corpus
-      // scan (setSim).
-      val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true, nMinhash = 0)
-      val sets = f.work
-        // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
-        .withColumn("plen",
-          (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
-        .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
-        .select("doc_id", "lang", "nw", "mask", "pre")
-      val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
-        explode(col("pre")).as("pw"))
-      val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
-      val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
-      // J ≥ 0.95 also forces 20·min(|a|,|b|) ≥ 19·max(|a|,|b|): prune
-      // size-incompatible pairs inside the join (output-preserving).
-      // NO distinct here: a pair surfacing through several shared
-      // prefix tokens rides the cheap popcount verify more than once
-      // and dedups AFTER the jaccard filter — survivors ≪ candidates,
-      // so the dedup shuffle moves orders of magnitude fewer rows than
-      // a candidate-level distinct would.
-      val cand = a.join(b,
-        col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
-          col("doc_id_a") < col("doc_id_b") &&
-          least(col("nw_a"), col("nw_b")) * 20 >=
-            greatest(col("nw_a"), col("nw_b")) * 19)
-        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
-      // exact bitmap verify on candidates only; no broadcast hints —
-      // AQE picks broadcast while sets is small, shuffle join past that
-      val ni = maskIntersect(col("mask_a"), col("mask_b"))
-      val repPairs = cand
-        .join(sets.select(col("doc_id").as("a_id"),
-          col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"),
-          col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
-        .withColumn("ni", ni)
-        .withColumn("jaccard",
-          col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
-        .filter(col("jaccard") >= 0.95)
-        .select("a_id", "b_id", "jaccard")
-        .dropDuplicates("a_id", "b_id")
-      (if (f.collapse) expandPairs(f.members, repPairs) else repPairs)
-        .orderBy("a_id", "b_id")
-    },
+    ) { (s, d) => jaccardPairs(s, d) },
 
     // ---- q75: token-set CONTAINMENT join — ordered pairs (a, b) with
     //      |A∩B|/|A| ≥ 0.95: a's content is (near-)inside b. The
@@ -432,61 +599,7 @@ object Dedup {
         |SELECT a_id, b_id, CAST(ni AS DOUBLE)/nw_a AS containment
         |FROM dirs WHERE CAST(ni AS DOUBLE)/nw_a >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
-    ) { (s, d) =>
-      // One corpus scan for bitmap/size/prefix/fp (setSim scaladoc)
-      val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true, nMinhash = 0)
-      val sets = f.work
-        // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
-        .withColumn("plen",
-          (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
-        .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
-        .select("doc_id", "lang", "nw", "mask", "pre", "toks")
-      val pre = sets.select(col("doc_id").as("doc_id_a"),
-        col("lang").as("lang_a"), col("nw").as("pnw_a"),
-        explode(col("pre")).as("pw"))
-      // the container side re-explodes the cached per-doc token list —
-      // no second pass over the raw corpus, no doc-count join
-      val full = sets.select(col("doc_id").as("doc_id_b"),
-        col("lang").as("lang_b"), col("nw").as("pnw_b"),
-        explode(expr("transform(toks, t -> t.w)")).as("w"))
-      // probe = smaller set (ties broken by id); verify decides the
-      // passing direction(s). The candidate distinct stays here
-      // (unlike q28): the container side explodes FULL token lists, so
-      // the token join's output is both large and skewed (every bucket
-      // holds most of the corpus on this vocab) — the distinct's
-      // exchange is what lets AQE rebalance before the verify joins;
-      // without it the verify fuses into the skewed join's stage and
-      // stragglers own the whole pipeline (measured 4–5× slower).
-      val cand = pre.join(full,
-        col("pw") === col("w") && col("lang_a") === col("lang_b") &&
-          (col("pnw_a") < col("pnw_b") ||
-            (col("pnw_a") === col("pnw_b") &&
-              col("doc_id_a") < col("doc_id_b"))))
-        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
-        .distinct()
-      val ni = maskIntersect(col("mask_a"), col("mask_b"))
-      val verified = cand
-        .join(sets.select(col("doc_id").as("a_id"),
-          col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"),
-          col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
-        .withColumn("ni", ni)
-        // gate BEFORE the persist, with the SAME double comparisons the
-        // per-direction filters (and the oracle) apply: the cache holds
-        // survivors only, not every verified candidate
-        .filter(col("ni").cast("double") / col("nw_a") >= 0.95 ||
-          col("ni").cast("double") / col("nw_b") >= 0.95)
-        .transform(Caches.persist)
-      def dir(x: String, y: String) = verified
-        .withColumn("containment",
-          col("ni").cast("double") / col(s"nw_$x"))
-        .filter(col("containment") >= 0.95)
-        .select(col(s"${x}_id").as("a_id"), col(s"${y}_id").as("b_id"),
-          col("containment"))
-      val repPairs = dir("a", "b").unionByName(dir("b", "a"))
-      (if (f.collapse) expandOrderedPairs(f.members, repPairs) else repPairs)
-        .orderBy("a_id", "b_id")
-    },
+    ) { (s, d) => containmentPairs(s, d) },
 
     // ---- q58: n-gram (3-token shingle) Jaccard similarity join —
     //      the n-gram twin of q28's word-set join, threshold 0.8,
@@ -583,60 +696,7 @@ object Dedup {
         |             JOIN wc cb ON cb.doc_id = i.b_id
         |WHERE CAST(ni AS DOUBLE)/(ca.nw + cb.nw - ni) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
-    ) { (s, d) =>
-      // one tokenize + one shuffle: the per-doc groupBy computes the 8
-      // minhash signatures, the exact token bitmap, and the set size in
-      // a single aggregation pass (bitmap encoding shared with q28 via
-      // setSim).
-      //
-      // Identical token sets have identical signatures, bands and
-      // verify outcomes — so when the collapse shrinks the input
-      // (shouldCollapse) the whole LSH pipeline runs over one
-      // representative per distinct set and pairs expand afterwards
-      // (expandPairs scaladoc). Banding equivalence is exact: a rep
-      // pair shares a band iff every member pair does.
-      // One corpus scan for signatures/bitmap/size/fp (setSim scaladoc);
-      // the persisted per-doc result is consumed three times (bands +
-      // both verify sides), tracked via Caches so library callers can
-      // release the storage.
-      val f = setSim(s, d, Seq("fp"), withPrefix = false, nMinhash = 8)
-      val sets = f.work
-      val bands = sets.select(col("doc_id"), col("nw"),
-        explode(array(
-          md5(concat(lit("0"), col("s0"), col("s1"), col("s2"), col("s3"))),
-          md5(concat(lit("1"), col("s4"), col("s5"), col("s6"), col("s7")))))
-          .as("band"))
-      // salted band self-join (dense band buckets on this corpus would
-      // otherwise hot-spot) with the exact size-compatibility bound
-      // applied IN the join: J ≥ 0.9 forces min(|r|,|s|)/max(|r|,|s|)
-      // ≥ 0.9, i.e. 10·min ≥ 9·max in integers — pairs that fail can
-      // never survive the verify, so pruning here is output-preserving.
-      // Then exact bitmap verify — same values as the oracle's
-      // token-join verify. Candidates are deduped AFTER the cheap
-      // popcount filter (survivor set ≪ candidate set). The verify
-      // joins carry NO broadcast hint: the per-doc bitmap table is
-      // corpus-sized, so a forced broadcast would OOM the driver at
-      // scale — AQE picks broadcast while it is small and degrades to
-      // a shuffle join past the threshold.
-      val cand = saltedPairs(bands, "band", 16)
-        .filter(least(col("nw_a"), col("nw_b")) * 10 >=
-          greatest(col("nw_a"), col("nw_b")) * 9)
-        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
-      val ni = maskIntersect(col("mask_a"), col("mask_b"))
-      val repPairs = cand
-        .join(sets.select(col("doc_id").as("a_id"),
-          col("mask").as("mask_a"), col("nw").as("nw_a")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"),
-          col("mask").as("mask_b"), col("nw").as("nw_b")), "b_id")
-        .withColumn("ni", ni)
-        .withColumn("jaccard",
-          col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
-        .filter(col("jaccard") >= 0.9)
-        .select("a_id", "b_id", "jaccard")
-        .dropDuplicates("a_id", "b_id")
-      (if (f.collapse) expandPairs(f.members, repPairs) else repPairs)
-        .orderBy("a_id", "b_id")
-    },
+    ) { (s, d) => minhashLsh(s, d) },
 
     // ---- q30: SimHash — 16-bit fingerprint by per-bit weighted vote of
     //      token hashes (weight = term frequency). One integer per doc. ----
