@@ -278,6 +278,17 @@ object CuratedPipeline {
     * treat the whole dimension as empty, re-inserting duplicate PKs
     * resp. null-enriching every fact row. One definition so the guarded
     * error set cannot drift between the two paths. */
+  /** The devices dimension's schema (reference DDL, README.MD:159-165:
+    * five NVARCHAR columns, deviceId PK). [[devicesOrEmpty]] derives
+    * its absent-table fallback frame from THIS constant, so adding a
+    * non-string column later cannot silently diverge the empty-frame
+    * schema from the real table's (round-5 ADVICE). */
+  private[streaming] val DevicesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Seq("deviceId", "applicationId", "templateId", "component", "module")
+        .map(n => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.StringType)))
+
   private def devicesOrEmpty(spark: org.apache.spark.sql.SparkSession,
       devicesDir: String, cols: Seq[String]): DataFrame =
     try spark.read.parquet(devicesDir).select(cols.map(col): _*)
@@ -287,22 +298,43 @@ object CuratedPipeline {
             .contains(e.getCondition) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(cols.map(n =>
-            org.apache.spark.sql.types.StructField(
-              n, org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.StructType(
+            cols.map(n => DevicesSchema(n))))
     }
 
-  /** Devices-sink dedup-merge: at-most-one-row-per-device (the PK
-    * semantics the reference gets from constraint violations, S3). */
+  /** Devices-sink dedup-merge: at-most-one-row-per-device with
+    * first-seen-wins (the PK semantics the reference gets from
+    * constraint violations, S3 / README.MD:159-165).
+    *
+    * Durability: the merged table replaces the old one via
+    * [[Maintenance.atomicSwap]]'s two-rename protocol — a crash
+    * mid-merge can never leave a truncated or half-written Devices
+    * table (the old round-5 append could not lose rows either, but a
+    * future rewriting caller would have; the swap also turns a second
+    * CONCURRENT writer into a loud tmp-guard/rename failure instead of
+    * silently duplicated PKs). Readers in the swap window: a reader
+    * that catches the table ABSENT between the two renames falls back
+    * to the empty frame ([[devicesOrEmpty]]) — for
+    * [[enrichWithDevices]] that means one batch of null metadata, not
+    * lost fact rows, and the next batch re-reads the swapped table.
+    * The full-rewrite cost is bounded: the dimension is fleet-sized,
+    * orders of magnitude under the fact stream. */
   def mergeDevices(batch: DataFrame, devicesDir: String): Unit = {
     val spark = batch.sparkSession
+    val cols = DevicesSchema.fieldNames.toSeq
     val newDevs = batch
-      .select("deviceId", "applicationId", "templateId", "component", "module")
+      .select(cols.map(col): _*)
       .filter(col("deviceId").isNotNull)
       .dropDuplicates("deviceId")
-    val existing = devicesOrEmpty(spark, devicesDir, Seq("deviceId"))
-    newDevs.join(existing, Seq("deviceId"), "left_anti")
-      .write.mode("append").parquet(devicesDir)
+    val existing = devicesOrEmpty(spark, devicesDir, cols)
+    // existing wins (first-seen): only genuinely new PKs join the table
+    val merged = existing.unionByName(
+      newDevs.join(existing.select("deviceId"), Seq("deviceId"), "left_anti"))
+    Maintenance.atomicSwap(spark, devicesDir, "devices-merge") { tmp =>
+      // the read of `existing` evaluates HERE, before any rename — the
+      // old table is still in place while the new copy materializes
+      merged.write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** The reference's implied Devices FK join (§2.3: the DDL declares

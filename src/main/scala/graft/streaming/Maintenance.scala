@@ -56,16 +56,6 @@ object Maintenance {
       targetBytes: Long): CompactionStats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireAtomicFs(fs, "compact",
-      "atomic rename (the two-rename swap window)")
-    val tmp = new Path(dir + ".compact-tmp")
-    val trash = new Path(dir + ".compact-trash")
-    require(!fs.exists(tmp),
-      s"$tmp exists — a previous compaction crashed mid-run; inspect and remove it")
-    require(!fs.exists(trash),
-      s"$trash exists — a previous compaction crashed mid-swap; the original " +
-        s"data is intact there. Recover with: hadoop fs -mv $trash $path " +
-        s"(then remove $tmp if present)")
 
     val files = fs.listFiles(path, true)
     var (nFiles, bytes) = (0L, 0L)
@@ -80,19 +70,11 @@ object Maintenance {
     // the read pins the CURRENT file listing; rows are copied verbatim
     // (same format in and out — text keeps lines byte-for-byte, parquet
     // keeps the schema)
-    spark.read.format(format).load(dir)
-      .repartition(nParts)
-      .write.format(format).mode("overwrite").save(tmp.toString)
-
-    // two-rename swap; on failure between them the trash dir still
-    // holds the original data (hence the loud guard above)
-    if (!fs.rename(path, trash))
-      throw new java.io.IOException(s"compaction swap failed: $path -> $trash")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(trash, path) // best-effort rollback
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    atomicSwap(spark, dir, "compact") { tmp =>
+      spark.read.format(format).load(dir)
+        .repartition(nParts)
+        .write.format(format).mode("overwrite").save(tmp)
     }
-    fs.delete(trash, true)
 
     val after = fs.listFiles(path, true)
     var nAfter = 0L
@@ -101,6 +83,58 @@ object Maintenance {
       if (f.isFile && !f.getPath.getName.startsWith("_")) nAfter += 1
     }
     CompactionStats(nFiles, nAfter, bytes)
+  }
+
+  /** The two-rename atomic-swap protocol, shared by [[compact]] and
+    * `CuratedPipeline.mergeDevices`: `write` materializes the table's
+    * NEW contents at the tmp path (`<dir>.<suffix>-tmp`), then
+    * `dir → <dir>.<suffix>-trash`, `tmp → dir`, delete trash. Readers
+    * see the old table or the new one, never a mixture or a truncated
+    * directory. An ABSENT `dir` (first write) degrades to the single
+    * `tmp → dir` rename — still atomic.
+    *
+    * Failure posture:
+    *  - `write` throws → tmp is deleted (nothing was renamed, the
+    *    original table is untouched) and the error propagates;
+    *  - crash between the renames → the data is intact in trash and
+    *    the NEXT call refuses loudly with the recovery command — never
+    *    a silent rebuild from empty;
+    *  - leftover tmp from a crashed run → refuse, never overwrite;
+    *  - a second concurrent writer hits the tmp guard or loses the
+    *    rename race and throws — loud failure instead of lost rows
+    *    (single-writer remains the contract; streaming's one
+    *    foreachBatch at a time satisfies it).
+    * Flat object stores are rejected up front ([[requireAtomicFs]]). */
+  private[graft] def atomicSwap(spark: SparkSession, dir: String,
+      suffix: String)(write: String => Unit): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicFs(fs, suffix,
+      "atomic rename (the two-rename swap window)")
+    val tmp = new Path(dir + s".$suffix-tmp")
+    val trash = new Path(dir + s".$suffix-trash")
+    require(!fs.exists(tmp),
+      s"$tmp exists — a previous $suffix crashed mid-write; inspect and remove it")
+    require(!fs.exists(trash),
+      s"$trash exists — a previous $suffix crashed mid-swap; the original " +
+        s"data is intact there. Recover with: hadoop fs -mv $trash $path " +
+        s"(then remove $tmp if present)")
+    try write(tmp.toString)
+    catch {
+      case e: Throwable =>
+        fs.delete(tmp, true) // pre-rename: tmp is garbage, dir untouched
+        throw e
+    }
+    if (fs.exists(path)) {
+      if (!fs.rename(path, trash))
+        throw new java.io.IOException(s"$suffix swap failed: $path -> $trash")
+      if (!fs.rename(tmp, path)) {
+        fs.rename(trash, path) // best-effort rollback
+        throw new java.io.IOException(s"$suffix swap failed: $tmp -> $path")
+      }
+      fs.delete(trash, true)
+    } else if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"$suffix first-write failed: $tmp -> $path")
   }
 
   /** Flat object stores fake both rename (copy+delete) and recursive

@@ -215,6 +215,43 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(files == 1, "no new part file may be appended after a failed read")
   }
 
+  test("devices merge: atomic swap — crash leftovers refuse loudly, write failure leaves the table intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("devswap").toString + "/devices"
+    def batchFor(dev: String) = CuratedPipeline.toPipeEvents(
+      Seq(rawJson(dev, "2024-01-01T00:00:01Z", 90, 1010.0)).toDF("value")).toDF()
+    CuratedPipeline.mergeDevices(batchFor("devA"), dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    // first-seen wins + idempotence: re-merging devA adds nothing
+    CuratedPipeline.mergeDevices(batchFor("devA"), dir)
+    CuratedPipeline.mergeDevices(batchFor("devB"), dir)
+    assert(spark.read.parquet(dir).select("deviceId").as[String]
+      .collect().sorted.toSeq == Seq("devA", "devB"))
+    // simulated crash BETWEEN the two renames: trash present → the next
+    // merge must refuse with the recovery pointer, never rebuild from
+    // empty (the silent-data-loss failure the swap protocol exists for)
+    val trash = java.nio.file.Paths.get(dir + ".devices-merge-trash")
+    java.nio.file.Files.createDirectory(trash)
+    val e = intercept[IllegalArgumentException] {
+      CuratedPipeline.mergeDevices(batchFor("devC"), dir)
+    }
+    assert(e.getMessage.contains("intact"))
+    assert(spark.read.parquet(dir).count() == 2) // old table untouched
+    java.nio.file.Files.delete(trash)
+    // a failing WRITE cleans its tmp (pre-rename, so it is garbage) and
+    // leaves the table untouched — the next merge proceeds normally
+    intercept[RuntimeException] {
+      Maintenance.atomicSwap(spark, dir, "devices-merge") { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".devices-merge-tmp")))
+    assert(spark.read.parquet(dir).count() == 2)
+    CuratedPipeline.mergeDevices(batchFor("devC"), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("device enrichment: broadcast left join, unknown devices survive, merges show up next call") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("devjoin").toString + "/devices"
