@@ -98,23 +98,40 @@ object GraftExtensions {
     import org.apache.spark.sql.expressions.Aggregator
     // fresh aggregator per call site: Aggregator instances are
     // stateless folds, but sharing one across plans buys nothing
-    def fn[IN, BUF, OUT](name: String, mk: () => Aggregator[IN, BUF, OUT],
+    def fn[IN, BUF, OUT](name: String, sig: String, arity: Int,
+        mk: () => Aggregator[IN, BUF, OUT],
         in: Encoder[IN]): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
       FunctionIdentifier(name),
       new ExpressionInfo(mk().getClass.getName, name),
       (args: Seq[Expression]) => {
+        // arity-check at analysis time: a wrong argument count would
+        // otherwise surface later as an opaque encoder/runtime failure
+        // deep inside ScalaAggregator (round-5 ADVICE). `arity` is the
+        // input encoder's flattened column count (tuple encoders bind
+        // one SQL argument per tuple field, hence topk5's 2).
+        if (args.length != arity) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name` (expected: $sig)",
+            "expectedNum" -> arity.toString,
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
         val agg = mk()
         ScalaAggregator(args, agg, encoderFor(in), encoderFor(agg.bufferEncoder),
           nullable = true, isDeterministic = true, 0, 0, Some(name))
       },
     )
     Seq(
-      fn("mg_sketch", () => new graft.functions.MisraGries(64), Encoders.STRING),
-      fn("quantile_sketch", () => new graft.functions.QuantileSketchAgg(1 << 16,
-        Seq(0.1, 0.5, 0.9, 0.99)), Encoders.scalaDouble),
-      fn("topk5", () => new graft.functions.TopK(5),
+      fn("mg_sketch", "mg_sketch(stringCol)", 1,
+        () => new graft.functions.MisraGries(64), Encoders.STRING),
+      fn("quantile_sketch", "quantile_sketch(doubleCol)", 1,
+        () => new graft.functions.QuantileSketchAgg(1 << 16,
+          Seq(0.1, 0.5, 0.9, 0.99)), Encoders.scalaDouble),
+      fn("topk5", "topk5(doubleCol, longCol)", 2,
+        () => new graft.functions.TopK(5),
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)),
-      fn("bloom_build", () => new graft.functions.BloomAgg(1 << 17),
+      fn("bloom_build", "bloom_build(arrayOfIntCol)", 1,
+        () => new graft.functions.BloomAgg(1 << 17),
         ExpressionEncoder[Seq[Int]]()),
     )
   }

@@ -52,7 +52,13 @@ object StreamingAnn {
     * id per turned-away arrival — the hot-bucket blow-up `maxPerBucket`
     * exists to prevent). A replay of an evicted id re-emits its pairs
     * (at-least-once duplication, never wrong pairs); `overflowCount` is
-    * the running total and survives eviction. */
+    * the running total and survives eviction.
+    *
+    * CHECKPOINT COMPATIBILITY: this case class IS the fMGWS state
+    * encoder schema; the round-5 `overflowIds`/`overflowCount` fields
+    * broke checkpoints written by earlier builds (see
+    * [[StreamingDedup.BandState]] for the restart-from-scratch
+    * procedure and the versioning rule for future changes). */
   final case class BucketState(vecs: List[BucketVec], overflowIds: List[Long],
       overflowCount: Long)
 

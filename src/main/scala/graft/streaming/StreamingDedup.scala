@@ -83,7 +83,16 @@ object StreamingDedup {
     * exists to prevent. Evicting an old id only weakens REPLAY
     * suppression for that id (a replay re-emits its pairs — duplicate
     * output under at-least-once, never wrong pairs); `overflowCount` is
-    * the running total and survives eviction. */
+    * the running total and survives eviction.
+    *
+    * CHECKPOINT COMPATIBILITY: this case class IS the fMGWS state
+    * encoder schema. Adding `overflowIds`/`overflowCount` (round 5)
+    * broke compatibility with checkpoints written by earlier builds —
+    * a restored query fails or misreads state. Restart such queries
+    * from a fresh checkpoint (replay the source; at-least-once output
+    * makes that safe). Any future field change carries the same cost:
+    * evolve by adding a NEW versioned case class + mapper function
+    * rather than editing this one silently. */
   final case class BandState(docs: List[BandDoc], overflowIds: List[Long],
       overflowCount: Long)
 

@@ -113,16 +113,43 @@ object StreamingResample extends Serializable {
 
   /** The gap-fill stage on `flatMapGroupsWithState` (event-time timeout
     * as the timer). `ds` must carry event-time `ts`; the watermark is
-    * applied here. */
-  def fill(ds: Dataset[Ev], lateness: String = "0 seconds"): Dataset[HourRow] = {
+    * applied here.
+    *
+    * `retireAfterMs`: optional cursor-retirement horizon. Without it
+    * the per-user LOCF cursor lives FOREVER, so state grows with total
+    * distinct-user cardinality over the query lifetime even for users
+    * idle for months (round-5 ADVICE) — the same unbounded-state class
+    * `maxPerBucket` exists to prevent in the dedup/ANN stages. With it,
+    * a user whose hours are all finalized and who stays idle while the
+    * watermark advances `retireAfterMs` past their last finalized
+    * activity has their state DROPPED. Trade-off (LOCF memory): a user
+    * who returns after retirement starts a fresh grid at their next
+    * event's hour — the idle gap is NOT emitted as gap rows and the old
+    * LOCF value is forgotten, exactly as if they were a new user. Hours
+    * already emitted are never re-emitted: a returning event is ≥
+    * watermark − lateness, which is past the retired grid's end
+    * whenever `retireAfterMs` ≥ the lateness window (keep it so). An
+    * event-time horizon (not wall-clock) so replays retire
+    * deterministically. */
+  def fill(ds: Dataset[Ev], lateness: String = "0 seconds",
+      retireAfterMs: Option[Long] = None): Dataset[HourRow] = {
     import ds.sparkSession.implicits._
     def fn(key: Long, rows: Iterator[Ev], st: GroupState[FillState])
         : Iterator[HourRow] = {
       val wm = st.getCurrentWatermarkMs()
       val prev = st.getOption
+      val rs = rows.toSeq
       val (cur, pending, out, timer) = advance(key,
         prev.map(_.cursor), prev.map(_.pending).getOrElse(Map.empty),
-        rows.toSeq, wm)
+        rs, wm)
+      // a timer fired with no input, nothing to finalize, and nothing
+      // pending ⟺ the RETIREMENT timer (the finalize timer always has
+      // a pending hour to emit): drop the cursor — LOCF memory ends
+      if (st.hasTimedOut && rs.isEmpty && out.isEmpty && pending.isEmpty
+          && retireAfterMs.isDefined) {
+        if (st.exists) st.remove()
+        return Iterator.empty
+      }
       cur.foreach(c => st.update(FillState(c, pending)))
       // arm 1 ms BEFORE the semantic boundary: event-time timeouts fire
       // only when the watermark STRICTLY exceeds the armed timestamp, so
@@ -130,7 +157,12 @@ object StreamingResample extends Serializable {
       // lands exactly on an hour end and then stops — while the fold's
       // finalize rule (and batch q107) includes that hour. Watermarks
       // are ms-granular, so end−1 fires exactly when wm ≥ end.
-      timer.foreach(t => st.setTimeoutTimestamp(t - 1))
+      timer match {
+        case Some(t) => st.setTimeoutTimestamp(t - 1)
+        case None => // all finalized: arm retirement from the current wm
+          retireAfterMs.foreach(r =>
+            if (cur.isDefined) st.setTimeoutTimestamp(wm + r))
+      }
       out.iterator
     }
     ds.withWatermark("ts", lateness)
@@ -140,8 +172,12 @@ object StreamingResample extends Serializable {
   }
 
   /** The same stage on `transformWithState` — shares [[advance]]; pending
-    * hours live in `MapState` so RocksDB writes are per-entry deltas. */
-  final class ResampleProcessor
+    * hours live in `MapState` so RocksDB writes are per-entry deltas.
+    * `retireAfterMs` mirrors [[fill]]'s cursor retirement (an explicit
+    * event-time timer, NOT `TTLConfig`: TTL is wall-clock-based, which
+    * would retire nondeterministically under replay and diverge the two
+    * surfaces' semantics). */
+  final class ResampleProcessor(retireAfterMs: Option[Long] = None)
       extends StatefulProcessor[Long, Ev, HourRow] {
     @transient private var cursorState: ValueState[Cursor] = _
     @transient private var pendingState:
@@ -160,17 +196,29 @@ object StreamingResample extends Serializable {
         // the fired timer is gone; forget it so re-arming is clean
         .map(c => if (firedMs.contains(c.armedMs)) c.copy(armedMs = 0L) else c)
       val pending0 = pendingState.iterator().map { case (k, v) => k -> v }.toMap
+      val rs = rows.toSeq
       val (cur, pending, out, timer) =
-        advance(key, cur0, pending0, rows.toSeq, wmMs)
+        advance(key, cur0, pending0, rs, wmMs)
+      // fired timer + no input + nothing finalized + nothing pending ⟺
+      // the RETIREMENT timer (same discrimination as the fMGWS path):
+      // drop all state for this user
+      if (firedMs.isDefined && rs.isEmpty && out.isEmpty && pending.isEmpty
+          && retireAfterMs.isDefined) {
+        cursorState.clear(); pendingState.clear()
+        return Iterator.empty
+      }
       // per-entry delta writes: finalized hours leave, touched hours update
       (pending0.keySet -- pending.keySet).foreach(pendingState.removeKey)
       pending.foreach { case (k, v) =>
         if (!pending0.get(k).contains(v)) pendingState.updateValue(k, v)
       }
       // same strict-fire guard as the fMGWS path: arm end−1 so a
-      // watermark landing exactly on the hour boundary still fires
+      // watermark landing exactly on the hour boundary still fires;
+      // with nothing pending, arm the retirement horizon instead
       val armed0 = cur0.map(_.armedMs).getOrElse(0L)
-      val armed1 = timer.map(_ - 1).getOrElse(0L)
+      val armed1 = timer.map(_ - 1)
+        .orElse(retireAfterMs.collect { case r if cur.isDefined => wmMs + r })
+        .getOrElse(0L)
       if (armed1 != armed0) {
         if (armed0 != 0L) getHandle.deleteTimer(armed0)
         if (armed1 != 0L) getHandle.registerTimer(armed1)
@@ -189,12 +237,12 @@ object StreamingResample extends Serializable {
         Some(info.getExpiryTimeInMs))
   }
 
-  def fillTws(ds: Dataset[Ev], lateness: String = "0 seconds")
-      : Dataset[HourRow] = {
+  def fillTws(ds: Dataset[Ev], lateness: String = "0 seconds",
+      retireAfterMs: Option[Long] = None): Dataset[HourRow] = {
     import ds.sparkSession.implicits._
     ds.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .transformWithState(new ResampleProcessor,
+      .transformWithState(new ResampleProcessor(retireAfterMs),
         TimeMode.EventTime(), OutputMode.Append)
   }
 }

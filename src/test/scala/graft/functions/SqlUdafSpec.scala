@@ -87,4 +87,17 @@ class SqlUdafSpec extends SparkSpec {
       "SELECT size(bloom_build(array(1, 2, 3))) FROM ext_qs_in LIMIT 1")
       .collect()(0).getInt(0) === (1 << 17) / 64)
   }
+
+  test("wrong argument count fails at analysis time with the expected signature, not an encoder error") {
+    import spark.implicits._
+    Seq("a").toDF("w").createOrReplaceTempView("arity_in")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_sketch(w, w) FROM arity_in").collect()
+    }
+    assert(e.getMessage.contains("mg_sketch(stringCol)"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk5(1.0) FROM arity_in").collect()
+    }
+    assert(e2.getMessage.contains("topk5(doubleCol, longCol)"), e2.getMessage)
+  }
 }

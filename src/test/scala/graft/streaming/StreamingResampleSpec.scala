@@ -111,4 +111,37 @@ class StreamingResampleSpec extends SparkSpec {
       Seq(scenario.flatten, Seq((99L, 6L, ts(8, 45), 0.0))))
     assert(got.filter(_._1 == 7L) === expected7)
   }
+
+  // u7: one event in hour 1, then idle past the 1 h retirement horizon,
+  // then one in hour 6. With retirement the cursor is dropped during the
+  // idle span, so the return starts a FRESH grid — no gap rows for hours
+  // 2..5 and the old LOCF value forgotten. Without retirement the same
+  // stream emits those gap rows (the control keeps the two behaviors
+  // honest against each other).
+  private val retireScenario = Seq(
+    Seq((7L, 1L, ts(1, 10), 1.0)),
+    Seq((99L, 2L, ts(3, 0), 0.0)),
+    Seq((99L, 3L, ts(3, 30), 0.0)), // wm 3h: hour 1 finalizes, retire armed 4h
+    Seq((99L, 4L, ts(5, 0), 0.0)),
+    Seq((99L, 5L, ts(5, 30), 0.0)), // wm 5h: retirement fires, cursor dropped
+    Seq((7L, 6L, ts(6, 30), 9.0)),  // returns — fresh grid at hour 6
+    Seq((99L, 7L, ts(8, 0), 0.0)),
+    Seq((99L, 8L, ts(8, 30), 0.0))) // wm 8h: hour 6 finalizes
+
+  test("cursor retirement drops idle users' state; a return starts a fresh grid (both surfaces)") {
+    val retired = Set((7L, 1 * H, 1L, 0, 1.0), (7L, 6 * H, 1L, 0, 9.0))
+    for ((nm, stage) <- Seq[(String, Dataset[Ev] => Dataset[HourRow])](
+        ("rs_ret_f", StreamingResample.fill(_, retireAfterMs = Some(H))),
+        ("rs_ret_t", StreamingResample.fillTws(_, retireAfterMs = Some(H))))) {
+      val got = withRocksDBStateStore { run(nm, stage, retireScenario) }
+      assert(got.filter(_._1 == 7L) === retired,
+        s"$nm: idle-span gap rows must NOT appear after retirement")
+    }
+    // control: without retirement the idle span IS gap-filled with LOCF
+    val kept = run("rs_ret_ctl", StreamingResample.fill(_), retireScenario)
+    assert(got2Gaps(kept) === Set(2L * H, 3L * H, 4L * H, 5L * H))
+  }
+
+  private def got2Gaps(rows: Set[(Long, Long, Long, Int, Double)]): Set[Long] =
+    rows.collect { case (7L, hr, 0L, 1, 1.0) => hr }
 }
