@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Dev-only stage profiler: runs one registry query N times and dumps
+  * per-stage wall time + shuffle volumes for the last run. Not part of
+  * the driver contract. Usage: runMain graft.Probe <sfDir> <query> [n]
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val n = if (args.length > 2) args(2).toInt else 3
+    val spark = GraftSession.local()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Long, Int)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        stages.add((si.stageId, si.name.takeWhile(_ != '\n').take(90), dur,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten, si.numTasks))
+      }
+    })
+    val q = SparkEntry.queries(name)
+    for (i <- 1 to n) {
+      stages.clear()
+      Caches.release()
+      val t0 = System.nanoTime()
+      val cnt = q(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] run $i: $name rows=$cnt time=$sec%.3f s")
+    }
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    println("[probe] stages of last run (id, ms, shufRead, shufWrite, tasks, name):")
+    stages.asScala.toSeq.sortBy(-_._3).take(25).foreach { case (id, nm, ms, r, w, t) =>
+      println(f"[probe]   $id%5d $ms%6d ms  r=${r / 1024}%8d KB w=${w / 1024}%8d KB tasks=$t%3d  $nm")
+    }
+    spark.stop()
+  }
+}

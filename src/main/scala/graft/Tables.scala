@@ -23,6 +23,27 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
+  /** Partition-count floor for CPU-bound per-row stages (tokenize,
+    * fingerprint, shingle): when the scan under-splits — a single small
+    * file, or one parquet row group, the local test regime — every
+    * downstream map runs SERIAL no matter how many cores exist
+    * (measured: q75's tokenize+fp stage, 4.4 s on 1 task at sf0.1).
+    * The round-robin repartition only ever engages when the corpus fits
+    * in fewer splits than cores, so the shuffle it introduces is by
+    * construction tiny; at production scale file splits exceed the core
+    * count and this is a no-op (`getNumPartitions` inspects the planned
+    * scan — no job). Filters/pruning still reach the scan: Catalyst
+    * pushes both through a Repartition. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** [[documents]] with the [[spread]] floor — the loader for operators
+    * whose first stage does heavy per-row work on the raw text. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(documents(s, d))
+
   /** `events` carries a TIMESTAMP(NANOS) parquet column Spark cannot read
     * natively. With `spark.sql.legacy.parquet.nanosAsLong=true` it arrives
     * as Long nanoseconds; we truncate (integer `div`, not double `/` —

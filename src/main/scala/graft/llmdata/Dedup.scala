@@ -127,9 +127,15 @@ object Dedup {
     // distinct tokens) so the collapse key costs no extra pass, and the
     // distinct-per-doc token rows behind it are persisted — the vocab
     // scan and the per-doc aggregate below both read this cache, never
-    // the raw corpus again.
-    val ts = Caches.persist(Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), Text.setFp.as("fp"),
+    // the raw corpus again. fp is materialized in its own projection
+    // BEFORE the explode so it evaluates once per DOC, not once per
+    // token row (ExtractGenerator keeps it below the Generate; inlining
+    // it next to the explode re-ran the sort+md5 per token — measured
+    // ~50× more fp work for nothing), and the scan rides the spread
+    // floor so the tokenize+fp stage parallelizes even off one file.
+    val ts = Caches.persist(Tables.documentsSpread(s, d)
+      .withColumn("fp", Text.setFp)
+      .select(col("doc_id"), col("lang"), col("fp"),
         explode(split(col("text"), " ")).as("w"))
       .distinct())
     // Dense ids via zipWithIndex (per-partition offsets from one count
@@ -529,6 +535,167 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Edge budget for q55's driver-side union-find route: the component
+    * graph's nodes are DISTINCT fingerprint values (simhashValues
+    * scaladoc — bounded by the fingerprint domain, 2^16 here), so its
+    * near-dup edge list is bounded too (≤ |values|·137/2 for Hamming
+    * ≤ 2 over 16 bits ≈ 4.5 M), independent of corpus size. Under this
+    * budget the edges collect to the driver (two longs each — ≤ 32 MB)
+    * and union-find labels the components in one pass; over it, the
+    * distributed min-label/pointer-jump loop runs instead. Same
+    * measure-then-plan pattern as [[VocabBitmapBudget]]: the probe is a
+    * `limit(budget+1).collect()`, so a pathological graph costs one
+    * bounded fetch, never an unbounded driver materialization. */
+  private[llmdata] val DriverCcEdgeBudget: Int = 1 << 21
+
+  /** q55 body, parameterized so the spec can force the distributed
+    * route (`ccEdgeBudget = 0`) and pin route equality.
+    *
+    * Connected components over the near-dup VALUE graph; cluster id =
+    * min doc_id of the component; docs attach to their value's
+    * component at the end (Hamming-0 dups collapse there without ever
+    * being graph nodes). Two routes, identical labels:
+    *
+    *  - DRIVER UNION-FIND (edge list under [[DriverCcEdgeBudget]] —
+    *    always, for a 16-bit fingerprint): collect the value-pair
+    *    edges, path-halving union-find with min-root union (the root
+    *    stays the component's minimum value, so labels come out
+    *    exactly as the distributed route's converged min-labels), one
+    *    createDataFrame back. Rounds of shuffle latency collapse into
+    *    milliseconds of driver CPU — the same justified driver-side
+    *    bound as IVF's sampled k-means centroids.
+    *
+    *  - DISTRIBUTED MIN-LABEL + POINTER JUMP (over budget — 64-bit
+    *    production fingerprints whose value graph outgrows the
+    *    driver): Pregel-style, one requests⋈labels join + min-per-dst
+    *    aggregate per round (2 shuffles), pointer jumping for
+    *    O(log diameter) rounds, each round materialized into persisted
+    *    RDD blocks ([[GraftSqlBridge.materialized]] — a naive plan
+    *    loop would grow exponentially in analysis) and its
+    *    predecessor's blocks freed as soon as the next is counted.
+    *    Bounded rounds with a loud refusal — a silent cap would split
+    *    a real component. At larger diameters the public scale route
+    *    is alternating large-star/small-star (Kiveris et al.,
+    *    "Connected Components in MapReduce"); the per-round join shape
+    *    is the same. */
+  private[llmdata] def dupClusters(s: SparkSession, d: String,
+      ccEdgeBudget: Int = DriverCcEdgeBudget): DataFrame = {
+    val (sh, vp) = simhashValues(s, d)
+    val probe =
+      if (ccEdgeBudget > 0)
+        vp.select(col("va"), col("vb")).limit(ccEdgeBudget + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val labels: DataFrame =
+      if (ccEdgeBudget > 0 && probe.length <= ccEdgeBudget) {
+        // union-find, path halving; union-by-min keeps root = min(component)
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        probe.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val nodes = probe.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+        import s.implicits._
+        nodes.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
+      } else distributedMinLabel(s, vp)
+    // value → component (isolated values are their own component),
+    // component → min doc_id over its member values, doc → cluster
+    // via its own fingerprint.
+    val vmin = sh.groupBy("simhash").agg(min("doc_id").as("vmin"))
+    val vlab = vmin
+      .join(labels.toDF("simhash", "comp"), Seq("simhash"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("simhash")))
+    val cmin = vlab.groupBy("comp").agg(min("vmin").as("cluster_id"))
+    sh.join(vlab.join(cmin, "comp").select("simhash", "cluster_id"),
+        "simhash")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The distributed route of [[dupClusters]]: min-label propagation
+    * with pointer jumping over the value-pair graph `vp`. Returns the
+    * converged (doc_id = value, cluster_id = min value) labels, backed
+    * by persisted RDD blocks (tracked for the caller's release). */
+  private def distributedMinLabel(s: SparkSession, vp: DataFrame): DataFrame = {
+    val (edges, edgesRdd) = GraftSqlBridge.materialized(
+      vp.select(col("va").as("u"), col("vb").as("v"))
+        .unionByName(vp.select(col("vb").as("u"), col("va").as("v"))))
+    var (labels, labelsRdd) = GraftSqlBridge.materialized(
+      edges.select(col("u").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var changed = 1L
+    var rounds = 0
+    // any exit before the normal epilogue (a mid-round failure or the
+    // convergence refusal below) must free the blocks this loop
+    // persisted — they are invisible to Caches.release and clearCache,
+    // so a throw here would otherwise strand them on the executors for
+    // the session's lifetime
+    try {
+      while (changed > 0 && rounds < 50) {
+        // One round = ONE join + ONE aggregate. All three label lookups
+        // a round needs — each neighbor's label, the POINTER JUMP
+        // label(label(u)) (labels are themselves node ids — here
+        // simhash values), and u's own label — are rendered as request
+        // rows (key to look up, dst to deliver to), so a single
+        // requests⋈labels equi-join + min-per-dst replaces the previous
+        // three joins (neighbor-min, step, jump): 2 shuffles per round
+        // instead of 4, with map-side partial min on both. The identity
+        // request doubles as the `moved` detector: its looked-up label
+        // IS u's old label (key = dst), so convergence needs no extra
+        // join against the previous round.
+        val req = edges.select(col("v").as("key"), col("u").as("dst"))
+          .unionByName(labels
+            .select(col("cluster_id").as("key"), col("doc_id").as("dst")))
+          .unionByName(labels
+            .select(col("doc_id").as("key"), col("doc_id").as("dst")))
+        val (next, nextRdd) = GraftSqlBridge.materialized(req
+          .join(labels.withColumnRenamed("doc_id", "key"), "key")
+          .groupBy("dst")
+          .agg(min("cluster_id").as("new_cluster"),
+            min(when(col("key") === col("dst"), col("cluster_id")))
+              .as("old_cluster"))
+          .select(col("dst").as("doc_id"),
+            col("new_cluster").as("cluster_id"),
+            (col("new_cluster") < col("old_cluster")).as("moved")))
+        // the count materializes next's blocks; only then is the
+        // previous round safe to free (recompute would chain through it)
+        changed = next.filter(col("moved")).count()
+        labelsRdd.unpersist(blocking = false)
+        labels = next.drop("moved")
+        labelsRdd = nextRdd
+        rounds += 1
+      }
+      // a silent cap would return wrong cluster ids (an over-cap
+      // diameter would split one real component); refuse instead
+      if (changed > 0) throw new IllegalStateException(
+        s"q55: label propagation not converged after $rounds rounds " +
+          s"($changed labels still changing) — component depth exceeds " +
+          "the cap; raise it or switch to large-star/small-star")
+    } catch { case t: Throwable =>
+      labelsRdd.unpersist(blocking = false)
+      edgesRdd.unpersist(blocking = false)
+      throw t
+    }
+    edgesRdd.unpersist(blocking = false)
+    // the final round's blocks back the RETURNED plan — released by
+    // the caller (harness: per query) after its last action
+    Caches.track(labelsRdd)
+    labels
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- q27: exact dedup — keep the first doc of each content-hash
     //      group (hash-groupBy; dropDuplicates semantics made explicit) ----
@@ -774,109 +941,9 @@ object Dedup {
         |  GROUP BY d.doc_id)
         |SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS keep
         |FROM labels ORDER BY doc_id""".stripMargin,
-    ) { (s, d) =>
-      // Each round references `labels` several times (neighbor lookup,
-      // the pointer jump, the convergence diff), so a naive loop
-      // multiplies the logical plan per round — exponential analysis
-      // cost and a driver OOM. Each round is therefore materialized
-      // into persisted RDD blocks and re-planned as a flat scan.
-      // NOT via Dataset.localCheckpoint: its blocks are unfreeable
-      // (Dataset.unpersist only drops CacheManager entries), so a
-      // checkpoint-per-round loop would accumulate every round's
-      // blocks on the executors until driver GC. materialized() hands
-      // back the RDD, and each round frees its predecessor the moment
-      // the new round is counted.
-      //
-      // Scale shape: (1) the graph is the distinct-FINGERPRINT graph
-      // (simhashValues scaladoc) — nodes are simhash values (bounded by
-      // 2^16, collapse factor grows with corpus size), never documents;
-      // docs attach to their value's component once at the end.
-      // (2) Only vertices of edges iterate — near-dup value pairs are
-      // sparse; isolated values join back at the end. (3) Each round
-      // combines the neighbor min with a POINTER JUMP
-      // (label := min(label, label(label))) — the label graph halves
-      // in depth per round, so rounds = O(log diameter) instead of
-      // O(diameter), and every round saved is a full shuffle+
-      // materialize+count of fixed latency.
-      val (sh, vp) = simhashValues(s, d)
-      val (edges, edgesRdd) = GraftSqlBridge.materialized(
-        vp.select(col("va").as("u"), col("vb").as("v"))
-          .unionByName(vp.select(col("vb").as("u"), col("va").as("v"))))
-      var (labels, labelsRdd) = GraftSqlBridge.materialized(
-        edges.select(col("u").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("cluster_id")))
-      var changed = 1L
-      var rounds = 0
-      // any exit before the normal epilogue (a mid-round failure or
-      // the convergence refusal below) must free the blocks this loop
-      // persisted — they are invisible to Caches.release and
-      // clearCache, so a throw here would otherwise strand them on
-      // the executors for the session's lifetime
-      try {
-      while (changed > 0 && rounds < 50) {
-        // One round = ONE join + ONE aggregate. All three label
-        // lookups a round needs — each neighbor's label, the POINTER
-        // JUMP label(label(u)) (labels are themselves node ids — here
-        // simhash values), and u's own label — are rendered as request
-        // rows (key to look up, dst to deliver to), so a single
-        // requests⋈labels equi-join + min-per-dst replaces the
-        // previous three joins (neighbor-min, step, jump): 2 shuffles
-        // per round instead of 4, with map-side partial min on both.
-        // The identity request doubles as the `moved` detector: its
-        // looked-up label IS u's old label (key = dst), so convergence
-        // needs no extra join against the previous round.
-        val req = edges.select(col("v").as("key"), col("u").as("dst"))
-          .unionByName(labels
-            .select(col("cluster_id").as("key"), col("doc_id").as("dst")))
-          .unionByName(labels
-            .select(col("doc_id").as("key"), col("doc_id").as("dst")))
-        val (next, nextRdd) = GraftSqlBridge.materialized(req
-          .join(labels.withColumnRenamed("doc_id", "key"), "key")
-          .groupBy("dst")
-          .agg(min("cluster_id").as("new_cluster"),
-            min(when(col("key") === col("dst"), col("cluster_id")))
-              .as("old_cluster"))
-          .select(col("dst").as("doc_id"),
-            col("new_cluster").as("cluster_id"),
-            (col("new_cluster") < col("old_cluster")).as("moved")))
-        // the count materializes next's blocks; only then is the
-        // previous round safe to free (recompute would chain through it)
-        changed = next.filter(col("moved")).count()
-        labelsRdd.unpersist(blocking = false)
-        labels = next.drop("moved")
-        labelsRdd = nextRdd
-        rounds += 1
-      }
-      // a silent cap would return wrong cluster ids (an over-cap
-      // diameter would split one real component); refuse instead
-      if (changed > 0) throw new IllegalStateException(
-        s"q55: label propagation not converged after $rounds rounds " +
-          s"($changed labels still changing) — component depth exceeds " +
-          "the cap; raise it or switch to large-star/small-star")
-      } catch { case t: Throwable =>
-        labelsRdd.unpersist(blocking = false)
-        edgesRdd.unpersist(blocking = false)
-        throw t
-      }
-      edgesRdd.unpersist(blocking = false)
-      // the final round's blocks back the RETURNED plan — released by
-      // the caller (harness: per query) after its last action
-      Caches.track(labelsRdd)
-      // value → component (isolated values are their own component),
-      // component → min doc_id over its member values, doc → cluster
-      // via its own fingerprint. Hamming-0 dups collapse here without
-      // ever appearing as graph nodes or edges.
-      val vmin = sh.groupBy("simhash").agg(min("doc_id").as("vmin"))
-      val vlab = vmin
-        .join(labels.toDF("simhash", "comp"), Seq("simhash"), "left")
-        .withColumn("comp", coalesce(col("comp"), col("simhash")))
-      val cmin = vlab.groupBy("comp").agg(min("vmin").as("cluster_id"))
-      sh.join(vlab.join(cmin, "comp").select("simhash", "cluster_id"),
-          "simhash")
-        .select(col("doc_id"), col("cluster_id"),
-          (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
-        .orderBy("doc_id")
-    },
+    ) { (s, d) => dupClusters(s, d) },
+
+
 
     // ---- q36: document fingerprints — canonical word-set hash (groups
     //      docs with identical vocabularies) + rolling 3-gram shingle

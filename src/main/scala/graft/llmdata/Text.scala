@@ -13,9 +13,12 @@ import graft.Tables
   * codegen and the scan prunes to (doc_id, text) only.
   */
 object Text {
-  /** (doc_id, w) with one row per token occurrence. */
+  /** (doc_id, w) with one row per token occurrence. All three shared
+    * tokenizers load via [[Tables.documentsSpread]]: tokenize is the
+    * CPU-heavy first stage of every consumer, and without the spread
+    * floor it runs on however few splits the file gives (1, locally). */
   def tokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
 
   /** (doc_id, lang, w) distinct token sets (for set-similarity ops). */
@@ -26,7 +29,7 @@ object Text {
     * similarity ops tokenize a collapsed/filtered doc subset instead of
     * the whole corpus. */
   def tokenSetOf(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .distinct()
@@ -41,7 +44,7 @@ object Text {
   /** (doc_id, lang, g) distinct 3-gram shingle sets — the n-gram unit
     * of near-dup detection (docs shorter than 3 tokens have none). */
   def shingleSet(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("lang"),

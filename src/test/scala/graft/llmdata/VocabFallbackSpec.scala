@@ -31,6 +31,13 @@ class VocabFallbackSpec extends SparkSpec {
       rows(Dedup.minhashLsh(spark, sf)))
   }
 
+  test("q55 clusters: distributed min-label route ≡ driver union-find route") {
+    // zero edge budget forces the Pregel-style loop (the 64-bit-
+    // fingerprint scale path); labels must match the union-find's
+    assert(rows(Dedup.dupClusters(spark, sf, ccEdgeBudget = 0)) ==
+      rows(Dedup.dupClusters(spark, sf)))
+  }
+
   test("fallback plan carries no broadcast of a vocab dictionary") {
     // the zero-budget plan must not contain the dictionary equi-join's
     // wid column — the whole point is that no vocab table exists
