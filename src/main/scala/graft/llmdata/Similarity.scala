@@ -342,6 +342,32 @@ object Similarity {
         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
     ) { (s, d) => annIvf(s, d, nprobe = 16) },
 
+    // ---- q108: IVF probe-path exactness gate — the complement of q59.
+    //      q59 gates the ALL-LISTS regime (nprobe = nlists, probe
+    //      ranking can't lose a candidate); this gates the SELECTIVE
+    //      regime's plumbing: a 1-list index probed with nprobe = 1
+    //      sends every query down the nearest-centroid selection,
+    //      sort/slice probe expansion, and cid equi-join exactly as a
+    //      selective probe would — and with one list the result must
+    //      STILL equal brute force, so the same q31-family DuckDB
+    //      oracle hash-checks it. Between q59 and q108, both probe
+    //      regimes of the q52 code path are exactness-gated; only the
+    //      trained-centroid float arithmetic itself stays rows-only. ----
+    Q(
+      "q108_ivf_probe_exact",
+      """WITH cos AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT q_id, CAST(rn AS INT) AS rank, n_id FROM (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) => annIvf(s, d, k = 1, nprobe = 1) },
+
     // ---- q48: int8 vector quantization — symmetric max-abs scaling,
     //      the storage-compression pass of an embedding pipeline (4×
     //      smaller vectors for ANN shortlists; re-rank on full

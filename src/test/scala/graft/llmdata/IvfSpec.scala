@@ -29,6 +29,16 @@ class IvfSpec extends SparkSpec {
     assert(blockCount(100L * 1000 * 1000, 4096) > blockCount(1000 * 1000, 4096))
   }
 
+  test("q108: a 1-list index probed with nprobe=1 reproduces brute force") {
+    // the selective-probe plumbing (nearest-centroid selection, probe
+    // slice, cid equi-join) with one list must still see everything
+    val exact = SparkEntry.queries("q31_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val oneList = Similarity.annIvf(spark, sf, k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(oneList == exact)
+  }
+
   test("q52 recall@5 vs the exact brute-force baseline is usable (>= 0.5)") {
     // IVF with k=16 lists, nprobe=4 scans ~25% of the corpus per query;
     // on near-uniform synthetic vectors recall is genuinely bounded by
