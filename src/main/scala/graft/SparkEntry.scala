@@ -16,6 +16,7 @@ object SparkEntry {
     relational.Relational.qs ++
       relational.EventOps.qs ++
       llmdata.Dedup.qs ++
+      llmdata.IncrementalLsh.qs ++
       llmdata.Similarity.qs ++
       llmdata.TextAnalysis.qs ++
       llmdata.Curation.qs ++

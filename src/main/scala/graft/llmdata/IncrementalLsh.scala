@@ -1,0 +1,183 @@
+package graft.llmdata
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Incremental MinHash-LSH index maintenance — the production
+  * shape of near-dup detection at 100 TB. A crawl-scale corpus is never
+  * deduplicated in one shot: batches arrive continuously, and
+  * recomputing q29's whole-corpus LSH per ingest would re-scan the
+  * entire corpus for every batch. The lakehouse protocol instead
+  * PERSISTS the per-document band index — `(doc_id, nw, band)`, two
+  * rows per doc — and each ingest:
+  *
+  *   1. computes band rows for the NEW batch only (one tokenize pass
+  *      over the batch — the corpus is never re-read);
+  *   2. joins the batch's bands against the persisted index
+  *      (new × indexed candidates) and against itself (new × new);
+  *   3. exact-verifies candidates only, re-tokenizing exactly the
+  *      candidate documents (a semi-join pushdown on the doc store —
+  *      verify cost scales with candidates, not corpus);
+  *   4. appends the batch's band rows to the index.
+  *
+  * Because MinHash signatures are row-local (min over the doc's own
+  * tokens of md5(w||'#'||i) — no global vocabulary, no trained state),
+  * banding is ingest-order independent: the union of pair emissions
+  * over ANY batch partitioning equals the single-shot batch join. q109
+  * runs the protocol end-to-end over a two-batch split and is
+  * hash-checked against q29's full-corpus oracle; IncrementalLshSpec
+  * additionally pins the parquet-round-trip of the index (the persisted
+  * table is self-contained — no session state survives between
+  * ingests) and three-batch associativity.
+  *
+  * Signature definitions are IDENTICAL to q29's (`Dedup.minhashLsh`)
+  * by construction — 8 permutations min(md5(w||'#i')) over distinct
+  * tokens, 2 bands of 4 hashed with a band-index prefix — so a batch
+  * system can mix one-shot and incremental runs over the same index.
+  *
+  * Scale notes: the band join salts the INDEX side by doc_id and
+  * replicates the (much smaller) batch side across salts, so a dense
+  * band bucket — the skew hazard of a dup-heavy crawl — spreads over
+  * 16 shuffle buckets instead of hot-spotting one task. Nothing
+  * collects to the driver; the index is append-only (compaction is
+  * `streaming/Maintenance`'s job, like any other table).
+  */
+object IncrementalLsh {
+  private val NumSalts = 16
+
+  /** Per-document band rows for a corpus slice: `(doc_id, nw, band)`,
+    * 2 rows per doc — the unit the index table persists. One tokenize
+    * pass; `nw` (distinct-token count) rides the same aggregation so
+    * the verify's size terms need no second scan. */
+  def bandIndex(docs: DataFrame): DataFrame = {
+    val sigs = Tables.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"),
+        (0 until 8).map(i =>
+          min(md5(concat(col("w"), lit("#" + i)))).as(s"s$i")): _*)
+    sigs.select(col("doc_id"), col("nw"),
+      explode(array(
+        md5(concat(lit("0"), col("s0"), col("s1"), col("s2"), col("s3"))),
+        md5(concat(lit("1"), col("s4"), col("s5"), col("s6"), col("s7")))))
+        .as("band"))
+  }
+
+  /** One ingest: near-dup pairs `(a_id, b_id, jaccard)` (J ≥ 0.9,
+    * a_id < b_id) contributed by `newIdx`'s batch — new × indexed plus
+    * new × new. `docs` is the document store the verify re-tokenizes
+    * candidates from (semi-join pushdown; only candidate docs are
+    * read). Emissions over successive ingests partition q29's
+    * full-corpus pair set exactly. */
+  def ingestPairs(index: DataFrame, newIdx: DataFrame, docs: DataFrame)
+      : DataFrame = {
+    // candidate generation: equi-join on the band hash. The index side
+    // keeps a pmod salt, the batch side replicates to every salt —
+    // each (indexed, new) pair meets exactly once, at the indexed
+    // row's salt. Size-compatibility (10·min ≥ 9·max ⇔ the J ≥ 0.9
+    // bound on |A|/|B|) prunes in the join output, before the verify.
+    val idx = index.select(col("doc_id").as("a_id"), col("nw").as("nw_a"),
+        col("band"), pmod(col("doc_id"), lit(NumSalts)).as("salt"))
+    val batchRep = newIdx.select(col("doc_id").as("b_id"),
+        col("nw").as("nw_b"), col("band"))
+      .withColumn("salt", explode(sequence(lit(0), lit(NumSalts - 1))))
+    val cross = idx.join(batchRep, Seq("band", "salt"))
+    // within-batch: the same salted self-join shape, a_id < b_id
+    val wa = newIdx.select(col("doc_id").as("a_id"), col("nw").as("nw_a"),
+      col("band"), pmod(col("doc_id"), lit(NumSalts)).as("salt"))
+    val within = wa.join(batchRep, Seq("band", "salt"))
+      .filter(col("a_id") < col("b_id"))
+    val sized = cross.unionByName(within)
+      .filter(least(col("nw_a"), col("nw_b")) * 10 >=
+        greatest(col("nw_a"), col("nw_b")) * 9)
+    // canonical unordered pair ids; distinct BEFORE the count-join
+    // verify (a pair sharing both bands must count its tokens once)
+    val cand = sized.select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    // exact verify on candidates only: re-tokenize exactly the docs
+    // that appear in a candidate pair (left_semi pushes the id set
+    // into the doc-store scan), count shared distinct tokens (q58's
+    // open-vocabulary verify — no dictionary, no global state)
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    val toks = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val nw = index.select("doc_id", "nw")
+      .unionByName(newIdx.select("doc_id", "nw")).distinct()
+    cand
+      .join(toks.toDF("a_id", "w"), "a_id")
+      .join(toks.toDF("b_id", "w"), Seq("b_id", "w"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("ni"))
+      .join(nw.toDF("a_id", "nw_a"), "a_id")
+      .join(nw.toDF("b_id", "nw_b"), "b_id")
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
+      .filter(col("jaccard") >= 0.9)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** q109 body, parameterized so the spec can vary the batch count:
+    * split the corpus into `nBatches` by doc_id range, run the ingest
+    * protocol batch by batch (each batch joins the index accumulated
+    * from the previous ones), and union the emissions. Must equal q29's
+    * single-shot output for ANY split. */
+  private[llmdata] def incrementalPairs(s: SparkSession, d: String,
+      nBatches: Int = 2): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val step = maxId / nBatches + 1
+    val batches = (0 until nBatches).map { i =>
+      graft.Caches.persist(bandIndex(
+        docs.filter(col("doc_id") >= i * step &&
+          col("doc_id") < (i + 1) * step)))
+    }
+    val emissions = (0 until nBatches).map { i =>
+      val index =
+        if (i == 0) batches.head.limit(0)
+        else batches.take(i).reduce(_ unionByName _)
+      ingestPairs(index, batches(i), docs)
+    }
+    emissions.reduce(_ unionByName _).orderBy("a_id", "b_id")
+  }
+
+  val qs: Seq[Q] = Seq(
+    // ---- q109: incremental LSH ingest — the batch-maintenance twin of
+    //      q29 (and the batch twin of streaming/StreamingDedup): the
+    //      corpus arrives as doc_id-range batches, each ingest joins
+    //      only its batch's bands against the accumulated index, and
+    //      the union of emissions must reproduce q29's single-shot
+    //      pair set exactly — hash-checked by the same full-corpus
+    //      DuckDB oracle. ----
+    Q(
+      "q109_incremental_minhash",
+      s"""WITH words AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |sigs AS (SELECT doc_id,
+        |  min(md5(w||'#0')) AS s0, min(md5(w||'#1')) AS s1,
+        |  min(md5(w||'#2')) AS s2, min(md5(w||'#3')) AS s3,
+        |  min(md5(w||'#4')) AS s4, min(md5(w||'#5')) AS s5,
+        |  min(md5(w||'#6')) AS s6, min(md5(w||'#7')) AS s7
+        |  FROM words GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest([
+        |  md5('0'||s0||s1||s2||s3), md5('1'||s4||s5||s6||s7)]) AS band FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |wc AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, count(*) AS ni FROM cand c
+        |  JOIN words wa ON wa.doc_id = c.a_id
+        |  JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+        |  GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id,
+        |  CAST(ni AS DOUBLE)/(ca.nw + cb.nw - ni) AS jaccard
+        |FROM inter i JOIN wc ca ON ca.doc_id = i.a_id
+        |             JOIN wc cb ON cb.doc_id = i.b_id
+        |WHERE CAST(ni AS DOUBLE)/(ca.nw + cb.nw - ni) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    ) { (s, d) => incrementalPairs(s, d) },
+  )
+}
