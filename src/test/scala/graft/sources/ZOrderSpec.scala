@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the skip is proven with SCAN METRICS (rows the
+  * parquet reader actually emitted after row-group pruning), not plan
+  * text — a pushed filter that prunes nothing would still print in
+  * `PushedFilters`. */
+class ZOrderSpec extends SparkSpec {
+  private val N = 200000L
+
+  /** Two independent uniform dimensions, deterministic (hash-derived,
+    * no rand — replay-safe like every other spec input). */
+  private def data: DataFrame =
+    spark.range(0, N).select(
+      col("id"),
+      pmod(hash(col("id")), lit(1000)).cast("double").as("x"),
+      pmod(hash(col("id"), lit(7)), lit(1000)).cast("double").as("y"))
+
+  /** Rows the file scan emitted for this query — post row-group
+    * pruning, pre re-applied filter. Executed via toRdd (no agg
+    * exchange, so the plan stays non-adaptive and the scan node is
+    * directly visible with settled metrics). */
+  private def scannedRows(df: DataFrame): Long = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  private def writeBoth(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val (lin, zo) = (base + "/linear", base + "/zorder")
+    // the baseline every warehouse has: range-partitioned + sorted on x
+    data.repartitionByRange(32, col("x")).sortWithinPartitions("x")
+      .write.parquet(lin)
+    ZOrder.write(data, zo, Seq("x", "y"), bits = 6, numFiles = 32)
+    (lin, zo)
+  }
+
+  test("z-order skips on the dimension a single-column sort cannot") {
+    val (lin, zo) = writeBoth()
+    val yBand = (df: DataFrame) => df.filter(col("y") >= 100 && col("y") < 120)
+    // x-sorted layout: y is uncorrelated with file ranges — reads ~all
+    val linRows = scannedRows(yBand(ZOrder.read(spark, lin)))
+    assert(linRows > N * 3 / 4, s"x-sorted baseline should not skip on y ($linRows)")
+    // z-order: y occupies narrow bands of every file's z-run
+    val zRows = scannedRows(yBand(ZOrder.read(spark, zo)))
+    assert(zRows < N / 4, s"z-order must skip >75% on a y-band ($zRows)")
+    // and the answers are identical
+    assert(yBand(ZOrder.read(spark, zo)).agg(sum("id")).head.getLong(0) ==
+      yBand(ZOrder.read(spark, lin)).agg(sum("id")).head.getLong(0))
+  }
+
+  test("z-order still skips on x, and a 2-D box skips hardest") {
+    val (lin, zo) = writeBoth()
+    val xBand = (df: DataFrame) => df.filter(col("x") >= 500 && col("x") < 520)
+    // near-optimal everywhere: worse than the dedicated x-sort, far
+    // from a full scan
+    assert(scannedRows(xBand(ZOrder.read(spark, zo))) < N / 2)
+    assert(scannedRows(xBand(ZOrder.read(spark, lin))) < N / 8)
+    val box = (df: DataFrame) => df.filter(
+      col("x") >= 500 && col("x") < 520 && col("y") >= 100 && col("y") < 120)
+    assert(scannedRows(box(ZOrder.read(spark, zo))) < N / 10)
+    // correctness of the box on the z layout vs recomputing in memory
+    assert(box(ZOrder.read(spark, zo)).count() == box(data).count())
+  }
+}
