@@ -133,6 +133,8 @@ object GraftExtensions {
       fn("bloom_build", "bloom_build(arrayOfIntCol)", 1,
         () => new graft.functions.BloomAgg(1 << 17),
         ExpressionEncoder[Seq[Int]]()),
+      fn("hll_count", "hll_count(longCol)", 1,
+        () => new graft.functions.HllAgg(), Encoders.scalaLong),
     )
   }
 

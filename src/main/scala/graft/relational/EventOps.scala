@@ -490,6 +490,31 @@ object EventOps {
         .orderBy("event_type")
     },
 
+    // ---- q110: the custom HLL aggregator (functions/HllAgg) in its
+    //      SPARSE exactness regime — the value-level oracle q41's
+    //      built-in cannot have: below sparseMax=4096 distinct values
+    //      the buffer is the sorted distinct-value set itself, so the
+    //      result IS count(DISTINCT user_id) (150/type at sf0.01,
+    //      1500 at sf0.1 — well inside the regime). The dense regime
+    //      (register estimate, 3σ bound, merge-tree IDENTITY — any
+    //      merge order yields the same buffer, registers being a max
+    //      semilattice) is HllSpec's. Plan: the sketch is the partial
+    //      aggregate; the event_type shuffle carries O(sparseMax)
+    //      buffers, never the user ids. ----
+    Q(
+      "q110_hll_exact",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val hll = udaf(new graft.functions.HllAgg(),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(hll(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
     // ---- q44: pivot — daily event counts spread into one column per
     //      event type (fixed value list ⇒ deterministic schema; Spark
     //      plans a single pass, no per-type scans). Oracle uses the
