@@ -44,15 +44,30 @@ object Tables {
   def documentsSpread(s: SparkSession, d: String): DataFrame =
     spread(documents(s, d))
 
-  /** `events` carries a TIMESTAMP(NANOS) parquet column Spark cannot read
-    * natively. With `spark.sql.legacy.parquet.nanosAsLong=true` it arrives
-    * as Long nanoseconds; we truncate (integer `div`, not double `/` —
-    * ns-epoch values overflow a double mantissa) to µs `TimestampType`,
-    * exactly matching DuckDB's ns→µs truncation, and keep the column name
-    * `ts`. */
+  /** `events.ts` normalization to µs `TimestampType`, robust to the two
+    * physical encodings the driver has generated:
+    *
+    *  - TIMESTAMP(NANOS) (rounds ≤5): Spark cannot read it natively;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
+    *    Long nanoseconds, which we truncate (integer `div`, not double
+    *    `/` — ns-epoch values overflow a double mantissa) to µs,
+    *    exactly matching DuckDB's ns→µs truncation.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 6+): arrives
+    *    as TIMESTAMP_NTZ; under the UTC session timezone the cast to
+    *    `TimestampType` is wall-clock-preserving, i.e. the same
+    *    instant DuckDB reads from the naive µs column.
+    *
+    * Dispatch is on the ARRIVING schema, not the directory, so both
+    * vintages (and a plain TimestampType rewrite) normalize to the
+    * identical column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

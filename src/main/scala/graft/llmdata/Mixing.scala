@@ -96,5 +96,71 @@ object Mixing {
           col("rk").cast("int").as("rk"))
         .orderBy("lang", "rk")
     },
+
+    // ---- q114: deterministic negative sampling — for every customer,
+    //      up to 5 parts they have NEVER ordered, hash-proposed (the
+    //      contrastive / recommendation training-data pass: word2vec-
+    //      style negative sampling, BPR's unobserved-item draws;
+    //      public literature). The scale shape matters: the naive
+    //      rendering is customers × parts ANTI JOIN — a cartesian
+    //      that explodes at 100 TB. Here each customer proposes only
+    //      8 CANDIDATE slots (cand = md5("c_slot") mod (pmax+1), the
+    //      registry's engine-portable hash), so the candidate set is
+    //      8·|C| rows — LINEAR in customers, independent of catalog
+    //      size. pmax rides a broadcast one-row aggregate (the q15
+    //      scalar pattern), the part-existence check is a broadcast
+    //      semi join, and the only fact-sized shuffle is the anti
+    //      join against the positives. Collided proposals dedup to
+    //      their smallest slot; survivors rank by slot — fully
+    //      deterministic, so the drawn negatives are reproducible
+    //      across engines, reruns, and cluster layouts. A customer
+    //      whose proposals mostly hit positives emits fewer than 5
+    //      rows (no re-draw loop — documented, auditable via rk). ----
+    Q(
+      "q114_negative_sample",
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |pm AS (SELECT max(p_partkey) AS pmax FROM part),
+        |cand AS (
+        |  SELECT cu.c_custkey AS c, s.slot,
+        |    CAST(('0x' || substr(md5(CAST(cu.c_custkey AS VARCHAR) || '_' ||
+        |        CAST(s.slot AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % (pm.pmax + 1) AS p
+        |  FROM customer cu, range(1, 9) s(slot), pm),
+        |ded AS (SELECT c, p, min(slot) AS slot FROM cand
+        |  WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = cand.p)
+        |    AND NOT EXISTS (SELECT 1 FROM pos
+        |                    WHERE pos.c = cand.c AND pos.p = cand.p)
+        |  GROUP BY c, p),
+        |r AS (SELECT c, p, slot,
+        |    row_number() OVER (PARTITION BY c ORDER BY slot) AS rk FROM ded)
+        |SELECT c AS c_custkey, CAST(rk AS INT) AS rk, p AS p_partkey
+        |FROM r WHERE rk <= 5 ORDER BY c_custkey, rk""".stripMargin,
+    ) { (s, d) =>
+      val pos = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val pmax = Tables.part(s, d).agg(max("p_partkey").as("pmax"))
+      val rkW = Window.partitionBy("c").orderBy("slot")
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("c"))
+        .select(col("c"), explode(sequence(lit(1), lit(8))).as("slot"))
+        .crossJoin(broadcast(pmax))
+        .withColumn("p",
+          conv(substring(md5(concat(col("c").cast("string"), lit("_"),
+            col("slot").cast("string"))), 1, 15), 16, 10).cast("long")
+            % (col("pmax") + 1))
+        .join(Tables.part(s, d).select(col("p_partkey").as("p")),
+          Seq("p"), "left_semi")
+        .join(pos, Seq("c", "p"), "left_anti")
+        .groupBy("c", "p").agg(min("slot").as("slot"))
+        .withColumn("rk", row_number().over(rkW))
+        .filter(col("rk") <= 5)
+        .select(col("c").as("c_custkey"), col("rk").cast("int").as("rk"),
+          col("p").as("p_partkey"))
+        .orderBy("c_custkey", "rk")
+    },
   )
 }

@@ -820,5 +820,73 @@ object Similarity {
           col("purity"))
         .orderBy("q_id")
     },
+
+    // ---- q113: Johnson–Lindenstrauss signed random projection — the
+    //      dimensionality-reduction pass of an embedding pipeline
+    //      (64 → 8 dims before ANN/clustering; Achlioptas's
+    //      "database-friendly" ±1 projections, public literature).
+    //      Made cross-engine EXACT the q91/q84 way: coordinates are
+    //      int8-quantized FIRST (q48's shared max-abs grid), the sign
+    //      matrix entries are ±1 from the parity of the first md5 hex
+    //      digit of "j_i" (the registry's engine-portable hash
+    //      recipe), so every output is a sum of INTEGER products —
+    //      order-free, no float accumulation anywhere. Scale: the
+    //      sign matrix is METADATA — O(d·d') = 512 entries, computed
+    //      driver-side once and shipped as literal arrays inside the
+    //      expression (no join, no broadcast table); the projection
+    //      itself is a pure MAP pass over the corpus (the only
+    //      exchange is the final ORDER BY), so it scales with
+    //      executors at any corpus size. ----
+    Q(
+      "q113_jl_projection",
+      {
+        val proj = (0 until 8).map(j =>
+          s"""  CAST(sum(CASE WHEN s.j = $j THEN q.qv * s.sgn ELSE 0 END)
+             |    AS BIGINT) AS p$j""".stripMargin)
+          .mkString(",\n")
+        s"""WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+          |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+          |      x -> abs(x))) AS mx
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id, i,
+          |    CAST(floor(e[i] * 127.0 / mx + 0.5) AS BIGINT) AS qv
+          |  FROM v, unnest(range(1, 65)) AS t(i) WHERE mx > 0),
+          |s AS (
+          |  SELECT j, i,
+          |    CASE WHEN CAST(('0x' || substr(md5(
+          |        CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1))
+          |        AS BIGINT) % 2 = 0
+          |      THEN 1 ELSE -1 END AS sgn
+          |  FROM range(0, 8) t1(j), range(1, 65) t2(i))
+          |SELECT q.vec_id,
+          |$proj
+          |FROM q JOIN s USING (i) GROUP BY q.vec_id
+          |ORDER BY vec_id""".stripMargin
+      },
+    ) { (s, d) =>
+      val dims = 64
+      // ±1 from the first md5 hex digit's parity of "j_i" — the exact
+      // replay of the oracle's md5 expression, computed once here
+      // (java.security MD5 ≡ DuckDB md5 on the same bytes)
+      def sign(j: Int, i: Int): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_${i}".getBytes("UTF-8"))
+        if ((((h(0) >> 4) & 0xF) % 2) == 0) 1L else -1L
+      }
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .withColumn("q",
+          transform(col("e"), x => quantizeInt8(x, col("mx")).cast("long")))
+      val projCols = (0 until 8).map { j =>
+        val signs = array((1 to dims).map(i => lit(sign(j, i))): _*)
+        aggregate(zip_with(col("q"), signs, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as(s"p$j")
+      }
+      base.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+    },
   )
 }

@@ -854,5 +854,112 @@ object EventOps {
           last("hv", ignoreNulls = true).over(w).as("v"))
         .orderBy("user_id", "hr")
     },
+
+    // ---- q111: point-in-time dimension join — the feature-store
+    //      correctness op: each training example (purchase) must read
+    //      the dimension VERSION that was valid at its event time,
+    //      never a later one (label leakage) and never an earlier one
+    //      once superseded. The dimension is SCD2-built from the
+    //      signup change-log (q74's CDC→interval pass: version =
+    //      row_number, validity [valid_from, next valid_from)), and
+    //      the probe is rendered through the NATIVE as-of operator
+    //      (q57's plans.AsOfJoin): on contiguous, disjoint intervals,
+    //      "version containing ts" ≡ "latest valid_from ≤ ts" — with
+    //      the (dim_id) tiebreak resolving equal-ts versions to the
+    //      max dim_id, exactly the row whose interval is non-empty.
+    //      The oracle states the CONTAINMENT semantics directly
+    //      (valid_from ≤ ts < valid_to), so the gate proves the as-of
+    //      rendering implements true point-in-time validity, not just
+    //      the q54 contract again. Plan: one user-keyed window builds
+    //      the dimension (one exchange), then AsOfJoinExec's
+    //      merge-pass — one hash exchange per side, ONE retained row
+    //      per key, no interval blow-up join. Probes before the first
+    //      version surface NULLs (left-outer as-of). ----
+    Q(
+      "q111_pit_features",
+      """WITH dim AS (
+        |  SELECT user_id, event_id AS dim_id, value AS feature,
+        |    ts AS valid_from,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    lead(ts) OVER w AS valid_to
+        |  FROM events WHERE event_type = 'signup'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p.event_id, p.user_id, d.version, d.feature, d.valid_from
+        |FROM events p LEFT JOIN dim d
+        |  ON d.user_id = p.user_id AND d.valid_from <= p.ts
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val wv = Window.partitionBy("d_user").orderBy("valid_from", "dim_id")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), col("event_id").as("dim_id"),
+          col("value").as("feature"), col("ts").as("valid_from"))
+        .withColumn("version", row_number().over(wv).cast("long"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.plans.AsOf.joinAsOf(probes, dim,
+          on = ("ts", "valid_from"), by = Seq(("user_id", "d_user")),
+          tiebreak = Seq("dim_id"))
+        .select(col("event_id"), col("user_id"), col("version"),
+          col("feature"), col("valid_from"))
+        .orderBy("event_id")
+    },
+
+    // ---- q112: exponentially-weighted moving average with EXACT
+    //      dyadic weights — the classic telemetry smoothing/anomaly
+    //      baseline (EWMA control chart), made cross-engine exact by
+    //      choosing α = 1/2 and truncating at 16 lags: the weights
+    //      2^15..2^0 are INTEGERS after scaling by 2^16, so each
+    //      contribution is an exact DECIMAL(20,2)·int product, the
+    //      numerator is an exact decimal sum (order-free — no float
+    //      accumulation), and the only IEEE step is ONE final division
+    //      of identically-computed operands (the registry float
+    //      policy). Truncation bias is 2^-16 of the oldest mass —
+    //      below double precision of the data's 2-decimal values.
+    //      ewma is over the 16 PRIOR events (not the current one), so
+    //      the spike flag compares a value against history it is not
+    //      part of; a user's first event has no history → NULL ewma,
+    //      flag 0. Plan: all 16 lags share ONE user-keyed window sort
+    //      (a single exchange + sort, map-side arithmetic after) —
+    //      the unrolled-lag form trades expression width for zero
+    //      extra shuffles at any scale. ----
+    Q(
+      "q112_ewma_dyadic",
+      {
+        val num = (1 to 16).map(k =>
+          s"coalesce(CAST(lag(value, $k) OVER w AS DECIMAL(20,2)), 0) * ${1L << (16 - k)}")
+          .mkString(" + ")
+        val den = (1 to 16).map(k =>
+          s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0 ELSE ${1L << (16 - k)} END")
+          .mkString(" + ")
+        s"""SELECT event_id, user_id, value, ewma,
+          |  CAST(ewma IS NOT NULL AND value > 2 * ewma AS INT) AS is_spike
+          |FROM (
+          |  SELECT event_id, user_id, value,
+          |    CAST($num AS DOUBLE) / nullif(CAST($den AS DOUBLE), 0) AS ewma
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |ORDER BY event_id""".stripMargin
+      },
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val num = (1 to 16).map(k =>
+        coalesce(lag("value", k).over(w).cast("decimal(20,2)"),
+          lit(0).cast("decimal(20,2)")) * lit(1L << (16 - k)))
+        .reduce(_ + _)
+      val den = (1 to 16).map(k =>
+        when(lag("value", k).over(w).isNull, 0L)
+          .otherwise(1L << (16 - k)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .withColumn("ewma",
+          num.cast("double") / nullif(den.cast("double"), lit(0.0)))
+        .select(col("event_id"), col("user_id"), col("value"), col("ewma"),
+          (col("ewma").isNotNull && col("value") > lit(2) * col("ewma"))
+            .cast("int").as("is_spike"))
+        .orderBy("event_id")
+    },
   )
 }
