@@ -88,4 +88,24 @@ object ZOrder {
 
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** OPTIMIZE ZORDER for an EXISTING table: rewrite `dir` z-ordered by
+    * `zCols` behind [[graft.streaming.Maintenance.atomicSwap]]'s
+    * two-rename protocol — readers see the old layout or the new one,
+    * never a half-written directory, and a crash leaves the original
+    * data recoverable (the same guarantee the compaction and Devices
+    * merge paths already carry). The use case is the lakehouse
+    * maintenance cycle (Delta/Iceberg `OPTIMIZE ... ZORDER BY`):
+    * ingest appends in arrival order all week, a scheduled optimize
+    * re-clusters so multi-dimensional scans skip again. Both passes
+    * over the old data (the quantile sample and the rewrite) read
+    * `dir` while it is still intact — the swap happens only after the
+    * rewrite has fully committed to the tmp path. */
+  def optimize(spark: SparkSession, dir: String, zCols: Seq[String],
+      bits: Int = 6, numFiles: Int = 32): Unit = {
+    val df = spark.read.parquet(dir)
+    graft.streaming.Maintenance.atomicSwap(spark, dir, "zorder") { tmp =>
+      write(df, tmp, zCols, bits, numFiles)
+    }
+  }
 }

@@ -70,4 +70,30 @@ class ZOrderSpec extends SparkSpec {
     // correctness of the box on the z layout vs recomputing in memory
     assert(box(ZOrder.read(spark, zo)).count() == box(data).count())
   }
+
+  test("optimize re-clusters an arrival-order table in place, atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("zopt").toString + "/t"
+    // arrival-order ingest: no useful clustering for either dimension
+    data.write.parquet(dir)
+    val yBand = (df: DataFrame) => df.filter(col("y") >= 100 && col("y") < 120)
+    val before = yBand(ZOrder.read(spark, dir))
+      .agg(sum("id")).head.getLong(0)
+    ZOrder.optimize(spark, dir, Seq("x", "y"), bits = 6, numFiles = 32)
+    // same table (multiset preserved, spot-checked by the filtered sum
+    // and the total count), new layout (y-band now skips)
+    assert(yBand(ZOrder.read(spark, dir)).agg(sum("id")).head.getLong(0)
+      == before)
+    assert(ZOrder.read(spark, dir).count() == N)
+    assert(scannedRows(yBand(ZOrder.read(spark, dir))) < N / 4)
+    // crash-loudness: a leftover trash dir from a mid-swap crash must
+    // refuse the next optimize instead of silently discarding data
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".zorder-trash"))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.optimize(spark, dir, Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("trash"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".zorder-trash"), true)
+  }
 }
