@@ -201,8 +201,10 @@ object Dedup {
     SetSim(sets, members, shouldCollapse(members), ts, bitmap)
   }
 
-  /** popcount of the AND of two bitmap arrays = |intersection|. */
-  private def maskIntersect(a: Column, b: Column): Column =
+  /** popcount of the AND of two bitmap arrays = |intersection|.
+    * `private[llmdata]`: [[IncrementalLsh]]'s per-ingest bitmap verify
+    * shares the kernel. */
+  private[llmdata] def maskIntersect(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)

@@ -510,5 +510,98 @@ object TextAnalysis {
             .as("novelty"))
         .orderBy("batch")
     },
+
+    // ---- q115: Count-Min point-frequency lookup — the counter-query
+    //      sketch (functions/CountMin) in its EXACTNESS regime: per
+    //      language, estimated occurrence counts for a FIXED probe
+    //      list, including terms absent from the corpus (estimate
+    //      exactly 0 — the path q81's survivors-only output cannot
+    //      exercise). Below sparseMax distinct terms the buffer is
+    //      the exact count map, so every estimate must equal the
+    //      plain conditional count, value-for-value (the
+    //      q59/q81/q86/q110 gate pattern); the dense regime's
+    //      no-underestimate and merge-tree-identity guarantees are
+    //      CountMinSpec's. Plan: the sketch IS the partial aggregate
+    //      — the lang-keyed shuffle carries the O(sparseMax) buffer,
+    //      never the vocabulary; probes ride the plan as metadata. ----
+    Q(
+      "q115_countmin_probes",
+      """WITH t AS (SELECT lang, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS n FROM t GROUP BY 1, 2),
+        |p AS (SELECT unnest(['table','spark','quantum','scan',
+        |                     'zzz_absent','value']) AS term),
+        |l AS (SELECT DISTINCT lang FROM documents)
+        |SELECT l.lang, p.term, CAST(coalesce(c.n, 0) AS BIGINT) AS est
+        |FROM l CROSS JOIN p
+        |LEFT JOIN c ON c.lang = l.lang AND c.w = p.term
+        |ORDER BY l.lang, p.term""".stripMargin,
+    ) { (s, d) =>
+      val probes = Seq("table", "spark", "quantum", "scan",
+        "zzz_absent", "value")
+      val cm = udaf(new graft.functions.CountMin(probes, sparseMax = 4096),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang")
+        .agg(cm(col("w")).as("ests"))
+        .select(col("lang"), posexplode(col("ests")).as(Seq("i", "est")))
+        .select(col("lang"),
+          element_at(array(probes.map(lit): _*), col("i") + 1).as("term"),
+          col("est"))
+        .orderBy("lang", "term")
+    },
+
+    // ---- q116: sketch-composed source-overlap matrix — q99's answer
+    //      from KMV sketches (functions/KmvAgg) instead of the
+    //      token-keyed self-join. ONE corpus-scan aggregate builds a
+    //      per-source sketch (the shuffle carries O(sparseMax + k)
+    //      buffers, never the vocabulary), then the pairwise combine
+    //      runs over the SOURCES×SOURCES sketch rows — independent of
+    //      corpus size, where q99's join emits O(vocab·sources²)
+    //      rows. In the EXACTNESS regime (per-source vocab ≤
+    //      sparseMax) the sketch is the sorted distinct token array,
+    //      so array_intersect/array_union set algebra is exact and
+    //      the full matrix (zero-overlap pairs included — a row shape
+    //      q99's inner join cannot emit) is checked value-for-value;
+    //      the dense regime's estimator and merge identity are
+    //      KmvSpec's. ----
+    Q(
+      "q116_kmv_overlap",
+      """WITH ts AS (SELECT DISTINCT source,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |sz AS (SELECT source, count(*) AS nv FROM ts GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+        |  FROM ts a JOIN ts b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT sa.source AS src_a, sb.source AS src_b,
+        |    sa.nv AS na, sb.nv AS nb
+        |  FROM sz sa JOIN sz sb ON sa.source < sb.source)
+        |SELECT p.src_a, p.src_b,
+        |  CAST(coalesce(i.ni, 0) AS BIGINT) AS ni,
+        |  CAST(p.na + p.nb - coalesce(i.ni, 0) AS BIGINT) AS nu,
+        |  CAST(coalesce(i.ni, 0) AS DOUBLE)
+        |    / (p.na + p.nb - coalesce(i.ni, 0)) AS jaccard
+        |FROM pairs p LEFT JOIN inter i
+        |  ON i.src_a = p.src_a AND i.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+    ) { (s, d) =>
+      val kmv = udaf(new graft.functions.KmvAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      val sk = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source")
+        .agg(kmv(col("w")).as("sk"))
+        .select(col("source"), col("sk.exact").as("vocab"))
+      sk.toDF("src_a", "va")
+        .join(broadcast(sk.toDF("src_b", "vb")),
+          col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          size(array_intersect(col("va"), col("vb"))).cast("long").as("ni"),
+          size(array_union(col("va"), col("vb"))).cast("long").as("nu"))
+        .withColumn("jaccard", col("ni").cast("double") / col("nu"))
+        .orderBy("src_a", "src_b")
+    },
   )
 }
