@@ -589,11 +589,13 @@ object TextAnalysis {
     ) { (s, d) =>
       val kmv = udaf(new graft.functions.KmvAgg(),
         org.apache.spark.sql.Encoders.STRING)
-      val sk = Tables.documents(s, d)
+      // persisted: both sides of the pair combine read the sketch
+      // table — without it the corpus aggregate would run twice
+      val sk = graft.Caches.persist(Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source")
         .agg(kmv(col("w")).as("sk"))
-        .select(col("source"), col("sk.exact").as("vocab"))
+        .select(col("source"), col("sk.exact").as("vocab")))
       sk.toDF("src_a", "va")
         .join(broadcast(sk.toDF("src_b", "vb")),
           col("src_a") < col("src_b"))

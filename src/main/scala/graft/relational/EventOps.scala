@@ -961,5 +961,48 @@ object EventOps {
             .cast("int").as("is_spike"))
         .orderBy("event_id")
     },
+
+    // ---- q117: shuffle-skew audit — the pre-flight every 100 TB join
+    //      or aggregation wants before picking a partitioning: the
+    //      top-k hottest keys with their frequency, skew ratio vs the
+    //      median key, and the SALT FACTOR (ceil(cnt/med)) that would
+    //      flatten each to median-sized buckets — the knob
+    //      Dedup.saltedPairs and AQE's skew-split turn. Plan
+    //      discipline: the profile is ONE count aggregate whose
+    //      cardinality is the KEY count, never the row count; the
+    //      median comes from the compactor sketch in its exact regime
+    //      (q98's boundary rule — no global sort over the key
+    //      profile); top-k plans as TakeOrdered (distributed, q07);
+    //      the only single-partition window ranks the k RETURNED rows
+    //      — bounded by k, not data. All outputs are integers plus
+    //      one exact IEEE division (skew). ----
+    Q(
+      "q117_skew_audit",
+      """WITH f AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY user_id),
+        |m AS (SELECT CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS med FROM f),
+        |t AS (SELECT user_id, cnt FROM f ORDER BY cnt DESC, user_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
+        |    AS rk,
+        |  user_id, cnt, m.med,
+        |  CAST(cnt AS DOUBLE) / m.med AS skew,
+        |  CAST((cnt + m.med - 1) // m.med AS BIGINT) AS rec_salt
+        |FROM t, m ORDER BY rk""".stripMargin,
+    ) { (s, d) =>
+      val f = graft.Caches.persist(Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt")))
+      val sk = udaf(new graft.functions.QuantileSketchAgg(1 << 16, Seq(0.5)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val m = f.agg(sk(col("cnt").cast("double")).as("q"))
+        .select(element_at(col("q"), 1).cast("long").as("med"))
+      val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      f.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .crossJoin(broadcast(m))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .select(col("rk"), col("user_id"), col("cnt"), col("med"),
+          (col("cnt").cast("double") / col("med")).as("skew"),
+          expr("(cnt + med - 1) div med").as("rec_salt"))
+        .orderBy("rk")
+    },
   )
 }

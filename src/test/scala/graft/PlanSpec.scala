@@ -363,4 +363,35 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2,
       s"all user-keyed stages must share one exchange (found $hashEx mentions)")
   }
+
+  test("q113: JL projection is a pure map pass — sign matrix as literals, no join") {
+    val p = planOf(SparkEntry.queries("q113_jl_projection")(spark, sf))
+    // formatted explain lists each node twice (tree + details)
+    assert("Exchange".r.findAllIn(p).size == 2, "only the final sort exchange")
+    assert(p.contains("rangepartitioning"), "and it is the ORDER BY")
+    assert(!p.contains("Join"), "the sign matrix must not become a join side")
+  }
+
+  test("q114: negative sampling never goes cartesian on customers×parts") {
+    val p = planOf(SparkEntry.queries("q114_negative_sample")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join is the ONE-ROW pmax scalar broadcast
+    // (the q15 pattern); candidates×parts and candidates×positives are
+    // equi-joins (semi/anti)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the 1-row pmax broadcast may nested-loop")
+  }
+
+  test("q116: sketch overlap is ONE corpus aggregate + a sketch-row combine") {
+    val p = planOf(SparkEntry.queries("q116_kmv_overlap")(spark, sf))
+    // the pair combine must broadcast the sketch rows, never
+    // shuffle-sort, and BOTH combine sides must read the PERSISTED
+    // sketch table (without the cache the corpus aggregate — and its
+    // scan — would run twice; the explain re-prints the cached plan's
+    // inner scan per reference, so cache nodes are the robust signal)
+    assert(!p.contains("SortMergeJoin"),
+      "the sketch-row combine must broadcast, not shuffle-sort")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both combine sides must read the persisted sketch table")
+  }
 }
