@@ -545,5 +545,36 @@ object Hygiene {
           (sum("nd").cast("double") / sum("nt")).as("ttr_agg"))
         .orderBy("lang", "split")
     },
+
+    // ---- q118: order-free table checksum — the data-parity primitive
+    //      behind every migration, replication, and engine-swap audit
+    //      (including the gate this registry itself runs against
+    //      DuckDB): per group, XOR of 60-bit row digests plus the row
+    //      count. XOR is commutative/associative, so the checksum is
+    //      ONE partial-aggregated pass with NO sort at any table size
+    //      — comparing two 100 TB copies costs two scans and a
+    //      two-row diff, where a sort-based compare pays a global
+    //      shuffle on each side. Any single-row difference flips the
+    //      checksum surely; k-row differences escape with probability
+    //      2^-60 (non-adversarial corruption — bit rot, lost appends,
+    //      truncated copies — not forgery). Row canonicalization is
+    //      concat_ws on an unprintable separator (chr(31)), the same
+    //      expression DuckDB replays byte-for-byte. ----
+    Q(
+      "q118_table_checksum",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(bit_xor(CAST(('0x' || substr(md5(
+        |      concat_ws(chr(31), doc_id, text, source, n_chars)), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(CAST(conv(substring(md5(concat_ws(chr(31), " +
+            "doc_id, text, source, n_chars)), 1, 15), 16, 10) AS BIGINT))")
+            .as("checksum"))
+        .orderBy("lang")
+    },
   )
 }
