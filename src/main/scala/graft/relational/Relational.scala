@@ -572,5 +572,63 @@ object Relational {
           dsum(col("o_totalprice"), D2).as("total"))
         .orderBy("y", "m")
     },
+
+    // ---- q119: correlation / regression aggregates — Pearson r,
+    //      OLS slope and intercept per group (the statistical-profile
+    //      staple: does quantity predict price?). NOT the built-in
+    //      `corr`: its running float accumulation is partition-order
+    //      dependent, so two runs (or two engines) disagree in the
+    //      last bits and a hash gate fails. The stable rendering is
+    //      the registry float policy generalized to SECOND moments —
+    //      the five sums Σx, Σy, Σx², Σy², Σxy as EXACT decimals
+    //      (each addend one IEEE product of identical operands, the
+    //      q01 cast discipline), cast to double once, then composed
+    //      through the identical expression tree in both engines
+    //      (sqrt is IEEE-correctly-rounded, so even it is
+    //      bit-stable). One partial-aggregated pass, no extra
+    //      shuffle: the moments ride the same groupBy as any other
+    //      aggregate. ----
+    Q(
+      "q119_correlation",
+      """WITH sums AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n_rows,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |    AS corr,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+    ) { (s, d) =>
+      val sums = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity"), D2).as("sx"),
+          dsum(col("l_extendedprice"), D2).as("sy"),
+          dsum(col("l_quantity") * col("l_quantity"), D4).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice"), D4)
+            .as("syy"),
+          dsum(col("l_quantity") * col("l_extendedprice"), D4).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("l_returnflag"), col("n_rows"),
+          (cov / (sqrt(vx) * sqrt(vy))).as("corr"),
+          (cov / vx).as("slope"),
+          ((col("sy") - cov / vx * col("sx")) / col("n")).as("intercept"))
+        .orderBy("l_returnflag")
+    },
   )
 }
