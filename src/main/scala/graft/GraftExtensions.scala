@@ -135,6 +135,11 @@ object GraftExtensions {
         ExpressionEncoder[Seq[Int]]()),
       fn("hll_count", "hll_count(longCol)", 1,
         () => new graft.functions.HllAgg(), Encoders.scalaLong),
+      // CountMin has no SQL form: its probe list is a data-specific
+      // constructor parameter, which a pinned SQL name cannot carry —
+      // the typed API (`udaf(new CountMin(probes), …)`) is the surface
+      fn("kmv_sketch", "kmv_sketch(stringCol)", 1,
+        () => new graft.functions.KmvAgg(), Encoders.STRING),
     )
   }
 

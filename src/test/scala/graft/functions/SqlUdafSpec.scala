@@ -64,6 +64,16 @@ class SqlUdafSpec extends SparkSpec {
     assert(viaSql.map(java.lang.Long.bitCount).sum > 0)
   }
 
+  test("kmv_sketch is callable from SQL; sparse regime is the sorted distinct set") {
+    val sp = spark
+    import sp.implicits._
+    Seq("b", "a", "c", "a", "b").toDF("w")
+      .createOrReplaceTempView("kmv_in")
+    val got = sp.sql("SELECT kmv_sketch(w).exact FROM kmv_in")
+      .collect()(0).getSeq[String](0)
+    assert(got === Seq("a", "b", "c"))
+  }
+
   test("extensions route alone exposes the aggregators: newSession resolves mg_sketch with no register() call") {
     // newSession() rebuilds sessionState from builtins + the injected
     // extensions — programmatic register() effects do NOT carry over,
