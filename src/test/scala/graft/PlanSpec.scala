@@ -364,6 +364,24 @@ class PlanSpec extends SparkSpec {
       s"all user-keyed stages must share one exchange (found $hashEx mentions)")
   }
 
+  test("q111: the point-in-time join runs through the native as-of operator") {
+    val p = planOf(SparkEntry.queries("q111_pit_features")(spark, sf))
+    assert(p.contains("AsOfJoin"), "expect AsOfJoinExec, not an interval join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no interval blow-up join")
+  }
+
+  test("q112: all 16 EWMA lags share ONE user-keyed window sort") {
+    val p = planOf(SparkEntry.queries("q112_ewma_dyadic")(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"))
+    // one hashpartitioning(user_id) exchange + the final ORDER BY;
+    // formatted explain mentions each node twice (tree + details)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "the 16 lag expressions must ride one window sort")
+    assert("Window".r.findAllIn(p).size <= 2,
+      "one Window node computes every lag")
+  }
+
   test("q113: JL projection is a pure map pass — sign matrix as literals, no join") {
     val p = planOf(SparkEntry.queries("q113_jl_projection")(spark, sf))
     // formatted explain lists each node twice (tree + details)
