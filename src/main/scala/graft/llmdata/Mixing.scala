@@ -97,6 +97,55 @@ object Mixing {
         .orderBy("lang", "rk")
     },
 
+    // ---- q120: weighted sample through the BOUNDED-STATE aggregator —
+    //      q73's exact output (same oracle SQL) from the TopK
+    //      aggregator instead of the per-stratum window sort. The
+    //      window rendering sorts EVERY row of a stratum to keep 10;
+    //      this one folds the corpus through O(k) per-group buffers
+    //      with map-side partial aggregation (the q92 machinery), so
+    //      state and shuffle are k-bounded at any corpus size — the
+    //      scale answer for open-cardinality strata. Priorities ride
+    //      NEGATED (TopK keeps largest by (value desc, id asc);
+    //      smallest-priority-first with doc_id tiebreak is exactly
+    //      that order on -priority), and double negation is
+    //      sign-flip-exact, so the emitted priority is bit-identical
+    //      to q73's. The 50-row result joins back for n_chars — AQE
+    //      broadcasts the tiny side against the corpus scan. ----
+    Q(
+      "q120_reservoir_sample",
+      """WITH t AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |    CAST(h AS DOUBLE) / n_chars AS priority FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY priority, doc_id) AS rk FROM p)
+        |SELECT doc_id, lang, n_chars, priority, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    ) { (s, d) =>
+      val tk = udaf(new graft.functions.TopK(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val docs = Tables.documents(s, d)
+      docs
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").cast("double") /
+            col("n_chars").cast("long")).as("priority"))
+        .groupBy("lang")
+        .agg(tk(-col("priority"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("lang"), (col("i") + 1).cast("int").as("rk"),
+          col("p._2").as("doc_id"), (-col("p._1")).as("priority"))
+        .join(docs.select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("priority"), col("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // ---- q114: deterministic negative sampling — for every customer,
     //      up to 5 parts they have NEVER ordered, hash-proposed (the
     //      contrastive / recommendation training-data pass: word2vec-
