@@ -400,6 +400,20 @@ class PlanSpec extends SparkSpec {
       "only the 1-row pmax broadcast may nested-loop")
   }
 
+  test("q119: the five moments ride one partial-aggregated groupBy") {
+    val p = planOf(SparkEntry.queries("q119_correlation")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q120: the weighted sample has NO window sort — the aggregator folds it") {
+    val p = planOf(SparkEntry.queries("q120_reservoir_sample")(spark, sf))
+    assert(!p.contains("Window"), "the whole point: no per-stratum sort")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "the TopK aggregator is the fold")
+  }
+
   test("q116: sketch overlap is ONE corpus aggregate + a sketch-row combine") {
     val p = planOf(SparkEntry.queries("q116_kmv_overlap")(spark, sf))
     // the pair combine must broadcast the sketch rows, never
