@@ -283,5 +283,63 @@ object Multimodal {
           count(when(col("doc_id").isNull, 1)).as("n_vec_orphans"))
         .orderBy(col("lang").asc_nulls_first)
     },
+
+    // ---- q121: perceptual-hash near-duplicate pairs — image dedup's
+    //      aHash (average hash: resample to a fixed pixel grid,
+    //      threshold each pixel at the mean, Hamming-compare the bit
+    //      strings; public technique) over the media payload, using
+    //      q104's stride-resample as the "pixel grid" and INTEGER-ONLY
+    //      math: pixel_j > mean ⟺ 60·pixel_j > Σpixels, so the hash
+    //      is exact with no float anywhere, and DuckDB replays the
+    //      whole kernel over the payload code points (the
+    //      q103/q104/q105 discipline — the codec binding is the only
+    //      stub). Pairing is the q53 chunk-pigeonhole, never
+    //      all-pairs: distance ≤ 7 over 60 bits forces equality in at
+    //      least one of 10 disjoint 6-bit chunks, so candidates meet
+    //      in a chunk-value EQUI-join (open-cardinality key), with
+    //      the exact popcount verify inside the join and a distinct
+    //      pass collapsing multi-chunk meetings. ----
+    Q(
+      "q121_phash_neardup",
+      """WITH p AS (SELECT doc_id,
+        |    list_transform(range(0, 60), j -> ord(substr(text,
+        |      CAST(1 + (j * length(text)) // 60 AS INT), 1))) AS px
+        |  FROM documents WHERE length(text) >= 60),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+        |      j -> CASE WHEN px[CAST(j + 1 AS INT)] * 60 > list_sum(px)
+        |           THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END))
+        |    AS BIGINT) AS ph
+        |  FROM p)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 7
+        |ORDER BY a_id, b_id""".stripMargin,
+    ) { (s, d) =>
+      val h = Tables.documentsSpread(s, d)
+        .filter(length(col("text")) >= 60)
+        .withColumn("px", expr(
+          "transform(sequence(0, 59), j -> ascii(substring(text, " +
+            "CAST(1 + (j * length(text)) DIV 60 AS INT), 1)))"))
+        .withColumn("s", expr(
+          "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("ph", expr(
+          "aggregate(zip_with(px, sequence(0, 59), (p, j) -> " +
+            "IF(p * 60 > s, shiftleft(CAST(1 AS BIGINT), j), " +
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .select(col("doc_id"), col("ph"))
+      // 10 disjoint 6-bit chunks; a ≤7-distance pair agrees on ≥1
+      val chunks = h.select(col("doc_id"), col("ph"),
+          explode(sequence(lit(0), lit(9))).as("c"))
+        .withColumn("ck", expr("(ph >> (6 * c)) & 63"))
+      chunks.toDF("a_id", "aph", "c", "ck")
+        .join(chunks.toDF("b_id", "bph", "c", "ck"), Seq("c", "ck"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("CAST(bit_count(aph ^ bph) AS INT)"))
+        .filter(col("hamming") <= 7)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    },
   )
 }
