@@ -962,6 +962,70 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- q122: session co-occurrence / basket analysis — which event
+    //      types appear together in a session more than chance (2-item
+    //      association mining: support and LIFT, the market-basket /
+    //      feature-co-occurrence primitive; public apriori family).
+    //      Sessions come from the ONE shared 6 h-gap definition
+    //      (q39/q78/q101's CTE); the pair join is bounded per session
+    //      by DISTINCT-TYPE count (≤ 5 types ⇒ ≤ C(5,2) pair rows per
+    //      session — fan-out independent of session length, the q99
+    //      bounded-pair discipline), and all statistics are exact
+    //      integer counts with ONE IEEE division each (support,
+    //      lift = nab·n/(na·nb) — the registry float policy). The
+    //      session total rides a broadcast one-row aggregate (q15). ----
+    Q(
+      "q122_session_cooccur",
+      s"""WITH $SqlSessionCte,
+        |t AS (SELECT DISTINCT user_id, sess_id, event_type FROM s),
+        |n AS (SELECT count(*) AS n_sess FROM
+        |  (SELECT DISTINCT user_id, sess_id FROM t)),
+        |a AS (SELECT event_type, count(*) AS cnt FROM t GROUP BY 1),
+        |pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS nab
+        |  FROM t x JOIN t y ON x.user_id = y.user_id
+        |    AND x.sess_id = y.sess_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.nab,
+        |  aa.cnt AS na, ab.cnt AS nb,
+        |  CAST(pr.nab AS DOUBLE) / n.n_sess AS support,
+        |  CAST(pr.nab * n.n_sess AS DOUBLE) / (aa.cnt * ab.cnt) AS lift
+        |FROM pr, n
+        |JOIN a aa ON aa.event_type = pr.type_a
+        |JOIN a ab ON ab.event_type = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = Tables.events(s, d)
+        .withColumn("new_sess",
+          when(lag("ts", 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) >
+              21600000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .select("user_id", "sess_id", "event_type")
+        .distinct()
+        .transform(graft.Caches.persist)
+      val n = t.select("user_id", "sess_id").distinct()
+        .agg(count(lit(1)).as("n_sess"))
+      val a = t.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      t.toDF("user_id", "sess_id", "type_a")
+        .join(t.toDF("user_id", "sess_id", "type_b"),
+          Seq("user_id", "sess_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("nab"))
+        .crossJoin(broadcast(n))
+        .join(broadcast(a.toDF("type_a", "na")), "type_a")
+        .join(broadcast(a.toDF("type_b", "nb")), "type_b")
+        .select(col("type_a"), col("type_b"), col("nab"),
+          col("na"), col("nb"),
+          (col("nab").cast("double") / col("n_sess")).as("support"),
+          ((col("nab") * col("n_sess")).cast("double") /
+            (col("na") * col("nb"))).as("lift"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ---- q117: shuffle-skew audit — the pre-flight every 100 TB join
     //      or aggregation wants before picking a partitioning: the
     //      top-k hottest keys with their frequency, skew ratio vs the
