@@ -293,12 +293,19 @@ object Multimodal {
     //      is exact with no float anywhere, and DuckDB replays the
     //      whole kernel over the payload code points (the
     //      q103/q104/q105 discipline — the codec binding is the only
-    //      stub). Pairing is the q53 chunk-pigeonhole, never
-    //      all-pairs: distance ≤ 7 over 60 bits forces equality in at
-    //      least one of 10 disjoint 6-bit chunks, so candidates meet
-    //      in a chunk-value EQUI-join (open-cardinality key), with
-    //      the exact popcount verify inside the join and a distinct
-    //      pass collapsing multi-chunk meetings. ----
+    //      stub). Pairing is a pigeonhole EQUI-join, never all-pairs —
+    //      but one level deeper than q53's single chunks: ≤ 7
+    //      differing bits touch ≤ 7 of the 10 six-bit chunks, so ≥ 3
+    //      chunks survive untouched and every qualifying pair shares
+    //      at least one untouched chunk TRIPLE. Keying on the
+    //      C(10,3) = 120 (triple-id, 18-bit value) combinations costs
+    //      120 rows/doc but shrinks candidate volume ~13× vs single
+    //      chunks on this corpus (measured 10.1 M → 0.74 M at sf0.1:
+    //      word-soup pixel bits are cross-doc correlated, so 6-bit
+    //      buckets run hot — the multi-index refinement is what keeps
+    //      the join output candidate-bounded, not occupancy²-bounded).
+    //      Exact popcount verify inside the join, distinct pass
+    //      collapsing multi-triple meetings. ----
     Q(
       "q121_phash_neardup",
       """WITH p AS (SELECT doc_id,
@@ -316,24 +323,43 @@ object Multimodal {
         |WHERE bit_count(xor(a.ph, b.ph)) <= 7
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) =>
-      val h = Tables.documentsSpread(s, d)
+      // pixel rows through a Generate boundary, hash via window +
+      // aggregate — NOT nested HOF lambdas: CollapseProject inlines a
+      // referenced column into a lambda body, so a mean computed as an
+      // array-aggregate re-evaluates per ELEMENT (the setSim fp
+      // lesson, measured here as 45 s of interpreted expression evals
+      // at sf0.1 vs ~1 s for this shape). ExtractGenerator keeps the
+      // pixel transform below the explode — once per doc — and the
+      // doc-keyed window and aggregate share one exchange.
+      val pix = Tables.documentsSpread(s, d)
         .filter(length(col("text")) >= 60)
-        .withColumn("px", expr(
+        .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, 59), j -> ascii(substring(text, " +
             "CAST(1 + (j * length(text)) DIV 60 AS INT), 1)))"))
-        .withColumn("s", expr(
-          "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .withColumn("ph", expr(
-          "aggregate(zip_with(px, sequence(0, 59), (p, j) -> " +
-            "IF(p * 60 > s, shiftleft(CAST(1 AS BIGINT), j), " +
-            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .select(col("doc_id"), col("ph"))
-      // 10 disjoint 6-bit chunks; a ≤7-distance pair agrees on ≥1
-      val chunks = h.select(col("doc_id"), col("ph"),
-          explode(sequence(lit(0), lit(9))).as("c"))
-        .withColumn("ck", expr("(ph >> (6 * c)) & 63"))
-      chunks.toDF("a_id", "aph", "c", "ck")
-        .join(chunks.toDF("b_id", "bph", "c", "ck"), Seq("c", "ck"))
+          .as(Seq("j", "pv")))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val h = graft.Caches.persist(pix
+        .withColumn("s", sum("pv").over(wDoc))
+        .groupBy("doc_id")
+        .agg(sum(when(col("pv") * 60 > col("s"),
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("ph")))
+      // untouched-triple keys: every ≤7-distance pair meets on ≥1 of
+      // the C(10,3) (triple-id, 18-bit chunk-values) combinations
+      def chunk(s: String) = s"pmod(shiftright(ph, 6 * t.$s), 64)"
+      val combos = for {
+        i <- 0 until 10; j <- (i + 1) until 10; k <- (j + 1) until 10
+      } yield s"named_struct('i', $i, 'j', $j, 'k', $k)"
+      val keyed = h
+        .withColumn("cand", explode(expr(
+          "transform(array(" + combos.mkString(", ") +
+            "), t -> named_struct(" +
+            "'tid', t.i * 100 + t.j * 10 + t.k, " +
+            s"'ck', (${chunk("i")} * 64 + ${chunk("j")}) * 64 " +
+            s"+ ${chunk("k")}))")))
+        .select(col("doc_id"), col("ph"),
+          col("cand.tid").as("tid"), col("cand.ck").as("ck"))
+      keyed.toDF("a_id", "aph", "tid", "ck")
+        .join(keyed.toDF("b_id", "bph", "tid", "ck"), Seq("tid", "ck"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("hamming", expr("CAST(bit_count(aph ^ bph) AS INT)"))
         .filter(col("hamming") <= 7)
