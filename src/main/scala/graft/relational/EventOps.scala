@@ -907,6 +907,56 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- q123: point-in-time join with a STALENESS tolerance — the
+    //      feature-store TTL rule (Feast's `ttl`, public): a dimension
+    //      version older than the bound at event time is NOT a valid
+    //      feature (a day-old device profile may be, a month-old one
+    //      is noise), so stale matches surface as NULLs exactly like
+    //      no-match probes — downstream imputation treats both the
+    //      same. Rendering: q111's native as-of probe unchanged, plus
+    //      one map-side conditional projection (µs integer compare —
+    //      no second join, no interval re-check); the oracle states
+    //      the tolerance inside the containment predicate, proving
+    //      as-of + post-filter ≡ tolerance-bounded validity. 24 h
+    //      splits the test corpus three ways (fresh / stale /
+    //      never-matched), so all paths are value-checked. ----
+    Q(
+      "q123_pit_tolerance",
+      """WITH dim AS (
+        |  SELECT user_id, event_id AS dim_id, value AS feature,
+        |    ts AS valid_from,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    lead(ts) OVER w AS valid_to
+        |  FROM events WHERE event_type = 'signup'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p.event_id, p.user_id, d.version, d.feature, d.valid_from
+        |FROM events p LEFT JOIN dim d
+        |  ON d.user_id = p.user_id AND d.valid_from <= p.ts
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |  AND epoch_us(p.ts) - epoch_us(d.valid_from) <= 86400000000
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val wv = Window.partitionBy("d_user").orderBy("valid_from", "dim_id")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), col("event_id").as("dim_id"),
+          col("value").as("feature"), col("ts").as("valid_from"))
+        .withColumn("version", row_number().over(wv).cast("long"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val fresh = unix_micros(col("ts")) - unix_micros(col("valid_from")) <=
+        86400000000L
+      graft.plans.AsOf.joinAsOf(probes, dim,
+          on = ("ts", "valid_from"), by = Seq(("user_id", "d_user")),
+          tiebreak = Seq("dim_id"))
+        .select(col("event_id"), col("user_id"),
+          when(fresh, col("version")).as("version"),
+          when(fresh, col("feature")).as("feature"),
+          when(fresh, col("valid_from")).as("valid_from"))
+        .orderBy("event_id")
+    },
+
     // ---- q112: exponentially-weighted moving average with EXACT
     //      dyadic weights — the classic telemetry smoothing/anomaly
     //      baseline (EWMA control chart), made cross-engine exact by
