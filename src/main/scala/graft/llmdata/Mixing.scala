@@ -146,6 +146,48 @@ object Mixing {
         .orderBy("lang", "rk")
     },
 
+    // ---- q124: source Pareto / cumulative-share audit — the "data
+    //      recipe" chart every mixture review starts from: token share
+    //      per source and the cumulative share in descending order
+    //      (which sources make up 80% of the corpus?). Float policy:
+    //      the CUMULATIVE sum stays an exact BIGINT riding the ordered
+    //      window (never a float accumulation), so each share is ONE
+    //      IEEE division of exact integers — bit-identical across
+    //      engines at any position. The ordered window runs over the
+    //      per-SOURCE aggregate rows (cardinality = sources, not
+    //      corpus); its single partition is bounded by the source
+    //      count, the same k-bounded caveat as q117's rank stage. ----
+    Q(
+      "q124_source_pareto",
+      """WITH t AS (SELECT source,
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |tt AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM t)
+        |SELECT source, toks,
+        |  CAST(row_number() OVER o AS INT) AS rk,
+        |  CAST(toks AS DOUBLE) / tt.total AS share,
+        |  CAST(sum(toks) OVER (o ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / tt.total AS cum_share
+        |FROM t, tt
+        |WINDOW o AS (ORDER BY toks DESC, source)
+        |ORDER BY rk""".stripMargin,
+    ) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      val tt = t.agg(sum("toks").as("total"))
+      val o = Window.orderBy(col("toks").desc, col("source"))
+      val run = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.crossJoin(broadcast(tt))
+        .withColumn("rk", row_number().over(o).cast("int"))
+        .withColumn("share", col("toks").cast("double") / col("total"))
+        .withColumn("cum_share",
+          sum("toks").over(run).cast("double") / col("total"))
+        .select("source", "toks", "rk", "share", "cum_share")
+        .orderBy("rk")
+    },
+
     // ---- q114: deterministic negative sampling — for every customer,
     //      up to 5 parts they have NEVER ordered, hash-proposed (the
     //      contrastive / recommendation training-data pass: word2vec-
