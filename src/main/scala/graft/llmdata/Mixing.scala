@@ -188,6 +188,49 @@ object Mixing {
         .orderBy("rk")
     },
 
+    // ---- q125: source-balance Gini coefficient — the imbalance
+    //      number behind q124's Pareto chart: per language, how
+    //      unequally do its sources contribute tokens (0 = perfectly
+    //      balanced recipe, →1 = one source dominates)? Gini via the
+    //      mean-absolute-difference identity Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx):
+    //      the pairwise sum is over SOURCE-level aggregate rows —
+    //      bounded by sources² per language (the q99 discipline),
+    //      never corpus-sized — and every term is an exact BIGINT, so
+    //      the coefficient is ONE IEEE division of identical integer
+    //      operands (registry float policy; no sort-based Lorenz
+    //      rendering needed). ----
+    Q(
+      "q125_source_gini",
+      """WITH t AS (SELECT lang, source,
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS BIGINT) AS toks
+        |  FROM documents GROUP BY lang, source),
+        |g AS (SELECT a.lang,
+        |    CAST(sum(abs(a.toks - b.toks)) AS BIGINT) AS num
+        |  FROM t a JOIN t b ON a.lang = b.lang GROUP BY a.lang),
+        |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(toks) AS BIGINT) AS total FROM t GROUP BY lang)
+        |SELECT s.lang, s.n_sources, s.total,
+        |  CAST(g.num AS DOUBLE) / (2 * s.n_sources * s.total) AS gini
+        |FROM s JOIN g ON g.lang = s.lang
+        |ORDER BY s.lang""".stripMargin,
+    ) { (s, d) =>
+      val t = graft.Caches.persist(Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks")))
+      val g = t.toDF("lang", "src_a", "ta")
+        .join(t.toDF("lang", "src_b", "tb"), Seq("lang"))
+        .groupBy("lang")
+        .agg(sum(abs(col("ta") - col("tb"))).as("num"))
+      val sz = t.groupBy("lang")
+        .agg(count(lit(1)).as("n_sources"), sum("toks").as("total"))
+      sz.join(g, Seq("lang"))
+        .select(col("lang"), col("n_sources"), col("total"),
+          (col("num").cast("double") /
+            (lit(2) * col("n_sources") * col("total"))).as("gini"))
+        .orderBy("lang")
+    },
+
     // ---- q114: deterministic negative sampling — for every customer,
     //      up to 5 parts they have NEVER ordered, hash-proposed (the
     //      contrastive / recommendation training-data pass: word2vec-
