@@ -84,20 +84,63 @@ object Similarity {
     cents
   }
 
+  /** The trained-and-quantized coarse quantizer: each float centroid on
+    * q48's shared symmetric max-abs INT8 grid. Quantization is
+    * scale-invariant (q48), so quantizing the NORMALIZED centroid equals
+    * quantizing any positive multiple of it — the grid erases the one
+    * thing DuckDB could not replay (the float magnitudes), and the k×64
+    * integers transport losslessly as SQL literals. */
+  private[llmdata] def quantizeCentroids(
+      cents: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    cents.map { c =>
+      val mx = c.map(math.abs).max
+      if (mx > 0) c.map(x => math.floor(x * 127.0 / mx + 0.5)) else c
+    }
+
+  /** Most recent q52 oracle SQL (trained centroids baked in as integer
+    * literals). Written by the q52 run, read when [[qs]] is rebuilt —
+    * `SparkEntry.registry` is a `def` and Verify dumps `oracleSql` only
+    * AFTER running every query, so the dump always sees the SQL trained
+    * on the very sfDir the parquet results came from. Until a q52 run
+    * happens (e.g. a dev-only filtered Verify), q52 degrades to the old
+    * rows-only row — never a stale or wrong oracle. */
+  private[llmdata] val q52OracleStash =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
   /** q52 body, parameterized for the spec: IVF top-k — assign the corpus
-    * to inverted lists once, probe `nprobe` lists per query. */
+    * to inverted lists once, probe `nprobe` lists per query.
+    *
+    * Cross-engine exactness of the index structure (round-7): the
+    * trained centroids are int8-quantized, and assignment / probe
+    * ranking score `dot(int8(v), int8(c)) / sqrt(|int8(c)|²)` — every
+    * dot is a sum of integer products (≤ 64·127² ≪ 2^53, so the fold is
+    * exact in ANY order in any engine), then ONE correctly-rounded IEEE
+    * division per (vector, centroid). DuckDB replays it bit-for-bit
+    * from centroid literals; only in-list candidate ranking stays float
+    * (rank margins ≫ 1 ulp — the same argument q59/q31 already pin). */
   private[llmdata] def annIvf(s: SparkSession, d: String, k: Int = 16,
       nprobe: Int = 4, iters: Int = 2, topK: Int = 5,
-      maxTrain: Int = 4096): DataFrame = {
+      maxTrain: Int = 4096, oracleSink: String => Unit = _ => ()): DataFrame = {
     // Persist the normalized corpus and the list assignment: Catalyst
     // HOFs are CodegenFallback (interpreted), so the k×dim-literal
     // `transform` costs ~k·dim boxed lambda calls per row — evaluate it
     // ONCE per vector, not once per consumer (training jobs, probe
     // side, search side). Measured 9.4 s → ~1 s on the search stage at
     // sf0.1.
-    val e = vectors(s, d)
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0) // ⟺ the old nrm > 0: drops only zero vectors
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("vn"),
+        // int8 view of the RAW vector (not vn): the oracle quantizes raw
+        // coordinates, and max-abs scale-invariance makes both equal IN
+        // EXACT ARITHMETIC but not in floats — so both engines must
+        // quantize the same rendering. Integer-valued doubles feed
+        // VecDot's exact fold.
+        transform(col("v"), x => quantizeInt8(x, col("mx")).cast("double"))
+          .as("qi"))
       .transform(graft.Caches.persist)
     val dim = 64 // embeddings table contract (TESTDATA.md)
     // bounded deterministic training sample: every stride-th id
@@ -105,16 +148,23 @@ object Similarity {
     val stride = math.max(1L, n / maxTrain)
     val cents = trainCentroids(
       e.filter(pmod(col("vec_id"), lit(stride)) === 0), k, iters, dim)
+    val qcents = quantizeCentroids(cents)
+    // |int8(c)|² — exact integers as doubles (≤ 64·127² ≪ 2^53)
+    val ncs = qcents.map(c => c.map(x => x * x).sum)
     // fewer trainable vectors than k (tiny dev corpus) → fewer lists;
     // all probe arithmetic below uses the EFFECTIVE count, otherwise
     // arrays_zip pads with null-field structs that sort first and eat
     // the probe slots
-    val kEff = cents.length
+    val kEff = qcents.length
     val nprobeEff = math.min(nprobe, kEff)
-    val cl = typedlit(cents)
+    val cl = typedlit(qcents.zip(ncs))
+    def centScore(p: Column): Column =
+      dot(p.getField("_1"), col("qi")) / sqrt(p.getField("_2"))
     // one pass builds the inverted lists: argmax-sim centroid per vector
+    // (array_position takes the FIRST max ⇒ smallest cid on exact ties —
+    // the oracle's `ORDER BY score DESC, cid` tiebreak)
     val listed = e
-      .withColumn("sims", transform(cl, c => dot(c, col("vn"))))
+      .withColumn("sims", transform(cl, p => centScore(p)))
       .withColumn("cid",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
       .drop("sims")
@@ -122,11 +172,12 @@ object Similarity {
     // queries probe their nprobe nearest lists: sort (−sim, cid) pairs
     val probes = listed.filter(col("vec_id") < 10)
       .withColumn("ranked", sort_array(arrays_zip(
-        transform(cl, c => -dot(c, col("vn"))).as("neg"),
+        transform(cl, p => -centScore(p)).as("neg"),
         sequence(lit(0), lit(kEff - 1)).as("cid"))))
       .select(col("vec_id").as("q_id"), col("vn").as("qv"),
         explode(slice(col("ranked"), 1, nprobeEff)).as("p"))
       .select(col("q_id"), col("qv"), col("p.cid").cast("int").as("cid"))
+    oracleSink(ivfOracleSql(qcents, ncs, nprobeEff, topK))
     // equi-join on the list id: each query scores ~nprobe·n/k vectors,
     // the corpus shuffles once on cid — never all-pairs
     val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
@@ -138,6 +189,50 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"))
       .orderBy("q_id", "rank")
+  }
+
+  /** The q52 oracle with the trained int8 centroids as literals (the
+    * q113 sign-matrix move: learned metadata is O(k·dim) integers, so it
+    * ships INSIDE the SQL text instead of demanding DuckDB re-run
+    * k-means). Assignment and probe ranking replay exactly (integer
+    * dots + one IEEE division — see [[annIvf]]); in-list ranking uses
+    * `list_cosine_similarity` like q31/q59 (rank margins ≫ 1 ulp). */
+  private def ivfOracleSql(qcents: Seq[Seq[Double]], ncs: Seq[Double],
+      nprobe: Int, topK: Int): String = {
+    val rows = qcents.zip(ncs).zipWithIndex.map { case ((c, nc), i) =>
+      s"  ($i, CAST([${c.map(_.toLong).mkString(",")}] AS DOUBLE[]), " +
+        s"CAST(${nc.toLong} AS DOUBLE))"
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> abs(x))) AS mx
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, e,
+       |    list_transform(range(1, 65),
+       |      i -> floor(e[i] * 127.0 / mx + 0.5)) AS q
+       |  FROM raw WHERE mx > 0),
+       |cents(cid, c, nc) AS (VALUES
+       |$rows),
+       |sc AS (
+       |  SELECT v.vec_id, v.e, cents.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_dot_product(v.q, cents.c) / sqrt(cents.nc) DESC,
+       |        cents.cid) AS rn
+       |  FROM v CROSS JOIN cents),
+       |asg AS (SELECT vec_id, e, cid FROM sc WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, e AS qe, cid FROM sc
+       |  WHERE vec_id < 10 AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    list_cosine_similarity(p.qe, a.e) AS c
+       |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id != p.q_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn
+       |  FROM cand)
+       |WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
   }
 
   /** The sign-bucket LSH sketch: bit i set iff plane-i coordinate is
@@ -233,7 +328,11 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  val qs: Seq[Q] = Seq(
+  // `def`, not `val`: the q52 entry upgrades from rows-only to a full
+  // hash oracle once a run has trained (and stashed) the centroid
+  // literals — Verify builds `queries` first, runs them, THEN reads
+  // `oracleSql` off a fresh registry, which sees the stash.
+  def qs: Seq[Q] = Seq(
     // ---- q31: brute-force cosine top-k (k=5) for query set vec_id<10.
     //      Exact baseline; ranks only (scores are cross-engine
     //      float-formula sensitive; rank margins verified ≫ 1 ulp). ----
@@ -310,13 +409,22 @@ object Similarity {
     },
 
     // ---- q52: IVF ANN — spherical k-means coarse quantizer (trained on
-    //      a bounded deterministic sample, sorted-fold update), corpus
-    //      sharded into k inverted lists, queries probe the nprobe
-    //      nearest lists. Rows-only: centroid arithmetic is float-order
-    //      sensitive, so DuckDB cannot replay it value-for-value; run
-    //      determinism and recall vs the exact q31 baseline are pinned
-    //      by IvfSpec. ----
-    Q.rowsOnly("q52_ann_ivf") { (s, d) => annIvf(s, d) },
+    //      a bounded deterministic sample, sorted-fold update) QUANTIZED
+    //      to the shared int8 grid, corpus sharded into k inverted
+    //      lists, queries probe the nprobe nearest lists. Hash-checked:
+    //      the trained centroids travel into the oracle as integer
+    //      literals (stash mechanism above), assignment/probe math is
+    //      integer-exact in both engines, in-list ranking rides the
+    //      q31/q59 rank-margin argument. Run determinism and recall vs
+    //      the exact q31 baseline stay pinned by IvfSpec. ----
+    {
+      val run = (s: SparkSession, d: String) =>
+        annIvf(s, d, oracleSink = sql => q52OracleStash.set(Some(sql)))
+      q52OracleStash.get() match {
+        case Some(sql) => Q("q52_ann_ivf", sql)(run)
+        case None      => Q.rowsOnly("q52_ann_ivf")(run)
+      }
+    },
 
     // ---- q59: IVF exactness gate — nprobe = nlists probes EVERY
     //      inverted list, so the full IVF machinery (normalization,

@@ -39,6 +39,22 @@ class IvfSpec extends SparkSpec {
     assert(oneList == exact)
   }
 
+  test("q52 oracle upgrades from rows-only to literal-centroid SQL after a run") {
+    // Verify's sequence: build queries, run them all, THEN read oracleSql
+    // off a fresh registry — the q52 oracle must appear exactly then,
+    // carrying the trained centroids as integer literals.
+    Similarity.q52OracleStash.set(None)
+    assert(SparkEntry.oracleSql.get("q52_ann_ivf").isEmpty,
+      "before any run q52 must stay rows-only (no stale oracle)")
+    SparkEntry.queries("q52_ann_ivf")(spark, sf).collect()
+    val sql = SparkEntry.oracleSql.get("q52_ann_ivf")
+    assert(sql.isDefined, "a q52 run must stash its oracle")
+    assert(sql.get.contains("cents(cid, c, nc) AS (VALUES"))
+    // integer-exact index math: the oracle must score with the integer
+    // dot, not a float fold it can't replay
+    assert(sql.get.contains("list_dot_product"))
+  }
+
   test("q52 recall@5 vs the exact brute-force baseline is usable (>= 0.5)") {
     // IVF with k=16 lists, nprobe=4 scans ~25% of the corpus per query;
     // on near-uniform synthetic vectors recall is genuinely bounded by
