@@ -55,15 +55,36 @@ object Indexing {
         |  FROM tf JOIN df USING (w) CROSS JOIN n)
         |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
     ) { (s, d) =>
+      // Tokenize EXACTLY once (r5→r6 bench drift, named): tf used to
+      // feed three consumers — the join's left side, df, and N — and
+      // Spark re-ran the whole tokenize subtree (plus, since the
+      // round-6 spread floor, its exchange) once per consumer: driver
+      // bench 0.80→2.14 s, stage profile showed 3 near-identical
+      // ~0.5 s tokenize+agg stages (exchange reuse does not dedupe
+      // them — the three parents partial-aggregate differently).
+      // Fixes: (1) N is a driver-side literal — the q38-blockCount
+      // pattern: one cheap count job whose result is a scalar, not a
+      // corpus collect — equal to the oracle's count(DISTINCT doc_id)
+      // over tokens because split() never drops a non-null text (an
+      // empty text still yields one "" token, in both engines);
+      // (2) the (doc, term) AGGREGATE — already compacted from token
+      // occurrences to O(distinct (doc, term)) — persists, so df is an
+      // aggregate of cached rows, not a second scan. df stays a JOIN,
+      // not a term-keyed window: a window would pile every tf row of a
+      // stopword into one partition with no remedy, while the join
+      // shape partial-aggregates df before its exchange and AQE
+      // skew-splits the probe side at scale.
+      val nDocs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select("doc_id").distinct().count()
       val tf = Text.tokens(s, d)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .transform(graft.Caches.persist)
       val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val n = tf.agg(count_distinct(col("doc_id")).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("w"))
       tf.join(dfT, "w")
-        .join(broadcast(n))
-        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("score",
+          (col("tf") * lit(nDocs)).cast("double") / col("df"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
@@ -200,17 +221,21 @@ object Indexing {
         |  CAST(sum_tfdf AS DOUBLE) / (n_tok * n) AS mean_df_frac
         |FROM s CROSS JOIN n ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
+      // q67's single-tokenize shape: persisted tf, df by join, N as a
+      // driver-side scalar literal (see the q67 note for the r5→r6
+      // drift this removes and why df stays a join, not a window).
+      val nDocs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select("doc_id").distinct().count()
       val tf = Text.tokens(s, d)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .transform(graft.Caches.persist)
       val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val n = tf.agg(count_distinct(col("doc_id")).as("n"))
-      tf.join(broadcast(dfT), "w")
+      tf.join(dfT, "w")
         .groupBy("doc_id")
         .agg(sum("tf").as("n_tok"),
           sum(col("tf") * col("df")).as("sum_tfdf"))
-        .join(broadcast(n))
         .select(col("doc_id"), col("n_tok"), col("sum_tfdf"),
-          (col("sum_tfdf").cast("double") / (col("n_tok") * col("n")))
+          (col("sum_tfdf").cast("double") / (col("n_tok") * lit(nDocs)))
             .as("mean_df_frac"))
         .orderBy("doc_id")
     },
