@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus a batched
   * decode/feature-extract stage.
   *
-  * The decode itself is STUBBED (this container has no image/audio
-  * codecs): `FakeDecoder` is a deterministic byte-statistics "feature"
-  * so tests pin real plumbing — schema, batching, partition mapping —
-  * with a fake kernel. Swap `MediaDecoder` for a JNI/codec-backed
-  * implementation in production; nothing else changes.
+  * Two `MediaDecoder` implementations ship: `FakeDecoder`, a
+  * deterministic byte-statistics "feature" so the oracle-checked
+  * queries pin the plumbing — schema, batching, partition mapping —
+  * on the text-derived testdata; and `ImageIoDecoder`, a REAL pure-JVM
+  * image codec (`javax.imageio`) proving the seam's signature fits an
+  * actual decoder (spec-gated on checked-in PNG fixtures through the
+  * extract/resize/aHash kernels). Audio/video codecs would slot into
+  * the same trait (JNI-backed in production); nothing else changes.
   *
   * Scale design (100 TB):
   *  - payloads stay opaque binary end to end — never parsed by Catalyst,
@@ -57,6 +60,64 @@ object Multimodal {
         Array(n.toFloat, sum.toFloat / n, mn.toFloat, mx.toFloat)
       }
     }
+  }
+
+  /** Real pure-JVM image decode (`javax.imageio` — JDK built-in, zero
+    * new dependencies): the proof that the [[MediaDecoder]] seam's
+    * signature fits an actual codec, not only the deterministic fake.
+    * Decodes whatever the JDK ImageIO registry handles (PNG/JPEG/GIF/
+    * BMP), then resamples to an 8×8 luminance grid by STRIDE sampling
+    * — `getRGB(gx·w/8, gy·h/8)`, integer Rec.601 luma — deliberately
+    * no interpolation, so the output is a pure function of the pixel
+    * data with no platform-dependent resampler in the loop. The 64
+    * grid values are exactly the pixel-grid front-end [[aHash]] (and
+    * q121's threshold rule) consumes. Fails loudly on a non-image
+    * mediaType or an undecodable payload — a codec that silently
+    * zero-fills would poison every downstream near-dup decision. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mediaType: String): Array[Float] = {
+      require(mediaType.startsWith("image/"),
+        s"ImageIoDecoder handles image/* payloads, got '$mediaType'")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload (no ImageIO reader)")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w >= 8 && h >= 8, s"image too small for the 8x8 grid: ${w}x$h")
+      val out = new Array[Float](64)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val px = img.getRGB(gx * w / 8, gy * h / 8)
+          val lum = (((px >> 16) & 0xff) * 299 + ((px >> 8) & 0xff) * 587 +
+            (px & 0xff) * 114) / 1000
+          out(gy * 8 + gx) = lum.toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+  }
+
+  /** aHash over a decoded pixel grid — q121's integer threshold rule
+    * (`n·p_j > Σp` ⟺ pixel above mean, no division) applied to a
+    * decoder's output: bit j set iff grid cell j is above the grid
+    * mean. With [[ImageIoDecoder]] in front this is the REAL image
+    * near-dup pipeline; q121 runs the same rule over byte payloads so
+    * the oracle can replay it. */
+  def aHash(pixels: Array[Float]): Long = {
+    val n = pixels.length
+    var sum = 0.0
+    pixels.foreach(sum += _)
+    var hash = 0L
+    var j = 0
+    while (j < n && j < 64) {
+      if (pixels(j) * n > sum) hash |= 1L << j
+      j += 1
+    }
+    hash
   }
 
   /** documents → MediaRecord dataset (text bytes as the stand-in
