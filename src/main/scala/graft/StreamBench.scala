@@ -47,10 +47,19 @@ object StreamBench {
     val (rows, anomalies) = out.agg(
       count(lit(1)), sum(col("anomaly"))).as[(Long, Long)].head()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(
+    val json =
       s"""{"metric":"stream_rows_per_sec","value":${(rows / sec).toLong},""" +
         s""""unit":"rows/sec","rows":$rows,"anomalies":$anomalies,""" +
-        s""""seconds":${math.round(sec * 1000) / 1000.0},"devices":$devices}""")
+        s""""seconds":${math.round(sec * 1000) / 1000.0},"devices":$devices}"""
+    println(json)
+    // persist like Bench does BENCH_LAST.json: the streaming envelope
+    // (reference: ≥50 rows/s, BASELINE.md) gets a per-round record that
+    // survives stdout truncation
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/STREAMBENCH_LAST.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout line already emitted
     spark.stop()
   }
 }
