@@ -96,10 +96,14 @@ object CuratedPipeline {
   }
   object SignalBuf { val empty: SignalBuf = SignalBuf(Vector.empty, Vector.empty) }
 
+  /** Per-device anomaly state. `ver` pins the state schema version —
+    * checked on every restore by both the fMGWS and TWS routes; bump
+    * [[DevState.Ver]] on any semantic change (see [[StateVersion]]). */
   final case class DevState(
       battery: SignalBuf, barometer: SignalBuf, accel: SignalBuf,
-      maxTsMicros: Long)
+      maxTsMicros: Long, ver: Int = DevState.Ver)
   object DevState {
+    final val Ver = 2
     val empty: DevState =
       DevState(SignalBuf.empty, SignalBuf.empty, SignalBuf.empty, Long.MinValue)
   }
@@ -213,9 +217,9 @@ object CuratedPipeline {
     val adjustMicros = adjustMillis.map(_ * 1000L)
     val fn: (String, Iterator[PipeEvent], GroupState[DevState]) => Iterator[PipeOut] =
       (_, it, state) => {
-        val (out, st) =
-          foldSorted(it, state.getOption.getOrElse(DevState.empty),
-            params, adjustMicros)
+        val prev = state.getOption.getOrElse(DevState.empty)
+        StateVersion.check(prev.ver, DevState.Ver, "CuratedPipeline.anomalyStage")
+        val (out, st) = foldSorted(it, prev, params, adjustMicros)
         state.update(st)
         out.iterator
       }
@@ -242,6 +246,7 @@ object CuratedPipeline {
     override def handleInputRows(key: String, rows: Iterator[PipeEvent],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[PipeOut] = {
       val st0 = Option(state.get()).getOrElse(DevState.empty)
+      StateVersion.check(st0.ver, DevState.Ver, "CuratedPipeline.anomalyStageTws")
       val (out, st) = foldSorted(rows, st0, params, adjustMillis.map(_ * 1000L))
       state.update(st)
       out.iterator

@@ -38,8 +38,13 @@ object StreamingAdmission {
   /** An arriving document, reduced to its admission-relevant columns. */
   final case class Arrival(doc_id: Long, source: String, n_tok: Long, h: String)
 
-  /** Per-source state: tokens spent + ids already decided. */
-  final case class SourceState(spent: Long, decided: Set[Long])
+  /** Per-source state: tokens spent + ids already decided. `ver` is
+    * the state-schema version, checked on restore ([[StateVersion]]);
+    * bump [[SourceStateVer]] on any semantic change. */
+  final case class SourceState(spent: Long, decided: Set[Long],
+      ver: Int = SourceStateVer)
+
+  final val SourceStateVer = 1
 
   /** One immutable decision row. `cum_tok` is the source's spend AFTER
     * this decision (unchanged when rejected). */
@@ -76,6 +81,7 @@ object StreamingAdmission {
     def fn(source: String, rows: Iterator[Arrival],
         st: GroupState[SourceState]): Iterator[Decision] = {
       val prev = st.getOption.getOrElse(SourceState(0L, Set.empty))
+      StateVersion.check(prev.ver, SourceStateVer, "StreamingAdmission.admit")
       var spent = prev.spent
       var decided = prev.decided
       val out = List.newBuilder[Decision]

@@ -58,9 +58,15 @@ object StreamingAnn {
     * encoder schema; the round-5 `overflowIds`/`overflowCount` fields
     * broke checkpoints written by earlier builds (see
     * [[StreamingDedup.BandState]] for the restart-from-scratch
-    * procedure and the versioning rule for future changes). */
+    * procedure and the versioning rule for future changes). `ver` is
+    * the state-schema version, checked on restore ([[StateVersion]]);
+    * bump [[BucketStateVer]] on any semantic change. */
   final case class BucketState(vecs: List[BucketVec], overflowIds: List[Long],
-      overflowCount: Long)
+      overflowCount: Long, ver: Int = BucketStateVer)
+
+  /** Current BucketState schema version (v2 = v1 + overflow replay
+    * memory + this version field). */
+  final val BucketStateVer = 2
 
   /** An emitted exact in-bucket neighbor pair (a_id < b_id). */
   final case class Neighbor(a_id: Long, b_id: Long, bucket: Long,
@@ -91,6 +97,7 @@ object StreamingAnn {
     def fn(bucket: Long, rows: Iterator[VecRow],
         st: GroupState[BucketState]): Iterator[Neighbor] = {
       val prev = st.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+      StateVersion.check(prev.ver, BucketStateVer, "StreamingAnn.neighbors")
       var kept = prev.vecs
       var over = prev.overflowIds
       var overCount = prev.overflowCount

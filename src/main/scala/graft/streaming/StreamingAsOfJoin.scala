@@ -72,7 +72,12 @@ object StreamingAsOfJoin extends Serializable {
     * pending `MapState`. `armedMs` = the registered event-time timer
     * (0 = none) so TWS re-arms are delta-only. */
   final case class JoinState(rights: List[RightRow], probes: List[ProbeRow],
-      armedMs: Long)
+      armedMs: Long, ver: Int = JoinStateVer)
+
+  /** State-schema version, checked on every restore inside [[advance]]
+    * (covers both the fMGWS and TWS routes — see [[StateVersion]]);
+    * bump on any semantic change. */
+  final val JoinStateVer = 1
 
   /** One emitted probe. `last_view_id`/`last_view_value` are None when
     * no right row precedes the probe; a matched right row with a NULL
@@ -101,6 +106,8 @@ object StreamingAsOfJoin extends Serializable {
   private[streaming] def advance(key: Long, st0: Option[JoinState],
       rows: Seq[Tagged], wmMs: Long)
       : (Option[JoinState], Seq[AsOfMatch], Option[Long]) = {
+    st0.foreach(s =>
+      StateVersion.check(s.ver, JoinStateVer, "StreamingAsOfJoin.advance"))
     var rights = st0.map(_.rights).getOrElse(Nil)
     var probes = st0.map(_.probes).getOrElse(Nil)
     rows.foreach { r =>

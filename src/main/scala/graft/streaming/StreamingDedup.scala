@@ -92,9 +92,15 @@ object StreamingDedup {
     * from a fresh checkpoint (replay the source; at-least-once output
     * makes that safe). Any future field change carries the same cost:
     * evolve by adding a NEW versioned case class + mapper function
-    * rather than editing this one silently. */
+    * rather than editing this one silently. The trailing `ver` field
+    * enforces that policy at restore time (see [[StateVersion]]):
+    * bump [[BandStateVer]] on any semantic change. */
   final case class BandState(docs: List[BandDoc], overflowIds: List[Long],
-      overflowCount: Long)
+      overflowCount: Long, ver: Int = StreamingDedup.BandStateVer)
+
+  /** Current BandState schema version (v2 = v1 + overflow replay
+    * memory + this version field). */
+  final val BandStateVer = 2
 
   /** Replay-memory bound, as a multiple of `maxPerBucket`. */
   val overflowMemoryFactor = 8
@@ -139,6 +145,7 @@ object StreamingDedup {
     def fn(band: String, rows: Iterator[DocBand],
         st: GroupState[BandState]): Iterator[Candidate] = {
       val prev = st.getOption.getOrElse(BandState(Nil, Nil, 0L))
+      StateVersion.check(prev.ver, BandStateVer, "StreamingDedup.candidates")
       var kept = prev.docs
       var over = prev.overflowIds
       var overCount = prev.overflowCount

@@ -30,8 +30,12 @@ object StreamingDistinct extends Serializable {
 
   final case class Obs(key: String, x: Long)
 
-  /** `nSeen` versions snapshots (total rows folded, not distincts). */
-  final case class DState(buf: HllBuf, nSeen: Long)
+  /** `nSeen` versions snapshots (total rows folded, not distincts).
+    * `ver` is the state-schema version, checked on restore inside
+    * [[foldBatch]] — covers both routes (see [[StateVersion]]). */
+  final case class DState(buf: HllBuf, nSeen: Long, ver: Int = DStateVer)
+
+  final val DStateVer = 1
 
   final case class Snapshot(key: String, n_seen: Long,
       distinct_est: Long, exact: Boolean)
@@ -40,6 +44,7 @@ object StreamingDistinct extends Serializable {
   private def foldBatch(key: String, agg: HllAgg, prev: Option[DState],
       rows: Iterator[Obs]): (DState, Snapshot) = {
     val st0 = prev.getOrElse(DState(agg.zero, 0L))
+    StateVersion.check(st0.ver, DStateVer, "StreamingDistinct.track")
     var buf = st0.buf
     var n = st0.nSeen
     rows.foreach { o => buf = agg.reduce(buf, o.x); n += 1 }

@@ -58,7 +58,11 @@ object StreamingEwma extends Serializable {
     * the registered event-time timer (0 = none) so TWS re-arms are
     * delta-only. */
   final case class EwmaState(hist: List[Obs], pending: List[Obs],
-      armedMs: Long)
+      armedMs: Long, ver: Int = EwmaStateVer)
+
+  /** State-schema version, checked on every restore inside [[advance]]
+    * (covers both routes — see [[StateVersion]]). */
+  final val EwmaStateVer = 1
 
   /** `ewma` is None for a key's first event (no history — q112's NULL
     * row); `is_spike` mirrors q112's `value > 2·ewma`, 0 when there is
@@ -103,6 +107,8 @@ object StreamingEwma extends Serializable {
   private[streaming] def advance(key: Long, st0: Option[EwmaState],
       rows: Seq[Ev], wmMs: Long)
       : (Option[EwmaState], Seq[EwmaOut], Option[Long]) = {
+    st0.foreach(s =>
+      StateVersion.check(s.ver, EwmaStateVer, "StreamingEwma.advance"))
     var pending = st0.map(_.pending).getOrElse(Nil)
     rows.foreach { r =>
       if (r.ts.getTime > wmMs)

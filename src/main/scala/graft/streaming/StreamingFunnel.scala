@@ -35,9 +35,12 @@ object StreamingFunnel {
   final case class Ev(user_id: Long, event_type: String, us: Long,
       event_id: Long)
 
-  /** Per-user state: established stage timestamps (µs). */
+  /** Per-user state: established stage timestamps (µs). `ver` is the
+    * state-schema version, checked on restore ([[StateVersion]]). */
   final case class FunnelState(t1: Option[Long], t2: Option[Long],
-      t3: Option[Long])
+      t3: Option[Long], ver: Int = FunnelStateVer)
+
+  final val FunnelStateVer = 1
 
   /** One advancement row: the user just reached `step` at `us`. */
   final case class Advance(user_id: Long, step: Int, us: Long)
@@ -57,15 +60,16 @@ object StreamingFunnel {
     def fn(user: Long, rows: Iterator[Ev],
         st: GroupState[FunnelState]): Iterator[Advance] = {
       var s = st.getOption.getOrElse(FunnelState(None, None, None))
+      StateVersion.check(s.ver, FunnelStateVer, "StreamingFunnel.advance")
       val out = List.newBuilder[Advance]
       // within-batch order: event time then id — partition-order-proof
       rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
         (e.event_type, s) match {
-          case ("view", FunnelState(None, _, _)) =>
+          case ("view", FunnelState(None, _, _, _)) =>
             s = s.copy(t1 = Some(e.us)); out += Advance(user, 1, e.us)
-          case ("click", FunnelState(Some(t1), None, _)) if e.us > t1 =>
+          case ("click", FunnelState(Some(t1), None, _, _)) if e.us > t1 =>
             s = s.copy(t2 = Some(e.us)); out += Advance(user, 2, e.us)
-          case ("purchase", FunnelState(_, Some(t2), None)) if e.us > t2 =>
+          case ("purchase", FunnelState(_, Some(t2), None, _)) if e.us > t2 =>
             s = s.copy(t3 = Some(e.us)); out += Advance(user, 3, e.us)
           case _ => ()
         }

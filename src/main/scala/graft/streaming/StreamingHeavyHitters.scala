@@ -40,8 +40,13 @@ object StreamingHeavyHitters extends Serializable {
   /** One token occurrence with its deterministic fold position. */
   final case class Tok(lang: String, doc_id: Long, pos: Int, w: String)
 
-  /** Per-group state: the Misra–Gries buffer + total items folded. */
-  final case class HHState(counts: Map[String, Long], n_seen: Long)
+  /** Per-group state: the Misra–Gries buffer + total items folded.
+    * `ver` is the state-schema version, checked on restore inside
+    * [[foldBatch]] — covers both routes (see [[StateVersion]]). */
+  final case class HHState(counts: Map[String, Long], n_seen: Long,
+      ver: Int = HHStateVer)
+
+  final val HHStateVer = 1
 
   /** One sketch snapshot row (versioned by n_seen). */
   final case class Estimate(lang: String, n_seen: Long, term: String,
@@ -64,6 +69,7 @@ object StreamingHeavyHitters extends Serializable {
     * surfaces cannot drift. */
   private def foldBatch(lang: String, prev: HHState, rows: Iterator[Tok],
       k: Int): (HHState, Iterator[Estimate]) = {
+    StateVersion.check(prev.ver, HHStateVer, "StreamingHeavyHitters.sketch")
     val mg = new graft.functions.MisraGries(k)
     val batch = rows.toSeq.sortBy(t => (t.doc_id, t.pos))
     val counts = batch.foldLeft(prev.counts)((b, t) => mg.reduce(b, t.w))

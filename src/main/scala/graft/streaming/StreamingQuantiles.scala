@@ -38,6 +38,14 @@ object StreamingQuantiles extends Serializable {
   /** One observation with its deterministic fold position. */
   final case class Obs(key: String, doc_id: Long, seq: Int, x: Double)
 
+  /** Versioned state envelope: `QState` is the SHARED batch-aggregator
+    * buffer (editing it would change the q86 agg schema too), so the
+    * streaming state wraps it rather than growing a field. `ver` is
+    * checked on restore ([[StateVersion]]). */
+  final case class VQState(sk: QState, ver: Int = VQStateVer)
+
+  final val VQStateVer = 1
+
   /** One snapshot row (versioned by n_seen). */
   final case class Snapshot(key: String, n_seen: Long, qs: Seq[Double])
 
@@ -57,10 +65,11 @@ object StreamingQuantiles extends Serializable {
       : Dataset[Snapshot] = {
     import in.sparkSession.implicits._
     def fn(key: String, rows: Iterator[Obs],
-        st: GroupState[QState]): Iterator[Snapshot] = {
-      val prev = st.getOption.getOrElse(QuantileSketch.empty)
-      val (next, snap) = foldBatch(key, prev, rows, capacity, quantiles)
-      st.update(next)
+        st: GroupState[VQState]): Iterator[Snapshot] = {
+      val prev = st.getOption.getOrElse(VQState(QuantileSketch.empty))
+      StateVersion.check(prev.ver, VQStateVer, "StreamingQuantiles.track")
+      val (next, snap) = foldBatch(key, prev.sk, rows, capacity, quantiles)
+      st.update(VQState(next))
       Iterator.single(snap)
     }
     in.groupByKey(_.key)
@@ -73,17 +82,18 @@ object StreamingQuantiles extends Serializable {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, Obs, Snapshot] {
     @transient private var state:
-      org.apache.spark.sql.streaming.ValueState[QState] = _
+      org.apache.spark.sql.streaming.ValueState[VQState] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      state = getHandle.getValueState[QState]("qState",
-        org.apache.spark.sql.Encoders.product[QState],
+      state = getHandle.getValueState[VQState]("qState",
+        org.apache.spark.sql.Encoders.product[VQState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[Obs],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Snapshot] = {
-      val prev = Option(state.get()).getOrElse(QuantileSketch.empty)
-      val (next, snap) = foldBatch(key, prev, rows, capacity, quantiles)
-      state.update(next)
+      val prev = Option(state.get()).getOrElse(VQState(QuantileSketch.empty))
+      StateVersion.check(prev.ver, VQStateVer, "StreamingQuantiles.trackTws")
+      val (next, snap) = foldBatch(key, prev.sk, rows, capacity, quantiles)
+      state.update(VQState(next))
       Iterator.single(snap)
     }
   }

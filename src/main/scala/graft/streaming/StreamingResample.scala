@@ -53,7 +53,12 @@ object StreamingResample extends Serializable {
     * hour has been emitted yet, and the armed event-time timer (0 =
     * none) so re-arms are delta-only. */
   final case class Cursor(hourMs: Long, locf: Double, hasEmitted: Boolean,
-      armedMs: Long)
+      armedMs: Long, ver: Int = CursorVer)
+
+  /** State-schema version: the cursor rides inside the fMGWS
+    * [[FillState]] AND is the TWS value-state, so checking it inside
+    * [[advance]] covers both routes (see [[StateVersion]]). */
+  final val CursorVer = 1
 
   /** Per-open-hour aggregate: count plus the max-(ts, event_id) value —
     * the same deterministic in-hour pick as batch q107's `max_by`. */
@@ -71,6 +76,8 @@ object StreamingResample extends Serializable {
   private[streaming] def advance(key: Long, cursor0: Option[Cursor],
       pending0: Map[Long, HourAgg], rows: Seq[Ev], watermarkMs: Long)
       : (Option[Cursor], Map[Long, HourAgg], Seq[HourRow], Option[Long]) = {
+    cursor0.foreach(c =>
+      StateVersion.check(c.ver, CursorVer, "StreamingResample.advance"))
     val sorted = rows.sortBy(e => (e.ts.getTime, e.event_id))
     if (cursor0.isEmpty && sorted.isEmpty)
       return (None, pending0, Nil, None)

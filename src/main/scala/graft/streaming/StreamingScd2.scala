@@ -39,9 +39,12 @@ object StreamingScd2 {
   final case class Change(user_id: Long, event_id: Long, ts: Timestamp,
       state: String)
 
-  /** The open version held per key. */
+  /** The open version held per key. `ver` is the state-schema version,
+    * checked on restore ([[StateVersion]]). */
   final case class OpenVersion(state: String, valid_from: Timestamp,
-      version: Long, n_events: Long)
+      version: Long, n_events: Long, ver: Int = OpenVersionVer)
+
+  final val OpenVersionVer = 1
 
   /** A CLOSED version row (append-only dimension fact). `late` flags
     * an event that arrived with ts before the open version's start —
@@ -65,6 +68,9 @@ object StreamingScd2 {
     def fn(user: Long, rows: Iterator[Change],
         st: GroupState[OpenVersion]): Iterator[ClosedVersion] = {
       var open = st.getOption.orNull
+      if (open != null)
+        StateVersion.check(open.ver, OpenVersionVer,
+          "StreamingScd2.closedVersions")
       val out = List.newBuilder[ClosedVersion]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
         if (open == null)
