@@ -591,11 +591,24 @@ object TextAnalysis {
         org.apache.spark.sql.Encoders.STRING)
       // persisted: both sides of the pair combine read the sketch
       // table — without it the corpus aggregate would run twice
+      // exact-regime assertion (round-6 ADVICE): this query's algebra
+      // is the SPARSE buffer's (vocab = the sorted distinct tokens).
+      // If any source's vocabulary ever exceeds KmvAgg's sparseMax the
+      // buffer densifies, `exact` empties, and every overlap would
+      // silently read as zero — so a densified sketch raises here
+      // instead; the scale route is to raise sparseMax explicitly or
+      // move to the k-min-hash intersection estimate.
+      val vocab = when(
+        assert_true(size(col("sk.hashes")) === 0, lit(
+          "q116 requires the KMV sparse regime: a source vocabulary " +
+          "exceeded sparseMax and the sketch densified - raise " +
+          "sparseMax or switch to the k-min-hash estimate")).isNull,
+        col("sk.exact"))
       val sk = graft.Caches.persist(Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source")
         .agg(kmv(col("w")).as("sk"))
-        .select(col("source"), col("sk.exact").as("vocab")))
+        .select(col("source"), vocab.as("vocab")))
       sk.toDF("src_a", "va")
         .join(broadcast(sk.toDF("src_b", "vb")),
           col("src_a") < col("src_b"))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Schema-evolution seam for append-mode parquet tables — the
   * lakehouse answer to the reference's device-template evolution (an
@@ -40,16 +40,32 @@ object Evolving {
 
   /** Fields in `table` that `batch` is missing or retypes (nullability
     * differences are not violations — parquet stats make every column
-    * optional per file anyway). */
+    * optional per file anyway). The compare is nullability-INSENSITIVE
+    * at every nesting level (`asNullable` both sides), not just the
+    * top field: write/read round-trips routinely flip
+    * `ArrayType.containsNull` and nested StructField nullability, and
+    * a legitimate array/struct append must not be refused for that. */
   private def violations(table: StructType, batch: StructType): Seq[String] =
     table.fields.toSeq.flatMap { f =>
       batch.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case None => Some(s"${f.name}: dropped (existing ${f.dataType.sql})")
-        case Some(b) if b.dataType != f.dataType =>
+        case Some(b) if normalize(b.dataType) != normalize(f.dataType) =>
           Some(s"${f.name}: ${f.dataType.sql} -> ${b.dataType.sql}")
         case _ => None
       }
     }
+
+  /** Recursively force every nullability flag true, so the compare
+    * sees only the value types. */
+  private def normalize(dt: DataType): DataType = dt match {
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = normalize(f.dataType), nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case ArrayType(et, _) => ArrayType(normalize(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(normalize(kt), normalize(vt), valueContainsNull = true)
+    case other => other
+  }
 
   /** Append `batch` to `dir`, refusing loudly unless the batch schema
     * is a same-typed SUPERSET of everything already written. First

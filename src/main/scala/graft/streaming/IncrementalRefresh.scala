@@ -58,19 +58,26 @@ object IncrementalRefresh {
       else fs.listStatus(src).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
         .map(_.getPath.getName).sorted
-    val sigs: Map[String, Long] = parts.map { p =>
+    // a partition dir with NO data files (markers only — e.g. a crashed
+    // writer's leftover) is treated as absent, not refreshed: reading
+    // it would throw UNABLE_TO_INFER_SCHEMA and abort the whole cycle
+    // (round-6 ADVICE); if it was previously materialized it falls into
+    // `removed` below and its derived output is dropped
+    val sigs: Map[String, Long] = parts.flatMap { p =>
       val files = fs.listStatus(new Path(src, p)).toSeq
         .filterNot(_.getPath.getName.startsWith("_"))
         .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
         .sortBy(_._1)
-      p -> files.foldLeft(17L) { case (acc, (n, l, m)) =>
+      if (files.isEmpty) None
+      else Some(p -> files.foldLeft(17L) { case (acc, (n, l, m)) =>
         var h = acc * 31 + n.hashCode
         h = h * 31 + java.lang.Long.hashCode(l)
         h * 31 + java.lang.Long.hashCode(m)
-      }
+      })
     }.toMap
+    val live = parts.filter(sigs.contains)
     val prev = readManifest(fs, dstDir)
-    val stale = parts.filter(p => !prev.get(p).contains(sigs(p)))
+    val stale = live.filter(p => !prev.get(p).contains(sigs(p)))
     val removed = prev.keys.toSeq.filterNot(sigs.contains).sorted
     stale.foreach { p =>
       val in = spark.read.parquet(new Path(src, p).toString)
@@ -82,7 +89,7 @@ object IncrementalRefresh {
     removed.foreach { p => fs.delete(new Path(dstDir, p), true) }
     // manifest LAST: it must only ever describe committed outputs
     writeManifest(fs, dstDir, sigs)
-    RefreshStats(stale, parts.diff(stale), removed)
+    RefreshStats(stale, live.diff(stale), removed)
   }
 
   private def manifestPath(dstDir: String) =

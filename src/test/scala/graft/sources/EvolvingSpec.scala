@@ -45,6 +45,36 @@ class EvolvingSpec extends SparkSpec {
     assert(Evolving.read(sp, dir).count() == 1)
   }
 
+  test("nested nullability flips are not retype violations") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp()
+    // seed the table with an array column whose read-back schema has
+    // containsNull = true (parquet round-trips commonly flip it)
+    Evolving.append(
+      Seq((1L, Seq("a", "b"))).toDF("id", "tags"), dir)
+    // the same logical column with containsNull = false must append —
+    // before the round-6 ADVICE fix the strict dataType equality
+    // counted this as a retype and refused
+    val tight = sp.createDataFrame(
+      sp.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(2L, Seq("c")))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false),
+          nullable = false))))
+    Evolving.append(tight, dir)
+    assert(Evolving.read(sp, dir).count() == 2)
+    // an actual element retype still refuses
+    val e = intercept[IllegalArgumentException] {
+      Evolving.append(Seq((3L, Seq(1, 2))).toDF("id", "tags"), dir)
+    }
+    assert(e.getMessage.contains("tags"))
+  }
+
   test("first write establishes the schema; same-schema appends just append") {
     val sp = spark
     import sp.implicits._

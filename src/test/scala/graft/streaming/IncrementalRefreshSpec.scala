@@ -57,6 +57,31 @@ class IncrementalRefreshSpec extends SparkSpec {
       "untouched partition must keep its exact files")
   }
 
+  test("a data-file-less partition dir is skipped, not a refresh abort") {
+    val base = java.nio.file.Files.createTempDirectory("refresh").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    writePart(src, "a", Seq(1L, 2L))
+    // a dir with only marker files — e.g. a crashed writer left just
+    // _SUCCESS/_started; reading it throws UNABLE_TO_INFER_SCHEMA, so
+    // before the round-6 ADVICE fix this aborted the whole cycle
+    fs.mkdirs(new Path(s"$src/dt=ghost"))
+    fs.create(new Path(s"$src/dt=ghost/_SUCCESS"), true).close()
+    val s1 = IncrementalRefresh.refresh(spark, src, dst, "dt")(doubled)
+    assert(s1.refreshed === Seq("dt=a") && s1.removed.isEmpty)
+    assert(readIds(s"$dst/dt=a") === Seq(2L, 4L))
+    // a previously-materialized partition whose data files all vanish
+    // (dir remains) expires downstream like a removed partition
+    writePart(src, "b", Seq(10L))
+    IncrementalRefresh.refresh(spark, src, dst, "dt")(doubled)
+    assert(readIds(s"$dst/dt=b") === Seq(20L))
+    fs.listStatus(new Path(s"$src/dt=b")).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val s3 = IncrementalRefresh.refresh(spark, src, dst, "dt")(doubled)
+    assert(s3.removed === Seq("dt=b"))
+    assert(!fs.exists(new Path(s"$dst/dt=b")))
+  }
+
   test("vanished source partitions expire downstream; lost manifest degrades to full refresh") {
     val base = java.nio.file.Files.createTempDirectory("refresh").toString
     val (src, dst) = (s"$base/src", s"$base/dst")
