@@ -136,5 +136,110 @@ object Curation {
           min("doc_id").as("first_id"))
         .orderBy("pred_lang", "split")
     },
+
+    // ---- q127: per-source boilerplate-shingle audit — 3-gram shingles
+    //      occurring in ≥5% of a source's docs are boilerplate (nav
+    //      bars, license footers, template chrome: the CCNet/C4-style
+    //      template-removal signal; public literature). Emits the
+    //      per-source report a curation dashboard reads: how many
+    //      shingles are boilerplate, how many docs carry at least one,
+    //      and the worst shingle's document frequency.
+    //      Scale shape: ONE shingle pass feeds both aggregates — df is
+    //      a (source, g)-keyed partial-aggregated count (no explode of
+    //      doc lists), membership is a SEMI join of the shingle table
+    //      against the (tiny) boilerplate set, and the 5% threshold is
+    //      the INTEGER comparison 20·df ≥ n_docs, so the gate itself
+    //      has no float. Output cardinality = |sources|. The only
+    //      double is one int/int division. ----
+    Q(
+      "q127_boilerplate_shingles",
+      s"""WITH sh AS (${Text.SqlShingleSet.replace("doc_id, lang,",
+             "doc_id, source,")}),
+        |n AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
+        |    AS n_docs FROM sh GROUP BY 1),
+        |df AS (SELECT source, g, CAST(count(*) AS BIGINT) AS df
+        |  FROM sh GROUP BY 1, 2),
+        |b AS (SELECT df.source, df.g, df.df FROM df JOIN n USING (source)
+        |  WHERE 20 * df.df >= n.n_docs),
+        |aff AS (SELECT sh.source,
+        |    CAST(count(DISTINCT sh.doc_id) AS BIGINT) AS n_affected
+        |  FROM sh WHERE EXISTS (SELECT 1 FROM b
+        |    WHERE b.source = sh.source AND b.g = sh.g)
+        |  GROUP BY 1),
+        |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_boiler,
+        |    CAST(max(df) AS BIGINT) AS max_df FROM b GROUP BY 1)
+        |SELECT n.source, n.n_docs, r.n_boiler, r.max_df, aff.n_affected,
+        |  CAST(aff.n_affected AS DOUBLE) / n.n_docs AS affected_ratio
+        |FROM n JOIN r USING (source) JOIN aff USING (source)
+        |ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      // ONE shingle materialization for the three consumers (doc
+      // counts, df, membership) — without the persist each aggregate
+      // re-tokenizes the corpus
+      val sh = graft.Caches.persist(Tables.documentsSpread(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(w) - 3), " +
+              "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("g")))
+      val n = sh.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"))
+      val df = sh.groupBy("source", "g").agg(count(lit(1)).as("df"))
+      val b = df.join(n, "source").filter(col("df") * 20 >= col("n_docs"))
+      val aff = sh.join(b.select("source", "g"), Seq("source", "g"),
+          "left_semi")
+        .groupBy("source").agg(countDistinct("doc_id").as("n_affected"))
+      val r = b.groupBy("source")
+        .agg(count(lit(1)).as("n_boiler"), max("df").as("max_df"))
+      n.join(r, "source").join(aff, "source")
+        .select(col("source"), col("n_docs"), col("n_boiler"),
+          col("max_df"), col("n_affected"),
+          (col("n_affected").cast("double") / col("n_docs"))
+            .as("affected_ratio"))
+        .orderBy("source")
+    },
+
+    // ---- q129: duplicate-count training weights — soft dedup. Instead
+    //      of dropping duplicates (q27/q60), keep every copy and weight
+    //      its training loss by 1/cluster_size, so each distinct
+    //      content contributes unit mass to the objective (the
+    //      repetition-control alternative the dedup literature
+    //      discusses when provenance must be preserved; public
+    //      literature). Clusters key on the token-SET fingerprint
+    //      (Text.setFp — the rewrite-invariant identity q82 dedups
+    //      on), so reshuffled copies of the same content share one
+    //      weight; the canonical flag marks the min-id survivor, so
+    //      the hard-dedup manifest is a filter of this one.
+    //      Scale shape: cluster size is a window COUNT keyed by fp —
+    //      grouped, never global, one fp-keyed shuffle; no join, no
+    //      second pass. weight is one 1/bigint IEEE division ⇒
+    //      bit-identical across engines. ----
+    Q(
+      "q129_dup_weight",
+      """WITH t AS (SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text,' '))),' ')) AS fp
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, fp,
+        |    CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS csize,
+        |    min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |  FROM t)
+        |SELECT doc_id, source, fp, csize,
+        |  CAST(1.0 AS DOUBLE) / csize AS weight,
+        |  CAST(doc_id = keep_id AS BOOLEAN) AS is_canonical
+        |FROM c ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("fp")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), Text.setFp.as("fp"))
+        .withColumn("csize", count(lit(1)).over(w))
+        .withColumn("keep_id", min("doc_id").over(w))
+        .select(col("doc_id"), col("source"), col("fp"), col("csize"),
+          (lit(1.0) / col("csize")).as("weight"),
+          (col("doc_id") === col("keep_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -296,5 +296,52 @@ object Mixing {
           col("p").as("p_partkey"))
         .orderBy("c_custkey", "rk")
     },
+
+    // ---- q126: temperature-scaled mixture weights — renormalized
+    //      power weights w_s ∝ p_s^α over per-source token mass (the
+    //      multilingual-mixing knob: α<1 upweights rare sources, α>1
+    //      concentrates on large ones; XLM-R / mT5-style sampling,
+    //      public literature). The bench pins α=2 so every weight is a
+    //      ratio of EXACT integers (n_s² / Σ n_t²) — the α knob changes
+    //      one pow() and nothing about the plan. Expected doc quota at
+    //      a 10k-doc budget is floor-division in pure integer math.
+    //      Scale shape: token mass per source is ONE partial-aggregated
+    //      pass with no explode (size(split) per row, summed map-side);
+    //      the Σ-scalars ride a broadcast one-row aggregate (q15
+    //      pattern). Output cardinality = |sources| — never grows with
+    //      the corpus. Both emitted doubles are single IEEE divisions
+    //      of exact bigints ⇒ bit-identical across engines. ----
+    Q(
+      "q126_temperature_mix",
+      """WITH m AS (SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t1,
+        |    CAST(sum(n_tok * n_tok) AS BIGINT) AS t2 FROM m)
+        |SELECT m.source, m.n_docs, m.n_tok,
+        |  CAST(m.n_tok AS DOUBLE) / tot.t1 AS p_natural,
+        |  CAST(m.n_tok * m.n_tok AS DOUBLE) / tot.t2 AS w_temp,
+        |  CAST((10000 * m.n_tok * m.n_tok) // tot.t2 AS BIGINT)
+        |    AS quota_docs
+        |FROM m, tot ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      // |sources| rows — persisted so the Σ-scalar pass reuses the
+      // corpus aggregation instead of re-scanning
+      val m = graft.Caches.persist(Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long")
+          .as("toks"))
+        .groupBy("source")
+        .agg(sum("toks").as("n_tok"), count(lit(1)).as("n_docs")))
+      val tot = m.agg(sum("n_tok").as("t1"),
+        sum(col("n_tok") * col("n_tok")).as("t2"))
+      m.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          (col("n_tok").cast("double") / col("t1")).as("p_natural"),
+          ((col("n_tok") * col("n_tok")).cast("double") / col("t2"))
+            .as("w_temp"),
+          expr("(10000 * n_tok * n_tok) div t2").as("quota_docs"))
+        .orderBy("source")
+    },
   )
 }

@@ -618,5 +618,92 @@ object TextAnalysis {
         .withColumn("jaccard", col("ni").cast("double") / col("nu"))
         .orderBy("src_a", "src_b")
     },
+
+    // ---- q130: BPE merge candidates — the top-20 adjacent character
+    //      pairs over all token OCCURRENCES (frequency-weighted, as the
+    //      byte-pair-encoding tokenizer-training step counts them:
+    //      Sennrich et al., public literature). One corpus pass: each
+    //      token emits its len-1 overlapping char bigrams via a
+    //      codegen'd transform+explode (no UDF), counts partial-
+    //      aggregate map-side on the (tiny: ≤ alphabet²) pair domain,
+    //      and the top-20 rides TakeOrdered — no global sort, no
+    //      second shuffle. Tie-break (count desc, pair asc) makes the
+    //      merge table reproducible — the property a tokenizer build
+    //      farm actually needs. Pure integer output. ----
+    Q(
+      "q130_bpe_pairs",
+      s"""WITH toks AS (${Text.SqlTokens}),
+        |pairs AS (SELECT substr(w, i, 2) AS pair
+        |  FROM toks, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+        |    AS rk, pair, cnt
+        |FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      Text.tokens(s, d)
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .select(col("rk"), col("pair"), col("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+    },
+
+    // ---- q131: tokenizer fertility audit — chars-per-token by (lang,
+    //      source) and each cell's ratio to the corpus-wide mean (the
+    //      fairness metric multilingual tokenizer reports publish:
+    //      high relative fertility ⇒ that language pays more tokens
+    //      per character of content; public literature). Token and
+    //      char masses are EXACT integer sums computed WITHOUT
+    //      exploding (size(split) and a token-bearing char count
+    //      length(text)-n_tok+1 per row, both codegen'd, partial-
+    //      aggregated map-side); the corpus mean rides a broadcast
+    //      one-row aggregate. fertility and the corpus mean are each
+    //      ONE int/int IEEE division; rel_fertility divides those two
+    //      bit-identical doubles — deterministic across engines.
+    //      Output cardinality = |lang × source|. ----
+    Q(
+      "q131_fertility",
+      """WITH m AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tok,
+        |    CAST(sum(length(text) - len(string_split(text,' ')) + 1)
+        |      AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t_tok,
+        |    CAST(sum(n_chars) AS BIGINT) AS t_chars FROM m)
+        |SELECT m.lang, m.source, m.n_docs, m.n_tok, m.n_chars,
+        |  CAST(m.n_chars AS DOUBLE) / m.n_tok AS fertility,
+        |  (CAST(m.n_chars AS DOUBLE) / m.n_tok) /
+        |    (CAST(tot.t_chars AS DOUBLE) / tot.t_tok) AS rel_fertility
+        |FROM m, tot ORDER BY lang, source""".stripMargin,
+    ) { (s, d) =>
+      // |lang × source| rows — persisted so the corpus-mean scalar
+      // reuses the aggregation instead of re-scanning the corpus
+      val m = graft.Caches.persist(Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          (length(col("text")) - size(split(col("text"), " ")) + 1)
+            .cast("long").as("chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tok"),
+          sum("chars").as("n_chars")))
+      val tot = m.agg(sum("n_tok").as("t_tok"),
+        sum("n_chars").as("t_chars"))
+      m.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tok"),
+          col("n_chars"),
+          (col("n_chars").cast("double") / col("n_tok")).as("fertility"),
+          ((col("n_chars").cast("double") / col("n_tok")) /
+            (col("t_chars").cast("double") / col("t_tok")))
+            .as("rel_fertility"))
+        .orderBy("lang", "source")
+    },
   )
 }

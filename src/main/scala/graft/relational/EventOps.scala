@@ -1118,5 +1118,80 @@ object EventOps {
           expr("(cnt + med - 1) div med").as("rec_salt"))
         .orderBy("rk")
     },
+
+    // ---- q128: MAD robust outlier audit — per event_type, flag
+    //      readings whose absolute deviation from the median exceeds
+    //      3× the median absolute deviation (the robust z-score:
+    //      unlike q23's mean/stddev, a burst of outliers cannot drag
+    //      the threshold toward itself; Hampel filter, public
+    //      literature). Medians are LOWER medians picked by rank —
+    //      order statistics, no interpolation — so every number here
+    //      is either an exact input value or an integer count, and
+    //      abs(v - med) is one exact IEEE subtraction: bit-identical
+    //      across engines with no float-policy caveats at all.
+    //      Scale shape: two event_type-keyed window sorts + one final
+    //      partial-aggregated pass; event_type is a BOUNDED domain
+    //      (sensor/event kinds — dozens), so per-key sort is the
+    //      honest exact rendering. For open-cardinality keys the
+    //      sketch route (q86/q98 compactor quantiles) replaces the
+    //      sort — same report, O(k) state. ----
+    Q(
+      "q128_mad_outliers",
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type, value AS med FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.event_type, abs(e.value - med.med) AS dev, med.med
+        |  FROM events e JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, med, dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev) AS rn, count(*) OVER (PARTITION BY event_type)
+        |      AS n
+        |  FROM d),
+        |mad AS (SELECT event_type, med, dev AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  mad.med, mad.mad,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS outlier_ratio
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type, mad.med, mad.mad
+        |ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      val w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val wp = Window.partitionBy("event_type")
+      val med = ev
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      // deviations feed BOTH the MAD rank and the final audit —
+      // persisted so the broadcast join + subtraction runs once
+      val dev = graft.Caches.persist(ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("dev"),
+          col("event_id")))
+      val w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+      val mad = dev
+        .withColumn("rn", row_number().over(w2))
+        .withColumn("n", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1).otherwise(0))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_outliers"),
+          (col("n_outliers").cast("double") / col("n")).as("outlier_ratio"))
+        .orderBy("event_type")
+    },
   )
 }
