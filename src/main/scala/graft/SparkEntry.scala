@@ -24,6 +24,7 @@ object SparkEntry {
       llmdata.Packing.qs ++
       llmdata.Mixing.qs ++
       llmdata.Indexing.qs ++
+      llmdata.IncrementalIndexing.qs ++
       llmdata.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

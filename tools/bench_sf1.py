@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Dev-only sf1 bench runner (not part of the driver contract).
+
+Round-7 finding: running all 130+ registry queries through ONE shared
+JVM at sf1 contaminates timings up to ~6x — accumulated JVM state (GC
+debt from the per-query cache churn at 10x data) leaks into whoever
+runs next (e.g. q10_setops, a 0.6 s query, recorded 43.9 s right after
+the q109 monster). The honest protocol at this scale is chunked fresh
+JVMs: heavy queries run alone, the rest in small groups, one JSON
+merged at the end. The per-round driver bench at sf0.1 keeps the
+single-JVM protocol (contamination there is bounded - see BENCH notes).
+
+Usage: python3 tools/bench_sf1.py [sfDir] [outJson]
+"""
+import json, subprocess, sys, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_SF1.json"
+CP = "target/scala-2.13/classes:/opt/spark/jars/*"
+
+names = subprocess.run(
+    ["java", "-cp", CP, "graft.Names"], capture_output=True, text=True)
+if names.returncode != 0:
+    sys.exit("graft.Names failed: " + names.stderr[-500:])
+all_q = [n for n in names.stdout.split() if n.startswith("q")]
+
+# known-heavy at sf1: isolate each in its own JVM
+SOLO = {"q109_incremental_minhash", "q28_jaccard_pairs", "q75_containment",
+        "q121_phash_neardup", "q114_negative_sample", "q29_minhash_lsh",
+        "q53_simhash_neardup", "q58_ngram_jaccard", "q55_dup_clusters",
+        "q132_incremental_bm25"}
+rest = [n for n in all_q if n not in SOLO]
+CHUNK = 12
+groups = [[n] for n in sorted(SOLO & set(all_q))] + \
+    [rest[i:i + CHUNK] for i in range(0, len(rest), CHUNK)]
+
+merged, total = {}, 0.0
+for g in groups:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPS="1",
+               SPARK_GRAFT_ONLY=",".join(g))
+    r = subprocess.run(["java", "-Xmx32g", "-cp", CP, "graft.Bench"],
+                       capture_output=True, text=True, env=env)
+    line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
+    if not line:
+        print("chunk FAILED:", g[:3], r.stderr[-300:])
+        continue
+    rec = json.loads(line[-1])
+    merged.update(rec["queries"])
+    total += rec["value"]
+    print(f"chunk {g[0]}..({len(g)}): {rec['value']:.1f} s")
+
+out = {"metric": "total", "value": total, "unit": "sec",
+       "queries": merged, "sf": SF,
+       "protocol": "chunked fresh JVMs (heavy solo), reps=1"}
+with open(OUT, "w") as f:
+    json.dump(out, f)
+print(f"total {total:.1f} s over {len(merged)} queries -> {OUT}")
