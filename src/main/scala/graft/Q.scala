@@ -24,6 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     DuckDB's `sum(BIGINT)` widens to HUGEINT and the driver renders it
   *     differently from Spark's BIGINT even when every value is equal —
   *     wrap the final sum in `CAST(... AS BIGINT)`.
+  *   - Decimal→double casts of sums past 2^53 SIGNIFICAND UNITS
+  *     (value·10^scale — scale-4 sums reach it by ~9e11 in value)
+  *     DOUBLE-ROUND in DuckDB's native cast (int/10^scale: two
+  *     roundings), while Spark's BigDecimal.doubleValue is correctly
+  *     rounded — a 1-ulp drift that appears and disappears with the
+  *     data (round-7 lesson, q119 at sf0.001). Route the ORACLE's cast
+  *     through VARCHAR (`CAST(CAST(x AS VARCHAR) AS DOUBLE)` — strtod
+  *     is single-rounded) whenever a sum's units can exceed 2^53.
   */
 final case class Q(
     name: String,

@@ -87,6 +87,24 @@ object IncrementalIndexing {
   def readDocStats(s: SparkSession, indexDir: String): DataFrame =
     readSub(s, indexDir, "docstats", DocStatsSchema)
 
+  /** Segment compaction: rewrite all committed batch dirs into one,
+    * postings SORTED BY TERM — after a year of hourly ingests the
+    * serve-path union reads thousands of segment dirs, and unsorted
+    * segments give the `w` pushdown nothing to prune on. The sorted
+    * compacted segment clusters each term into contiguous row groups,
+    * so the q132 term filter prunes at the parquet level (the same
+    * scan-metric argument the Z-order suite proves). Serialized
+    * against ingests by the shared AppendLog lock; readers see either
+    * the old segment list or the compacted one, never a mix. */
+  def compact(s: SparkSession, indexDir: String): Unit =
+    graft.sources.AppendLog.compactWith(s, indexDir) { (committed, name) =>
+      s.read.parquet(committed.map(b => s"$indexDir/$b/postings"): _*)
+        .sortWithinPartitions("w")
+        .write.parquet(s"$indexDir/$name/postings")
+      s.read.parquet(committed.map(b => s"$indexDir/$b/docstats"): _*)
+        .write.parquet(s"$indexDir/$name/docstats")
+    }
+
   /** BM25 top-`k` over index tables — q70's exact expression tree
     * (k1=1.2, b=0.75, rational idf; same tree ⇒ same bits), but fed
     * from postings instead of a corpus scan: the term filter pushes

@@ -580,13 +580,25 @@ object Relational {
     //      dependent, so two runs (or two engines) disagree in the
     //      last bits and a hash gate fails. The stable rendering is
     //      the registry float policy generalized to SECOND moments —
-    //      the five sums Σx, Σy, Σx², Σy², Σxy as EXACT decimals
-    //      (each addend one IEEE product of identical operands, the
-    //      q01 cast discipline), cast to double once, then composed
-    //      through the identical expression tree in both engines
-    //      (sqrt is IEEE-correctly-rounded, so even it is
-    //      bit-stable). One partial-aggregated pass, no extra
-    //      shuffle: the moments ride the same groupBy as any other
+    //      the five sums Σx, Σy, Σx², Σy², Σxy as EXACT decimals,
+    //      cast to double once, then composed through the identical
+    //      expression tree in both engines (sqrt is IEEE-correctly-
+    //      rounded, so even it is bit-stable). The second moments
+    //      multiply DECIMAL FACTORS (cast each 2-decimal input to
+    //      DECIMAL(18,2), then multiply exactly), never decimal-cast
+    //      a double product — factor-first multiplication has no
+    //      rounding step at all, the inputs being exact 2-decimal
+    //      values. AND the oracle's final decimal→double goes through
+    //      VARCHAR: a scale-4 sum past 2^53 significand units
+    //      (price² sums are ~7e16 units even at sf0.001) hits
+    //      DuckDB's int/10^scale DOUBLE-ROUNDING in its native
+    //      decimal→double cast — a 1-ulp syy drift that moved only
+    //      corr, found at sf0.001 in round 7 — while decimal→string
+    //      →strtod is single-rounded on both engines (Spark's native
+    //      cast goes through BigDecimal.doubleValue, already
+    //      correctly rounded — verified bit-equal to python strtod).
+    //      One partial-aggregated pass, no extra shuffle:
+    //      the moments ride the same groupBy as any other
     //      aggregate. ----
     Q(
       "q119_correlation",
@@ -596,11 +608,14 @@ object Relational {
         |    CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sx,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE)
-        |      AS sxx,
-        |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4)))
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
         |      AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4)))
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
         |      AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n_rows,
@@ -617,10 +632,15 @@ object Relational {
           count(lit(1)).cast("double").as("n"),
           dsum(col("l_quantity"), D2).as("sx"),
           dsum(col("l_extendedprice"), D2).as("sy"),
-          dsum(col("l_quantity") * col("l_quantity"), D4).as("sxx"),
-          dsum(col("l_extendedprice") * col("l_extendedprice"), D4)
-            .as("syy"),
-          dsum(col("l_quantity") * col("l_extendedprice"), D4).as("sxy"))
+          sum(col("l_quantity").cast("decimal(18,2)")
+            * col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("syy"),
+          sum(col("l_quantity").cast("decimal(18,2)")
+            * col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sxy"))
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")

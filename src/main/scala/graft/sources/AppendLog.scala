@@ -68,15 +68,10 @@ object AppendLog {
     else s.read.parquet(dirs.map(b => s"$tableDir/$b"): _*)
   }
 
-  /** One SERIALIZED append: claims the lock, calls `body(version,
-    * committedDirs, batchName)` — which must write the new rows under
-    * `$tableDir/$batchName` and may build its return value over the
-    * committed dirs plus the fresh batch (all immutable, so the result
-    * stays valid after the lock releases) — then commits the manifest
-    * listing the new batch and releases the lock. Refuses loudly when
-    * another ingest holds the lock (see object scaladoc). */
-  def append[T](s: SparkSession, tableDir: String)(
-      body: (Int, Seq[String], String) => T): T = {
+  /** Claims `.ingest-lock` for the duration of `body` — the exclusive
+    * section every manifest writer (append AND compaction) runs in.
+    * Refuses loudly when the lock exists (see object scaladoc). */
+  private def withLock[T](s: SparkSession, tableDir: String)(body: => T): T = {
     val fs = fsOf(s, tableDir)
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     fs.mkdirs(dir)
@@ -91,20 +86,83 @@ object AppendLog {
         "miss each other's contribution. If no ingest is live, remove " +
         "the lock; batch dirs absent from the current manifest are " +
         "uncommitted garbage and safe to delete.")
-    try {
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Writes `manifest-(v+1)` listing `dirs` via tmp + rename (atomic on
+    * HDFS-like filesystems; never overwrites an existing manifest). */
+  private def commitManifest(s: SparkSession, tableDir: String, v: Int,
+      dirs: Seq[String]): Unit = {
+    val fs = fsOf(s, tableDir)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-${v + 1}.tmp")
+    val os = fs.create(tmp, false)
+    try os.write(dirs.mkString("\n").getBytes("UTF-8")) finally os.close()
+    val mf = new org.apache.hadoop.fs.Path(dir, s"manifest-${v + 1}")
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $mf")
+  }
+
+  /** One SERIALIZED append: claims the lock, calls `body(version,
+    * committedDirs, batchName)` — which must write the new rows under
+    * `$tableDir/$batchName` and may build its return value over the
+    * committed dirs plus the fresh batch (all immutable, so the result
+    * stays valid after the lock releases) — then commits the manifest
+    * listing the new batch and releases the lock. Refuses loudly when
+    * another ingest holds the lock (see object scaladoc). */
+  def append[T](s: SparkSession, tableDir: String)(
+      body: (Int, Seq[String], String) => T): T =
+    withLock(s, tableDir) {
       val (v, committed) = state(s, tableDir)
       val batchName = s"batch-${v + 1}"
       val result = body(v, committed, batchName)
-      // commit: manifest-(v+1) written to a tmp name, renamed into
-      // place (atomic on HDFS-like filesystems; never overwrites)
-      val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-${v + 1}.tmp")
-      val os = fs.create(tmp, false)
-      try os.write((committed :+ batchName).mkString("\n").getBytes("UTF-8"))
-      finally os.close()
-      val mf = new org.apache.hadoop.fs.Path(dir, s"manifest-${v + 1}")
-      if (!fs.rename(tmp, mf))
-        throw new java.io.IOException(s"manifest commit failed: $tmp -> $mf")
+      commitManifest(s, tableDir, v, committed :+ batchName)
       result
-    } finally fs.delete(lock, false)
+    }
+
+  /** Compaction: rewrite all committed batch dirs into ONE, committed
+    * through the same manifest protocol — the answer to unbounded
+    * batch-dir growth under continuous ingest (an index appended to
+    * hourly reads 8,760 dirs after a year; post-compaction readers
+    * open one). Runs under the SAME ingest lock, so compaction and
+    * ingests serialize against each other and a reader at any moment
+    * resolves a consistent manifest: either the old dir list or the
+    * single compacted dir — never a mix (the commit is one rename,
+    * inside the lock). Old batch dirs become unreferenced garbage,
+    * removed best-effort AFTER the commit — a crash between commit and
+    * cleanup leaves only harmless orphans, exactly like a crashed
+    * ingest's partial batch dir.
+    *
+    * `rewrite` maps the unioned rows to the compacted layout — identity
+    * by default; indexes pass a layout transform (e.g. postings sorted
+    * by term) to make the compacted segment row-group-prunable.
+    * Compacting an empty table refuses loudly: a mis-pointed dir should
+    * be caught, not papered over with an empty commit. */
+  def compact(s: SparkSession, tableDir: String,
+      rewrite: DataFrame => DataFrame = identity): Unit =
+    compactWith(s, tableDir) { (committed, compacted) =>
+      val all = s.read.parquet(committed.map(b => s"$tableDir/$b"): _*)
+      rewrite(all).write.parquet(s"$tableDir/$compacted")
+    }
+
+  /** [[compact]] with a caller-written compacted batch — for tables
+    * whose batch dirs hold an internal layout (e.g. IncrementalIndexing
+    * with `postings/` + `docstats/` sub-tables). `write(committedDirs,
+    * compactedName)` must materialize the full-table rewrite under
+    * `$tableDir/$compactedName`. */
+  def compactWith(s: SparkSession, tableDir: String)(
+      write: (Seq[String], String) => Unit): Unit = {
+    val fs = fsOf(s, tableDir)
+    val old = withLock(s, tableDir) {
+      val (v, committed) = state(s, tableDir)
+      if (committed.isEmpty) throw new IllegalStateException(
+        s"compact($tableDir): no committed batches — nothing to compact")
+      val compacted = s"batch-${v + 1}-compacted"
+      write(committed, compacted)
+      commitManifest(s, tableDir, v, Seq(compacted))
+      committed
+    }
+    old.foreach(b => fs.delete(
+      new org.apache.hadoop.fs.Path(tableDir, b), true))
   }
 }

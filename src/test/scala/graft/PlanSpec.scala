@@ -450,4 +450,58 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
       "both combine sides must read the persisted sketch table")
   }
+
+  test("q126: mixture weights are one persisted aggregate + a broadcast scalar") {
+    val p = planOf(SparkEntry.queries("q126_temperature_mix")(spark, sf))
+    assert(!p.contains("Explode"), "token mass must come from size(split), " +
+      "never a token explode")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the Σ-scalars must broadcast against the per-source rows")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both consumers must read the persisted per-source aggregate")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q127: all three boilerplate consumers read ONE persisted shingle pass") {
+    val p = planOf(SparkEntry.queries("q127_boilerplate_shingles")(spark, sf))
+    // (the explain re-prints the cached plan's inner scan per
+    // InMemoryTableScan reference — q116's note — so cache nodes, not
+    // the parquet-scan count, are the robust one-pass signal)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "n_docs, df, and membership must all read the cached shingles")
+  }
+
+  test("q128: MAD medians are grouped window sorts, never a global one") {
+    val p = planOf(SparkEntry.queries("q128_mad_outliers")(spark, sf))
+    assert(p.contains("Window"))
+    // every exchange the windows introduce is keyed by event_type —
+    // a SinglePartition exchange would be the global-sort regression
+    assert(!p.contains("SinglePartition"),
+      "no global single-partition stage in the MAD pipeline")
+  }
+
+  test("q130: BPE pair top-20 is TakeOrdered over a partial-aggregated count") {
+    val p = planOf(SparkEntry.queries("q130_bpe_pairs")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "no global sort for top-20")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair counts must partial-aggregate map-side")
+  }
+
+  test("q132: the served term filter pushes into the postings read") {
+    // serve from materialized segments: the BM25 term predicate must
+    // reach the segment scan, not filter post-read (the index's whole
+    // point — at 100 TB the postings table is the corpus-sized object)
+    val dir = java.nio.file.Files.createTempDirectory("pushidx")
+      .toString + "/index"
+    graft.llmdata.IncrementalIndexing.ingest(spark, dir,
+      Tables.documents(spark, sf))
+    val served = graft.llmdata.IncrementalIndexing.bm25(
+      graft.llmdata.IncrementalIndexing.readPostings(spark, dir),
+      graft.llmdata.IncrementalIndexing.readDocStats(spark, dir),
+      graft.llmdata.IncrementalIndexing.QueryTerms)
+    val p = planOf(served)
+    assert(p.contains("PushedFilters: [In(w, ["),
+      "query terms must push into the postings parquet scan")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }

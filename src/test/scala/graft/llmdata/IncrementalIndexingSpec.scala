@@ -63,4 +63,42 @@ class IncrementalIndexingSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
     assert(graft.sources.AppendLog.state(spark, dir)._1 == 2)
   }
+
+  test("compaction folds segments to one dir and changes NOTHING served") {
+    val dir = java.nio.file.Files.createTempDirectory("invcomp")
+      .toString + "/index"
+    val docs = graft.Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    IncrementalIndexing.ingest(spark, dir,
+      docs.filter(col("doc_id") <= maxId / 2))
+    IncrementalIndexing.ingest(spark, dir,
+      docs.filter(col("doc_id") > maxId / 2))
+    val before = rows(IncrementalIndexing.bm25(
+      IncrementalIndexing.readPostings(spark, dir),
+      IncrementalIndexing.readDocStats(spark, dir),
+      IncrementalIndexing.QueryTerms))
+    IncrementalIndexing.compact(spark, dir)
+    val (v, dirs) = graft.sources.AppendLog.state(spark, dir)
+    assert(dirs.size == 1 && dirs.head.endsWith("-compacted") && v == 3)
+    // old segment dirs are gone from disk, not just unreferenced
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "batch-1")))
+    val after = rows(IncrementalIndexing.bm25(
+      IncrementalIndexing.readPostings(spark, dir),
+      IncrementalIndexing.readDocStats(spark, dir),
+      IncrementalIndexing.QueryTerms))
+    assert(after == before)
+    // the compacted table keeps accepting ingests
+    IncrementalIndexing.ingest(spark, dir, docs.limit(0))
+    assert(graft.sources.AppendLog.state(spark, dir)._2.size == 2)
+  }
+
+  test("compacting an empty table refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("invempt")
+      .toString + "/index"
+    val e = intercept[IllegalStateException] {
+      IncrementalIndexing.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("nothing to compact"))
+  }
 }

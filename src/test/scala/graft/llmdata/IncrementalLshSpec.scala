@@ -81,4 +81,24 @@ class IncrementalLshSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), docs)
     assert(after.count() >= 0)
   }
+
+  test("band-index compaction preserves the row multiset and later emissions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lshcomp").toString + "/index"
+    val docs = graft.Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val e1 = rows(IncrementalLsh.ingest(spark, dir,
+      docs.filter(col("doc_id") <= maxId / 2), docs))
+    val preRows = rows(IncrementalLsh.readIndex(spark, dir)
+      .orderBy("doc_id", "band"))
+    IncrementalLsh.compact(spark, dir)
+    assert(rows(IncrementalLsh.readIndex(spark, dir)
+      .orderBy("doc_id", "band")) == preRows)
+    // an ingest against the compacted index emits the same pairs the
+    // uncompacted index would have (the full single-shot set with e1)
+    val e2 = rows(IncrementalLsh.ingest(spark, dir,
+      docs.filter(col("doc_id") > maxId / 2), docs))
+    assert((e1 ++ e2).sortBy(r => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long])) == rows(Dedup.minhashLsh(spark, sf)))
+  }
 }
