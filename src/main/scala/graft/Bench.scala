@@ -28,7 +28,7 @@ object Bench {
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
     // drop warm-up caches before any timing starts
-    Caches.release()
+    Caches.release(blocking = true)
     spark.catalog.clearCache()
     // n≥3 runs per query, report the median — single-run timings at this
     // scale have >2× variance, which round 2 mistook for regressions.
@@ -51,7 +51,7 @@ object Bench {
       // refs until an explicit unpersist. Cleared per query (not per
       // rep — reps share the cache by canonical-plan match, so the
       // median reports the warm path), outside the timed section.
-      Caches.release()
+      Caches.release(blocking = true)
       spark.catalog.clearCache()
       // decouple queries: collect the predecessor's garbage (freed
       // cache blocks, shuffle buffers) OUTSIDE the next timed section,

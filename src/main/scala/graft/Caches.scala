@@ -54,8 +54,14 @@ object Caches {
     * stopped). Fatal errors (OOM, linkage) propagate — cleanup must
     * not mask a dying JVM; an interrupt mid-cleanup is tolerated so
     * the remaining handles still free, but the thread's interrupt
-    * status is restored. */
-  def release(): Unit = {
+    * status is restored.
+    *
+    * `blocking = false` (default) is right for library callers — they
+    * should not stall on block eviction. The HARNESS mains pass
+    * `blocking = true`: async eviction of one query's blocks otherwise
+    * lands inside the NEXT query's timed section (the sf1 rehearsal's
+    * neighbor-contamination mechanism, SCALE.md). */
+  def release(blocking: Boolean = false): Unit = {
     def free(unpersist: () => Unit): Unit =
       try unpersist()
       catch {
@@ -65,13 +71,15 @@ object Caches {
     val q = tracked.get()
     var ds = q.poll()
     while (ds != null) {
-      free(() => ds.unpersist(blocking = false))
+      val d = ds
+      free(() => d.unpersist(blocking))
       ds = q.poll()
     }
     val qr = trackedRdds.get()
     var rdd = qr.poll()
     while (rdd != null) {
-      free(() => rdd.unpersist(blocking = false))
+      val r = rdd
+      free(() => r.unpersist(blocking))
       rdd = qr.poll()
     }
   }

@@ -27,7 +27,7 @@ object Dev {
       .foreach { case (name, fn) =>
         if (doExplain) {
           fn(spark, sfDir).explain("formatted")
-          Caches.release(); spark.catalog.clearCache()
+          Caches.release(blocking = true); spark.catalog.clearCache()
         }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -36,7 +36,7 @@ object Dev {
           println(f"[dev] $name rows=$c rep=$dt%.2fs")
           dt
         }
-        Caches.release(); spark.catalog.clearCache(); System.gc()
+        Caches.release(blocking = true); spark.catalog.clearCache(); System.gc()
         println(f"[dev] $name min=${times.min}%.2fs med=${times.sorted.apply(times.length / 2)}%.2fs")
       }
     spark.stop()

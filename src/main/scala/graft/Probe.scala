@@ -25,7 +25,7 @@ object Probe {
     val q = SparkEntry.queries(name)
     for (i <- 1 to n) {
       stages.clear()
-      Caches.release()
+      Caches.release(blocking = true)
       val t0 = System.nanoTime()
       val cnt = q(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -37,11 +37,11 @@ import org.apache.spark.sql.functions._
   * exists to measure plan-shape scaling and catch nonlinear cliffs.
   */
 object ScaleUp {
-  val Factor = 10
-
   def main(args: Array[String]): Unit = {
     val in = sys.env.getOrElse("SPARK_GRAFT_SCALE_IN", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/data/sf1")
+    // replication factor: 10 → sf1, 100 → sf10 (the two-decade probe)
+    val Factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -103,12 +103,24 @@ object ScaleUp {
       "documents", 8)
 
     val emb = t("embeddings"); val vecSpan = span(emb, "vec_id")
+    // per-replica isometry from the dihedral group (rotation by r, plus
+    // reversal when r exceeds the dimension): 2·dim distinct transforms,
+    // so even Factor=100 replicas of 64-dim vectors never repeat a
+    // transform — a plain rotation would alias replica r with r+dim and
+    // plant spurious cross-replica exact-duplicate vectors
     write(
       shifted(replicate(emb), Map("vec_id" -> vecSpan))
         .withColumn("embedding", expr(
-          """transform(embedding,
-             (x, i) -> element_at(embedding,
-               CAST((i + r) % size(embedding) AS INT) + 1))""")),
+          """CASE WHEN (r div size(embedding)) % 2 = 1 THEN
+               transform(embedding,
+                 (x, i) -> element_at(embedding,
+                   CAST((size(embedding) - 1 - i + r) % size(embedding)
+                     AS INT) + 1))
+             ELSE
+               transform(embedding,
+                 (x, i) -> element_at(embedding,
+                   CAST((i + r) % size(embedding) AS INT) + 1))
+             END""")),
       "embeddings", 4)
 
     spark.stop()

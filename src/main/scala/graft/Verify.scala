@@ -32,7 +32,7 @@ object Verify {
       // persisted intermediates are per-query; CacheManager never frees
       // them on its own (strong refs until unpersist). Caches.release()
       // is the library mechanism; clearCache is harness belt-and-braces.
-      Caches.release()
+      Caches.release(blocking = true)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

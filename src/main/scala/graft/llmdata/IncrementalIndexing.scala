@@ -60,15 +60,54 @@ object IncrementalIndexing {
   /** One SERIALIZED ingest: tokenize `batchDocs` only, append its
     * posting segment + doc stats as `batch-<k>/`, commit via the
     * manifest. Refuses loudly on a concurrent ingest
-    * ([[graft.sources.AppendLog.append]]). */
-  def ingest(s: SparkSession, indexDir: String, batchDocs: DataFrame)
-      : Unit =
+    * ([[graft.sources.AppendLog.append]]).
+    *
+    * `streamBatchId` is the streaming twin's replay armor
+    * ([[graft.streaming.StreamingIndexMaintenance]]): foreachBatch is
+    * at-least-once, and a replayed micro-batch ingested twice would
+    * DOUBLE its docs' postings — corrupting df/N for good, unlike an
+    * idempotent sink overwrite. When set, the id is stamped into the
+    * committed batch dir (`_stream_batch_id`), and the caller checks
+    * [[maxStreamBatchId]] before ingesting. */
+  def ingest(s: SparkSession, indexDir: String, batchDocs: DataFrame,
+      streamBatchId: Option[Long] = None): Unit =
     graft.sources.AppendLog.append(s, indexDir) { (_, _, batchName) =>
       val p = postings(batchDocs)
       p.write.parquet(s"$indexDir/$batchName/postings")
       p.select("doc_id", "dl").distinct()
         .write.parquet(s"$indexDir/$batchName/docstats")
+      streamBatchId.foreach { id =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val os = fs.create(new org.apache.hadoop.fs.Path(
+          s"$indexDir/$batchName/_stream_batch_id"), false)
+        try os.write(id.toString.getBytes("UTF-8")) finally os.close()
+      }
     }
+
+  /** Highest `_stream_batch_id` across COMMITTED batch dirs — None for
+    * a fresh index or one only ever fed by batch ingests. */
+  def maxStreamBatchId(s: SparkSession, indexDir: String): Option[Long] =
+    markerMax(s, indexDir,
+      graft.sources.AppendLog.state(s, indexDir)._2)
+
+  private def markerMax(s: SparkSession, indexDir: String,
+      dirs: Seq[String]): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ids = dirs.flatMap { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$b/_stream_batch_id")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .trim.toLong)
+        finally in.close()
+      }
+    }
+    ids.sorted.lastOption
+  }
 
   private def readSub(s: SparkSession, indexDir: String, sub: String,
       schema: StructType): DataFrame = {
@@ -103,6 +142,18 @@ object IncrementalIndexing {
         .write.parquet(s"$indexDir/$name/postings")
       s.read.parquet(committed.map(b => s"$indexDir/$b/docstats"): _*)
         .write.parquet(s"$indexDir/$name/docstats")
+      // the compacted dir carries the stream-replay high-water mark
+      // forward — computed from the dirs being folded, INSIDE the lock
+      // (an outside read could miss a streaming ingest that landed just
+      // before the lock) — or a micro-batch replay arriving after
+      // compaction would look fresh and double-ingest
+      markerMax(s, indexDir, committed).foreach { id =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val os = fs.create(new org.apache.hadoop.fs.Path(
+          s"$indexDir/$name/_stream_batch_id"), false)
+        try os.write(id.toString.getBytes("UTF-8")) finally os.close()
+      }
     }
 
   /** BM25 top-`k` over index tables — q70's exact expression tree

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llmdata.IncrementalIndexing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Continuous index maintenance: a streamed corpus must build the SAME
+  * index a batch build produces, and at-least-once micro-batch replays
+  * must not double-ingest (the append-only sink's replay armor). */
+class StreamingIndexSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def served(dir: String): Seq[Seq[Any]] =
+    IncrementalIndexing.bm25(
+      IncrementalIndexing.readPostings(spark, dir),
+      IncrementalIndexing.readDocStats(spark, dir),
+      IncrementalIndexing.QueryTerms)
+      .collect().toSeq.map(_.toSeq)
+
+  test("stream-built index serves exactly the batch-built retrieval") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simidx")
+      .toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("simckpt").toString
+    val docs = graft.Tables.documents(sp, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](sp)
+    val q = StreamingIndexMaintenance.start(
+      input.toDF.toDF("doc_id", "text"), dir, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val (a, b) = docs.splitAt(docs.length / 2)
+    // one processAllAvailable per addData forces ≥2 micro-batches
+    input.addData(a.toSeq); q.processAllAvailable()
+    input.addData(b.toSeq); q.processAllAvailable()
+    q.stop()
+    // ≥2 committed segments (one per micro-batch), same serve as batch
+    assert(graft.sources.AppendLog.state(sp, dir)._2.size >= 2)
+    val batchDir = java.nio.file.Files.createTempDirectory("simbatch")
+      .toString + "/index"
+    IncrementalIndexing.ingest(sp, batchDir,
+      graft.Tables.documents(sp, sf))
+    assert(served(dir) == served(batchDir))
+  }
+
+  test("a replayed micro-batch id is skipped — postings never double") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("simreplay")
+      .toString + "/index"
+    val batch: DataFrame = graft.Tables.documents(sp, sf)
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    StreamingIndexMaintenance.ingestBatch(dir)(batch, 0L)
+    val once = IncrementalIndexing.readPostings(sp, dir).count()
+    assert(once > 0)
+    // at-least-once replay of the same micro-batch: must be a no-op
+    StreamingIndexMaintenance.ingestBatch(dir)(batch, 0L)
+    assert(IncrementalIndexing.readPostings(sp, dir).count() == once)
+    // the NEXT micro-batch ingests normally
+    StreamingIndexMaintenance.ingestBatch(dir)(
+      graft.Tables.documents(sp, sf)
+        .filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select("doc_id", "text"), 1L)
+    assert(IncrementalIndexing.readPostings(sp, dir).count() > once)
+    assert(IncrementalIndexing.maxStreamBatchId(sp, dir).contains(1L))
+  }
+
+  test("compaction carries the replay high-water mark forward") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("simhwm")
+      .toString + "/index"
+    val docs = graft.Tables.documents(sp, sf).select("doc_id", "text")
+    StreamingIndexMaintenance.ingestBatch(dir)(
+      docs.filter(col("doc_id") < 50), 0L)
+    StreamingIndexMaintenance.ingestBatch(dir)(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), 1L)
+    IncrementalIndexing.compact(sp, dir)
+    assert(IncrementalIndexing.maxStreamBatchId(sp, dir).contains(1L),
+      "compacted dir must keep the mark")
+    val n = IncrementalIndexing.readPostings(sp, dir).count()
+    // a stale replay AFTER compaction must still be recognized
+    StreamingIndexMaintenance.ingestBatch(dir)(
+      docs.filter(col("doc_id") < 50), 1L)
+    assert(IncrementalIndexing.readPostings(sp, dir).count() == n)
+  }
+}

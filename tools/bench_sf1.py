@@ -38,7 +38,10 @@ merged, total = {}, 0.0
 for g in groups:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPS="1",
                SPARK_GRAFT_ONLY=",".join(g))
-    r = subprocess.run(["java", "-Xmx32g", "-cp", CP, "graft.Bench"],
+    # 8g = the driver's SPARK_DRIVER_MEM default (build.sbt). NOT more:
+    # G1 on a 32-100g heap runs this cache-churn workload 2-4x SLOWER
+    # (q29 at sf1: 11.4 s at 8g vs 23.7 s at 32g) - measured round 7
+    r = subprocess.run(["java", "-Xmx8g", "-cp", CP, "graft.Bench"],
                        capture_output=True, text=True, env=env)
     line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
     if not line:
