@@ -25,7 +25,8 @@ object SparkEntry {
       llmdata.Mixing.qs ++
       llmdata.Indexing.qs ++
       llmdata.IncrementalIndexing.qs ++
-      llmdata.Multimodal.qs
+      llmdata.Multimodal.qs ++
+      llmdata.Snapshots.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate (q03): exercises scan, broadcast joins,

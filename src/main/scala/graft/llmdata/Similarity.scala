@@ -996,5 +996,79 @@ object Similarity {
       }
       base.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
     },
+
+    // ---- q136: embedding drift audit — squared distance between each
+    //      label's class centroid in two corpus epochs (vec_id parity
+    //      stands in for snapshot membership): the "did the embedding
+    //      space move under me" check run before reusing a trained ANN
+    //      index / codebook across releases (q52's centroids, q91's
+    //      prototypes go stale exactly when this number jumps).
+    //      Exactness the q91/q113 way — int8-quantize FIRST, then the
+    //      means never materialize as floats: per (label, dim, epoch)
+    //      the EXACT integer sums s_e and counts n_e ride ONE
+    //      (label, dim)-keyed partial-aggregated pass (epochs as
+    //      conditional sums, never a self-join of the two snapshots);
+    //      drift² = Σ_d (s0·n1 − s1·n0)² / (n0·n1)² keeps the
+    //      numerator an exact DECIMAL and spends its ONE IEEE division
+    //      at the end. Second stage aggregates 8·|labels| rows. Oracle
+    //      casts its decimal through VARCHAR (the q119 2^53 rule). ----
+    Q(
+      "q136_embedding_drift",
+      """WITH v AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |q8 AS (SELECT label, vec_id % 2 AS epoch, dim,
+        |    CAST(floor(e[dim] * 127.0 / mx + 0.5) AS BIGINT) AS q
+        |  FROM v, unnest(range(1, 9)) AS t(dim) WHERE mx > 0),
+        |m AS (SELECT label, dim,
+        |    CAST(sum(CASE WHEN epoch = 0 THEN q ELSE 0 END) AS BIGINT)
+        |      AS s0,
+        |    CAST(sum(CASE WHEN epoch = 1 THEN q ELSE 0 END) AS BIGINT)
+        |      AS s1,
+        |    CAST(count(CASE WHEN epoch = 0 THEN 1 END) AS BIGINT) AS n0,
+        |    CAST(count(CASE WHEN epoch = 1 THEN 1 END) AS BIGINT) AS n1
+        |  FROM q8 GROUP BY 1, 2),
+        |agg AS (SELECT label, min(n0) AS n0, min(n1) AS n1,
+        |    sum(CAST(s0 * n1 - s1 * n0 AS DECIMAL(19,0)) *
+        |        CAST(s0 * n1 - s1 * n0 AS DECIMAL(19,0))) AS num
+        |  FROM m GROUP BY 1)
+        |SELECT CAST(label AS INT) AS label, n0, n1,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |    (CAST(n0 AS DOUBLE) * n1 * n0 * n1) AS drift2
+        |FROM agg ORDER BY label""".stripMargin,
+    ) { (s, d) =>
+      val m = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("epoch"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .select(col("label"), col("epoch"),
+          explode(sequence(lit(1), lit(8))).as("dim"),
+          col("e"), col("mx"))
+        .select(col("label"), col("epoch"), col("dim"),
+          quantizeInt8(element_at(col("e"), col("dim")), col("mx"))
+            .cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(
+          sum(when(col("epoch") === 0, col("q")).otherwise(lit(0L)))
+            .as("s0"),
+          sum(when(col("epoch") === 1, col("q")).otherwise(lit(0L)))
+            .as("s1"),
+          count(when(col("epoch") === 0, lit(1))).as("n0"),
+          count(when(col("epoch") === 1, lit(1))).as("n1"))
+      val diff = (col("s0") * col("n1") - col("s1") * col("n0"))
+        .cast("decimal(19,0)")
+      m.groupBy("label")
+        .agg(min("n0").as("n0"), min("n1").as("n1"),
+          sum(diff * diff).as("num"))
+        .select(col("label").cast("int").as("label"), col("n0"),
+          col("n1"),
+          (col("num").cast("double") /
+            (col("n0").cast("double") * col("n1") * col("n0") *
+              col("n1"))).as("drift2"))
+        .orderBy("label")
+    },
   )
 }

@@ -1,0 +1,140 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus snapshot versioning — the CDC pair every managed training
+  * corpus needs: DERIVE a change feed by diffing two snapshots (q133)
+  * and APPLY a change feed onto a base snapshot (q135, the lakehouse
+  * MERGE/upsert primitive). Together they close the loop the batch
+  * layout seams (`sources/AppendLog`, `Maintenance.atomicSwap`) leave
+  * open: "what changed between corpus v7 and v8, and how do I produce
+  * v8 from v7 plus a changelog" — the audit trail data-governance
+  * reviews ask for, and the incremental alternative to re-shipping
+  * 100 TB per release.
+  *
+  * Both operators are ONE full-outer id-keyed join: digests (md5) are
+  * computed MAP-SIDE before the exchange, so the shuffle carries
+  * (id, 16-byte digest), never document text; output cardinality is
+  * the CHANGED set (diff) or the corpus (merge), with no stage ever
+  * holding more than one row per id per side. At 100 TB both sides
+  * being id-bucketed tables makes the join exchange-free
+  * (`sources/Bucketed`); nothing here sorts globally except the final
+  * presentation ORDER BY the driver's hash gate requires.
+  *
+  * The two snapshots / the changelog are DERIVED deterministically
+  * from `documents` (modular-arithmetic row selection) so both engines
+  * construct byte-identical inputs — test scaffolding for what would
+  * be two real table versions in production; the operators themselves
+  * never look at how their inputs were made.
+  */
+object Snapshots {
+
+  /** Deterministic digest of a document's content — what the shuffle
+    * carries instead of text. */
+  private def dg(text: org.apache.spark.sql.Column) = md5(text)
+
+  val qs: Seq[Q] = Seq(
+    // ---- q133: snapshot diff — row-level change feed between two
+    //      corpus versions. old = v7 (docs with id % 11 = 3 not yet
+    //      crawled), new = v8 (docs with id % 13 = 5 since deleted,
+    //      docs with id % 7 = 2 re-extracted with different text).
+    //      Emits (doc_id, status ∈ added|removed|changed); unchanged
+    //      rows are filtered BEFORE the sort, so the output is the
+    //      changelog, not the corpus. The full-outer join keys on id;
+    //      both inputs are digest projections, so at 100 TB the wide
+    //      state is 24 bytes/row. q118's order-free checksum answers
+    //      "are they equal"; this answers "show me every difference"
+    //      at one more shuffle. ----
+    Q(
+      "q133_snapshot_diff",
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS odg FROM documents
+        |  WHERE doc_id % 11 <> 3),
+        |new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN md5(text || ' v2')
+        |         ELSE md5(text) END AS ndg
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.odg <> n.ndg
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), dg(col("text")).as("odg"))
+      val nw = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 2,
+            dg(concat(col("text"), lit(" v2"))))
+            .otherwise(dg(col("text"))).as("ndg"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .filter(col("odg").isNull || col("ndg").isNull ||
+          col("odg") =!= col("ndg"))
+        .select(col("doc_id"),
+          when(col("odg").isNull, lit("added"))
+            .when(col("ndg").isNull, lit("removed"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q135: MERGE / upsert — apply a changelog (op ∈ D|U|I) onto
+    //      a base snapshot, producing the next version. Matched D
+    //      drops the row, matched U replaces its text, unmatched I
+    //      inserts; base rows without a change pass through. The apply
+    //      itself is ONE full-outer join on id (each base id meets at
+    //      most one change row — the changelog's PK contract) and a
+    //      row-local CASE; output digests prove content, not just
+    //      membership. The changelog here is derived from `documents`
+    //      (three filtered projections unioned — in production it IS
+    //      a table, e.g. q133's output joined back to the new text).
+    //      Inverse pair with q133: applying the q133-style feed
+    //      reproduces the new snapshot exactly. ----
+    Q(
+      "q135_merge_upsert",
+      """WITH chg AS (
+        |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS ctext
+        |  FROM documents WHERE doc_id % 13 = 5
+        |  UNION ALL
+        |  SELECT doc_id, 'U' AS op, text || ' v2' AS ctext
+        |  FROM documents WHERE doc_id % 7 = 2 AND doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'I' AS op, text AS ctext
+        |  FROM documents WHERE doc_id % 17 = 3),
+        |m AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN c.op = 'D' THEN CAST(NULL AS VARCHAR)
+        |         WHEN c.op IS NULL THEN b.text
+        |         ELSE c.ctext END AS ftext
+        |  FROM documents b FULL OUTER JOIN chg c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, md5(ftext) AS dg FROM m
+        |WHERE ftext IS NOT NULL ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val del = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("ctext"))
+      val upd = docs
+        .filter(col("doc_id") % 7 === 2 && col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), lit("U").as("op"),
+          concat(col("text"), lit(" v2")).as("ctext"))
+      val ins = docs.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("I").as("op"), col("text").as("ctext"))
+      docs.select(col("doc_id"), col("text"))
+        .join(del.unionAll(upd).unionAll(ins), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("op") === "D", lit(null).cast("string"))
+            .when(col("op").isNull, col("text"))
+            .otherwise(col("ctext")).as("ftext"))
+        .filter(col("ftext").isNotNull)
+        .select(col("doc_id"), dg(col("ftext")).as("dg"))
+        .orderBy("doc_id")
+    },
+  )
+}

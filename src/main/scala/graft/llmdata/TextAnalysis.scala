@@ -705,5 +705,66 @@ object TextAnalysis {
             .as("rel_fertility"))
         .orderBy("lang", "source")
     },
+
+    // ---- q134: vocabulary growth curve (Heaps' law audit) — distinct
+    //      vocabulary accumulated at ~10 equal corpus-prefix
+    //      checkpoints, next to the token mass at each: "how much NEW
+    //      vocabulary does the next 10% of corpus buy" — the
+    //      saturation curve behind crawl-budget and tokenizer-vocab
+    //      decisions (Heaps' law; public literature), and the curve
+    //      form of q90's per-shard novelty. Scale discipline: the
+    //      checkpoint WIDTH derives from max(doc_id) (a broadcast
+    //      one-row scalar, q15 pattern) so the bucket domain is ≤ 11
+    //      at ANY corpus size — never a fixed width whose bucket count
+    //      grows with the data. A token's first-seen bucket is a MIN
+    //      riding the one token-keyed shuffle (partial-aggregated,
+    //      q90's no-join rule); token mass per bucket is size(split)
+    //      with NO explode (q131's rule); the only unpartitioned
+    //      window is the cumulative sum over ≤ 11 bucket rows. ----
+    Q(
+      "q134_vocab_growth",
+      """WITH b AS (SELECT max(doc_id) // 10 + 1 AS w FROM documents),
+        |tokc AS (SELECT doc_id // (SELECT w FROM b) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |firsts AS (SELECT tok, min(doc_id // (SELECT w FROM b)) AS fb
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |        FROM documents) GROUP BY 1),
+        |per AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT)
+        |    AS new_types FROM firsts GROUP BY 1)
+        |SELECT t.bucket, t.n_docs, t.n_tok,
+        |  CAST(sum(t.n_tok) OVER (ORDER BY t.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+        |  CAST(COALESCE(p.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(COALESCE(p.new_types, 0)) OVER (ORDER BY t.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM tokc t LEFT JOIN per p ON t.bucket = p.bucket
+        |ORDER BY t.bucket""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documentsSpread(s, d)
+      val width = docs.agg((expr("max(doc_id) div 10") + 1).as("w"))
+      val bucketed = docs.crossJoin(broadcast(width))
+        .withColumn("bucket", expr("doc_id div w"))
+      val tokc = bucketed
+        .select(col("bucket"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tok"))
+      val per = bucketed
+        .select(col("bucket"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(min("bucket").as("fb"))
+        .groupBy(col("fb").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val cum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokc.join(per, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_tok"),
+          sum("n_tok").over(cum).as("cum_tok"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"),
+          sum(coalesce(col("new_types"), lit(0L))).over(cum)
+            .as("cum_types"))
+        .orderBy("bucket")
+    },
   )
 }

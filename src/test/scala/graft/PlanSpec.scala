@@ -504,4 +504,39 @@ class PlanSpec extends SparkSpec {
       "query terms must push into the postings parquet scan")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q133/q135: snapshot diff + merge are id-keyed joins carrying digests, not text") {
+    for (name <- Seq("q133_snapshot_diff", "q135_merge_upsert")) {
+      val p = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(p.contains("FullOuter"), s"$name: one full-outer id join")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: no pair enumeration")
+    }
+    // the diff's exchanges must move 16-byte digests, never document
+    // text: no exchange output schema may carry the text column
+    val p = planOf(SparkEntry.queries("q133_snapshot_diff")(spark, sf))
+    val exchangeArgs = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeArgs.nonEmpty)
+    assert(!exchangeArgs.exists(_.contains("text#")),
+      "diff shuffles digests, not text")
+  }
+
+  test("q134: first-seen bucket is a token-keyed partial aggregate; the only unpartitioned window covers the bucket domain") {
+    val p = planOf(SparkEntry.queries("q134_vocab_growth")(spark, sf))
+    assert("partial_min\\(bucket".r.findAllIn(p).nonEmpty,
+      "token first-bucket must partial-aggregate map-side")
+    // width is a broadcast one-row scalar (q15 pattern) — the only
+    // nested-loop joins allowed are those scalar broadcasts
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bucket width arrives as a broadcast scalar")
+  }
+
+  test("q136: drift moments ride one (label, dim)-keyed partial aggregate — no epoch self-join") {
+    val p = planOf(SparkEntry.queries("q136_embedding_drift")(spark, sf))
+    assert(!p.contains("Join"), "epochs are conditional sums, not a join")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "partial + final at both aggregation levels")
+  }
 }
