@@ -136,5 +136,73 @@ object Snapshots {
         .select(col("doc_id"), dg(col("ftext")).as("dg"))
         .orderBy("doc_id")
     },
+
+    // ---- q137: changelog compaction — fold a multi-epoch change
+    //      history down to the LAST operation per key (Kafka
+    //      log-compaction semantics; the step a real pipeline runs
+    //      before q135's apply so the merge join sees one row per key
+    //      no matter how many epochs accumulated). Rendered as ONE
+    //      partial-aggregated max_by per column (latest-seq argmax) —
+    //      never an id-keyed window SORT: at 100 TB the history is
+    //      corpus-sized × epochs, and an argmax fold is O(1) state per
+    //      key where row_number pays a per-key sort. Deletes carry a
+    //      '' sentinel payload rather than NULL because BOTH engines'
+    //      argmax skips null arguments — a silent
+    //      latest-non-null-wins bug otherwise (decision log). Three
+    //      epochs are derived from `documents` with disjoint seq
+    //      ranges; a delete in epoch 1 can be resurrected in epoch 3,
+    //      which the oracle checks value-for-value. ----
+    Q(
+      "q137_changelog_compaction",
+      """WITH log AS (
+        |  SELECT doc_id, 1000000 + doc_id AS seq, 'U' AS op,
+        |    text || ' e1' AS ctext
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 + doc_id AS seq, 'D' AS op, '' AS ctext
+        |  FROM documents WHERE doc_id % 6 = 2 AND doc_id % 5 <> 1
+        |  UNION ALL
+        |  SELECT doc_id, 2000000 + doc_id AS seq, 'U' AS op,
+        |    text || ' e2' AS ctext
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 3000000 + doc_id AS seq, 'D' AS op, '' AS ctext
+        |  FROM documents WHERE doc_id % 5 = 1 AND doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT doc_id, 3000000 + doc_id AS seq, 'U' AS op,
+        |    text || ' e3' AS ctext
+        |  FROM documents WHERE doc_id % 6 = 2 AND doc_id % 5 <> 1),
+        |c AS (SELECT doc_id, arg_max(op, seq) AS op,
+        |    arg_max(ctext, seq) AS lastc
+        |  FROM log GROUP BY 1)
+        |SELECT doc_id, op,
+        |  CASE WHEN op = 'D' THEN CAST(NULL AS VARCHAR)
+        |       ELSE md5(lastc) END AS dg
+        |FROM c ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def epoch(base: Long, pred: org.apache.spark.sql.Column,
+          op: String, suffix: Option[String]) =
+        docs.filter(pred).select(col("doc_id"),
+          (lit(base) + col("doc_id")).as("seq"), lit(op).as("op"),
+          suffix.map(x => concat(col("text"), lit(x)))
+            .getOrElse(lit("")).as("ctext"))
+      val log = epoch(1000000L, col("doc_id") % 5 === 1, "U", Some(" e1"))
+        .unionAll(epoch(1000000L,
+          col("doc_id") % 6 === 2 && col("doc_id") % 5 =!= 1, "D", None))
+        .unionAll(epoch(2000000L, col("doc_id") % 7 === 3, "U", Some(" e2")))
+        .unionAll(epoch(3000000L,
+          col("doc_id") % 5 === 1 && col("doc_id") % 9 === 4, "D", None))
+        .unionAll(epoch(3000000L,
+          col("doc_id") % 6 === 2 && col("doc_id") % 5 =!= 1, "U",
+          Some(" e3")))
+      log.groupBy("doc_id")
+        .agg(max_by(col("op"), col("seq")).as("op"),
+          max_by(col("ctext"), col("seq")).as("lastc"))
+        .select(col("doc_id"), col("op"),
+          when(col("op") === "D", lit(null).cast("string"))
+            .otherwise(md5(col("lastc"))).as("dg"))
+        .orderBy("doc_id")
+    },
   )
 }

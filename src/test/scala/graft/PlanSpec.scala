@@ -533,6 +533,14 @@ class PlanSpec extends SparkSpec {
       "bucket width arrives as a broadcast scalar")
   }
 
+  test("q137: compaction is a partial-aggregated argmax fold, never an id-keyed window sort") {
+    val p = planOf(SparkEntry.queries("q137_changelog_compaction")(spark, sf))
+    assert(!p.contains("Window"),
+      "latest-op-per-key must fold, not rank a per-key sort")
+    assert(p.contains("partial_max_by"),
+      "argmax must partial-aggregate map-side")
+  }
+
   test("q136: drift moments ride one (label, dim)-keyed partial aggregate — no epoch self-join") {
     val p = planOf(SparkEntry.queries("q136_embedding_drift")(spark, sf))
     assert(!p.contains("Join"), "epochs are conditional sums, not a join")
