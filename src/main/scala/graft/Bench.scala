@@ -70,9 +70,12 @@ object Bench {
     // the driver scrapes stdout's tail; with 107 queries the single JSON
     // line can outgrow that capture window (round 5 lost the comparison
     // to exactly this). Persist the line to a known path as well, so the
-    // bench record survives any stdout truncation.
+    // bench record survives any stdout truncation. ONLY full-registry
+    // runs persist — a SPARK_GRAFT_ONLY subset or sf1 chunk run
+    // otherwise clobbers the round record with a partial one (it did,
+    // twice, in round 7).
     println(json)
-    try {
+    if (only.isEmpty) try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
       java.nio.file.Files.write(p,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
