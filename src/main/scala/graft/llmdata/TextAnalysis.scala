@@ -766,5 +766,68 @@ object TextAnalysis {
             .as("cum_types"))
         .orderBy("bucket")
     },
+
+    // ---- q138: cross-lingual pair mining — candidate parallel /
+    //      comparable document pairs anchored on RARE shared 5-gram
+    //      shingles (the classic pre-embedding document-alignment
+    //      heuristic: rare anchors, then pair docs sharing ≥ 2 of
+    //      them, across DIFFERENT languages; public literature on
+    //      parallel-corpus mining). The df cap is the whole scale
+    //      story: only shingles with df ∈ [2, 3] become anchors, so
+    //      per-anchor pair fan-out is ≤ C(3,2) = 3 BY CONSTRUCTION —
+    //      the anchor join cannot skew, cannot go quadratic, and
+    //      needs no salting (contrast q28's prefix filter, which
+    //      bounds candidates probabilistically; here the bound is the
+    //      predicate itself). ONE persisted shingle pass feeds the df
+    //      count and both sides of the anchor join (q127's
+    //      discipline); lang inequality prunes same-language near-dups
+    //      (q29's territory) from the output. ----
+    Q(
+      "q138_crosslingual_pairs",
+      """WITH sh AS (SELECT DISTINCT doc_id, lang,
+        |    string_split(text,' ')[i] || ' ' ||
+        |    string_split(text,' ')[i+1] || ' ' ||
+        |    string_split(text,' ')[i+2] || ' ' ||
+        |    string_split(text,' ')[i+3] || ' ' ||
+        |    string_split(text,' ')[i+4] AS g
+        |  FROM documents,
+        |    unnest(range(1, len(string_split(text,' ')) - 3)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 5),
+        |dfw AS (SELECT g FROM sh GROUP BY g
+        |  HAVING count(*) BETWEEN 2 AND 3),
+        |posts AS (SELECT sh.g, sh.doc_id, sh.lang
+        |  FROM sh JOIN dfw ON sh.g = dfw.g)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.lang AS lang_a, b.lang AS lang_b,
+        |  CAST(count(*) AS BIGINT) AS n_anchors
+        |FROM posts a JOIN posts b
+        |  ON a.g = b.g AND a.doc_id < b.doc_id AND a.lang <> b.lang
+        |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, d) =>
+      val sh = graft.Caches.persist(Tables.documentsSpread(s, d)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(w) - 5), i -> concat(" +
+              "w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', " +
+              "w[i+4]))"))).as("g")))
+      val anchors = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 3)).select("g")
+      val posts = graft.Caches.persist(sh.join(anchors, Seq("g")))
+      val a = posts.select(col("g"), col("doc_id").as("doc_a"),
+        col("lang").as("lang_a"))
+      val b = posts.select(col("g"), col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"))
+      a.join(b, Seq("g"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("lang_a") =!= col("lang_b"))
+        .groupBy("doc_a", "doc_b", "lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_anchors"))
+        .filter(col("n_anchors") >= 2)
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

@@ -541,6 +541,14 @@ class PlanSpec extends SparkSpec {
       "argmax must partial-aggregate map-side")
   }
 
+  test("q138: anchor pairing is a df-capped equi-join over one persisted shingle pass") {
+    val p = planOf(SparkEntry.queries("q138_crosslingual_pairs")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no pair enumeration")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "shingle pass + capped postings must be persisted, not recomputed")
+  }
+
   test("q136: drift moments ride one (label, dim)-keyed partial aggregate — no epoch self-join") {
     val p = planOf(SparkEntry.queries("q136_embedding_drift")(spark, sf))
     assert(!p.contains("Join"), "epochs are conditional sums, not a join")
