@@ -26,7 +26,8 @@ object SparkEntry {
       llmdata.Indexing.qs ++
       llmdata.IncrementalIndexing.qs ++
       llmdata.Multimodal.qs ++
-      llmdata.Snapshots.qs
+      llmdata.Snapshots.qs ++
+      llmdata.Governance.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate (q03): exercises scan, broadcast joins,
