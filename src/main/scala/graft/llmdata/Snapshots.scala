@@ -204,5 +204,104 @@ object Snapshots {
             .otherwise(md5(col("lastc"))).as("dg"))
         .orderBy("doc_id")
     },
+
+    // ---- q141: time-travel read — reconstruct the corpus AS OF each
+    //      of three version boundaries from base + a multi-epoch
+    //      changelog, and emit the per-version integrity line (row
+    //      count + q118's order-free checksum over id‖content). This
+    //      is the "SELECT … VERSION AS OF v" primitive a versioned
+    //      corpus store serves, composed from q137's compaction
+    //      (argmax over seq ≤ boundary) and q135's apply (full-outer
+    //      + row-local CASE), with ONE log scan and ONE base scan
+    //      shared across all three boundaries. The tri-version fanout
+    //      (base × versions) is the AUDIT shape — a release-integrity
+    //      sweep comparing every live version in one pass; a
+    //      production single-version read drops the versions join and
+    //      is exactly q135. Epoch 9 deletes rows epoch 7 updated and
+    //      epoch 8 re-inserts a base-deleted id, so the three
+    //      checksums pin ordering semantics, not just counts.
+    //      Deletes carry the '' sentinel (q137's argmax-null
+    //      decision). ----
+    Q(
+      "q141_time_travel",
+      """WITH log AS (
+        |  SELECT 7 AS epoch, doc_id, 7000000 + doc_id AS seq, 'U' AS op,
+        |    text || ' e7' AS ctext
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT 7, doc_id, 7000000 + doc_id, 'D', ''
+        |  FROM documents WHERE doc_id % 10 = 3 AND doc_id % 4 <> 1
+        |  UNION ALL
+        |  SELECT 8, doc_id, 8000000 + doc_id, 'U', text || ' e8'
+        |  FROM documents WHERE doc_id % 9 = 2
+        |  UNION ALL
+        |  SELECT 8, doc_id + 2000000, 8000000 + doc_id, 'U', text
+        |  FROM documents WHERE doc_id % 10 = 3 AND doc_id % 15 = 3
+        |  UNION ALL
+        |  SELECT 9, doc_id, 9000000 + doc_id, 'D', ''
+        |  FROM documents WHERE doc_id % 4 = 1 AND doc_id % 8 = 5),
+        |vs AS (SELECT * FROM (VALUES (7), (8), (9)) AS t(v)),
+        |c AS (
+        |  SELECT vs.v, l.doc_id, arg_max(l.op, l.seq) AS op,
+        |    arg_max(l.ctext, l.seq) AS lastc
+        |  FROM log l JOIN vs ON l.epoch <= vs.v
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT COALESCE(c.v, b.v) AS v,
+        |    COALESCE(c.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN c.op = 'D' THEN CAST(NULL AS VARCHAR)
+        |         WHEN c.op IS NULL THEN b.text
+        |         ELSE c.lastc END AS ftext
+        |  FROM (SELECT vs.v, d.doc_id, d.text
+        |        FROM documents d CROSS JOIN vs) b
+        |  FULL OUTER JOIN c ON b.v = c.v AND b.doc_id = c.doc_id)
+        |SELECT v AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(CAST(('0x' || substr(md5(
+        |      doc_id || chr(31) || ftext), 1, 15)) AS BIGINT))
+        |    AS BIGINT) AS state_checksum
+        |FROM st WHERE ftext IS NOT NULL
+        |GROUP BY v ORDER BY version""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val vs = Seq(7, 8, 9).toDF("v")
+      def ep(e: Int, idShift: Long,
+          pred: org.apache.spark.sql.Column, op: String,
+          suffix: Option[String]) =
+        docs.filter(pred).select(lit(e).as("epoch"),
+          (col("doc_id") + idShift).as("doc_id"),
+          (lit(e * 1000000L) + col("doc_id")).as("seq"),
+          lit(op).as("op"),
+          suffix.map(x => concat(col("text"), lit(x)))
+            .getOrElse(if (op == "D") lit("") else col("text"))
+            .as("ctext"))
+      val log = ep(7, 0, col("doc_id") % 4 === 1, "U", Some(" e7"))
+        .unionAll(ep(7, 0,
+          col("doc_id") % 10 === 3 && col("doc_id") % 4 =!= 1, "D", None))
+        .unionAll(ep(8, 0, col("doc_id") % 9 === 2, "U", Some(" e8")))
+        .unionAll(ep(8, 2000000L,
+          col("doc_id") % 10 === 3 && col("doc_id") % 15 === 3, "U", None))
+        .unionAll(ep(9, 0,
+          col("doc_id") % 4 === 1 && col("doc_id") % 8 === 5, "D", None))
+      val compacted = log.join(broadcast(vs), col("epoch") <= col("v"))
+        .groupBy("v", "doc_id")
+        .agg(max_by(col("op"), col("seq")).as("op"),
+          max_by(col("ctext"), col("seq")).as("lastc"))
+      val basePerV = docs.select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(vs))
+      basePerV.join(compacted, Seq("v", "doc_id"), "full_outer")
+        .select(col("v"),
+          when(col("op") === "D", lit(null).cast("string"))
+            .when(col("op").isNull, col("text"))
+            .otherwise(col("lastc")).as("ftext"),
+          col("doc_id"))
+        .filter(col("ftext").isNotNull)
+        .groupBy(col("v").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat_ws(chr(31), " +
+            "doc_id, ftext)), 1, 15), 16, 10) AS BIGINT))")
+            .as("state_checksum"))
+        .orderBy("version")
+    },
   )
 }
