@@ -27,7 +27,8 @@ object SparkEntry {
       llmdata.IncrementalIndexing.qs ++
       llmdata.Multimodal.qs ++
       llmdata.Snapshots.qs ++
-      llmdata.Governance.qs
+      llmdata.Governance.qs ++
+      llmdata.Graphs.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate (q03): exercises scan, broadcast joins,

@@ -1,0 +1,206 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Caches, Q, Tables}
+
+/** Graph analytics over corpus-derived graphs — the two iterative
+  * message-passing primitives (power-iteration centrality, clamped-seed
+  * label propagation) that curation pipelines run on document/domain
+  * graphs: rank sources by cross-reference structure, spread sparse
+  * human labels to unlabeled neighbors.
+  *
+  * Spark has no native iterative-graph operator; the Spark-first
+  * rendering is the Pregel decomposition — each superstep is ONE
+  * edge⋈rank join + ONE groupBy(dst) shuffle, unrolled a fixed number
+  * of steps so the whole computation is a single declarative plan both
+  * engines can replay (no driver loop, no mutable accumulators; the
+  * oracle unrolls the same steps as CTEs). The edge list and degree
+  * table persist ONCE and feed every superstep.
+  *
+  * Graphs derive from rare shared n-gram anchors (q138's device): an
+  * anchor with document-frequency in [2, dfMax] contributes at most
+  * C(dfMax, 2) pairs BY CONSTRUCTION, so edge building cannot skew or
+  * go quadratic no matter the corpus size — the predicate itself is
+  * the bound. At 100 TB nodes are domains/doc-clusters (≪ corpus
+  * rows); per-superstep traffic is O(edges), the textbook distributed
+  * PageRank/LPA cost (Page et al. 1999; Raghavan et al. 2007, with
+  * deterministic min-label tie-breaks instead of random ones).
+  *
+  * All rank arithmetic is INTEGER (scaled by 10^6, floor division) so
+  * every superstep is bit-identical across engines — the q91/q113
+  * float policy applied to iterative state.
+  */
+object Graphs {
+
+  /** Distinct (key, n-gram) shingle pairs over whitespace tokens. */
+  private def shingles(df: DataFrame, key: String, extra: Seq[String],
+      n: Int): DataFrame = {
+    val concatExpr = (0 until n)
+      .map(k => s"w[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select((key +: extra).map(col) :+ split(col("text"), " ").as("w"): _*)
+      .filter(size(col("w")) >= n)
+      .select((key +: extra).map(col) :+
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(w) - $n), i -> $concatExpr)")))
+          .as("g"): _*)
+  }
+
+  /** Anchors: n-grams with document frequency in [2, dfMax] over the
+    * distinct (key, g) pairs — the fan-out bound. */
+  private def anchored(sh: DataFrame, dfMax: Int): DataFrame =
+    sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfMax)).select("g")
+
+  /** Symmetric directed edge list from co-anchored keys. */
+  private def coAnchorEdges(sh: DataFrame, dfMax: Int,
+      key: String): DataFrame = {
+    val posts = sh.join(anchored(sh, dfMax), Seq("g"))
+    posts.select(col("g"), col(key).as("src"))
+      .join(posts.select(col("g"), col(key).as("dst")), Seq("g"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  val qs: Seq[Q] = Seq(
+    // ---- q142: source PageRank — power iteration (3 supersteps,
+    //      damping 0.85) over the source co-anchor graph: sources
+    //      sharing a rare 5-gram are linked, and rank flows along
+    //      links. Integer-exact: rank starts at 10^6 per node;
+    //      each step is r' = 0.15·10^6 + ⌊85·Σ⌊r/deg⌋/100⌋, all
+    //      BIGINT floor division, so DuckDB replays the exact
+    //      fixpoint trajectory. The graph is symmetric, so every
+    //      node has in-edges and no dangling-mass term is needed.
+    //      Each superstep: one edge⋈rank hash join (rank side is
+    //      node-cardinality — broadcastable at any scale where
+    //      nodes ≪ edges) + one groupBy(dst). ----
+    Q(
+      "q142_source_pagerank",
+      """WITH sh AS (SELECT DISTINCT source,
+        |    string_split(text,' ')[i] || ' ' ||
+        |    string_split(text,' ')[i+1] || ' ' ||
+        |    string_split(text,' ')[i+2] || ' ' ||
+        |    string_split(text,' ')[i+3] || ' ' ||
+        |    string_split(text,' ')[i+4] AS g
+        |  FROM documents,
+        |    unnest(range(1, len(string_split(text,' ')) - 3)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 5),
+        |an AS (SELECT g FROM sh GROUP BY g
+        |  HAVING count(*) BETWEEN 2 AND 3),
+        |ed AS (SELECT DISTINCT a.source AS src, b.source AS dst
+        |  FROM sh a JOIN an ON a.g = an.g JOIN sh b ON a.g = b.g
+        |  WHERE a.source <> b.source),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM ed GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |    CAST(150000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed e JOIN r0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |    CAST(150000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed e JOIN r1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |    CAST(150000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM ed e JOIN r2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT r3.node AS source, deg.deg AS degree, r3.r AS rank
+        |FROM r3 JOIN deg ON r3.node = deg.src
+        |ORDER BY rank DESC, source""".stripMargin,
+    ) { (s, d) =>
+      val sh = Caches.persist(
+        shingles(Tables.documentsSpread(s, d), "source", Nil, 5))
+      val ed = Caches.persist(coAnchorEdges(sh, 3, "source"))
+      val deg = Caches.persist(
+        ed.groupBy("src").agg(count(lit(1)).as("deg")))
+      def step(rank: DataFrame): DataFrame =
+        ed.join(rank, ed("src") === rank("node"))
+          .join(deg, Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr("CAST(150000 + (85 * sum(r div deg)) div 100 AS BIGINT)")
+            .as("r"))
+      val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      val r3 = step(step(step(r0)))
+      r3.join(deg, r3("node") === deg("src"))
+        .select(col("node").as("source"), col("deg").as("degree"),
+          col("r").as("rank"))
+        .orderBy(col("rank").desc, col("source"))
+    },
+
+    // ---- q143: label propagation — clamped-seed LPA (2 supersteps)
+    //      over the document co-anchor graph (4-grams, df ≤ 4 so
+    //      fan-out ≤ C(4,2)). Seeds: every doc_id % 5 = 0 keeps its
+    //      lang label forever; each round, an UNLABELED node adopts
+    //      the majority label among its labeled neighbors, ties
+    //      broken by smallest label (Raghavan et al.'s LPA with
+    //      deterministic tie-breaks — required for cross-engine
+    //      equality). Each superstep: edge⋈labels join, grouped vote
+    //      count, per-node argmax window (partitioned by node — no
+    //      global sort), anti-join clamp. Emits (doc, label, round
+    //      assigned); nodes never reached stay unlabeled and absent. ----
+    Q(
+      "q143_label_propagation",
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |    string_split(text,' ')[i] || ' ' ||
+        |    string_split(text,' ')[i+1] || ' ' ||
+        |    string_split(text,' ')[i+2] || ' ' ||
+        |    string_split(text,' ')[i+3] AS g
+        |  FROM documents,
+        |    unnest(range(1, len(string_split(text,' ')) - 2)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 4),
+        |an AS (SELECT g FROM sh GROUP BY g
+        |  HAVING count(*) BETWEEN 2 AND 4),
+        |ed AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN an ON a.g = an.g JOIN sh b ON a.g = b.g
+        |  WHERE a.doc_id <> b.doc_id),
+        |l0 AS (SELECT doc_id AS node, lang AS label, 0 AS rnd
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |v1 AS (SELECT e.dst AS node, p.label,
+        |    row_number() OVER (PARTITION BY e.dst
+        |      ORDER BY count(*) DESC, p.label) AS rk
+        |  FROM ed e JOIN l0 p ON e.src = p.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)
+        |  GROUP BY e.dst, p.label),
+        |l1 AS (SELECT node, label, rnd FROM l0
+        |  UNION ALL SELECT node, label, 1 FROM v1 WHERE rk = 1),
+        |v2 AS (SELECT e.dst AS node, p.label,
+        |    row_number() OVER (PARTITION BY e.dst
+        |      ORDER BY count(*) DESC, p.label) AS rk
+        |  FROM ed e JOIN l1 p ON e.src = p.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l1)
+        |  GROUP BY e.dst, p.label),
+        |l2 AS (SELECT node, label, rnd FROM l1
+        |  UNION ALL SELECT node, label, 2 FROM v2 WHERE rk = 1)
+        |SELECT node AS doc_id, label, CAST(rnd AS BIGINT) AS assigned_round
+        |FROM l2 ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documentsSpread(s, d)
+      val sh = Caches.persist(shingles(docs, "doc_id", Nil, 4))
+      val ed = Caches.persist(coAnchorEdges(sh, 4, "doc_id"))
+      val seeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("node"), col("lang").as("label"),
+          lit(0L).as("rnd"))
+      def vote(labeled: DataFrame, rnd: Int): DataFrame = {
+        val w = Window.partitionBy("node")
+          .orderBy(col("votes").desc, col("label"))
+        ed.join(labeled.select(col("node").as("src"), col("label")),
+            Seq("src"))
+          .join(labeled.select(col("node")), ed("dst") === col("node"),
+            "left_anti")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("node"), col("label"), lit(rnd.toLong).as("rnd"))
+      }
+      val l1 = Caches.persist(seeds.unionAll(vote(seeds, 1)))
+      val l2 = l1.unionAll(vote(l1, 2))
+      l2.select(col("node").as("doc_id"), col("label"),
+          col("rnd").as("assigned_round"))
+        .orderBy("doc_id")
+    },
+  )
+}
