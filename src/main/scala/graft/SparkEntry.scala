@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     relational.Relational.qs ++
       relational.EventOps.qs ++
+      relational.Stats.qs ++
       llmdata.Dedup.qs ++
       llmdata.IncrementalLsh.qs ++
       llmdata.Similarity.qs ++
@@ -28,7 +29,8 @@ object SparkEntry {
       llmdata.Multimodal.qs ++
       llmdata.Snapshots.qs ++
       llmdata.Governance.qs ++
-      llmdata.Graphs.qs
+      llmdata.Graphs.qs ++
+      llmdata.Linkage.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate (q03): exercises scan, broadcast joins,
