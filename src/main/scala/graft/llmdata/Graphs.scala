@@ -202,5 +202,89 @@ object Graphs {
           col("rnd").as("assigned_round"))
         .orderBy("doc_id")
     },
+
+    // ---- q147: triangle counting + local clustering census over the
+    //      document co-anchor graph — the graph-density audit (how
+    //      clique-ish are the near-dup neighborhoods) behind cluster-
+    //      quality checks. Uses the DEGREE-ORDERED ORIENTATION
+    //      (Ortmann & Brandes; the distributed-triangle standard):
+    //      each undirected edge points from its lower-(deg, id)
+    //      endpoint to the higher, making out-degree O(√m) for ANY
+    //      degree distribution — the wedge self-join (out-neighbors
+    //      paired per apex) cannot blow up on hub nodes, where naive
+    //      id-ordering goes quadratic on a low-id hub. Each triangle
+    //      is found exactly once (the orientation is acyclic, so
+    //      exactly one vertex out-points to the other two); closure
+    //      is a semi-join of wedges against the undirected edge set.
+    //      Per-node counts then fan each triangle to its 3 corners.
+    //      Output: every node with degree and triangle count (0 for
+    //      open neighborhoods). ----
+    Q(
+      "q147_triangle_count",
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |    string_split(text,' ')[i] || ' ' ||
+        |    string_split(text,' ')[i+1] || ' ' ||
+        |    string_split(text,' ')[i+2] || ' ' ||
+        |    string_split(text,' ')[i+3] AS g
+        |  FROM documents,
+        |    unnest(range(1, len(string_split(text,' ')) - 2)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 4),
+        |an AS (SELECT g FROM sh GROUP BY g
+        |  HAVING count(*) BETWEEN 2 AND 4),
+        |ed AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN an ON a.g = an.g JOIN sh b ON a.g = b.g
+        |  WHERE a.doc_id <> b.doc_id),
+        |und AS (SELECT src, dst FROM ed WHERE src < dst),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM ed GROUP BY 1),
+        |o AS (SELECT CASE WHEN ds.deg < dd.deg
+        |      OR (ds.deg = dd.deg AND u.src < u.dst) THEN u.src ELSE u.dst
+        |    END AS s,
+        |    CASE WHEN ds.deg < dd.deg
+        |      OR (ds.deg = dd.deg AND u.src < u.dst) THEN u.dst ELSE u.src
+        |    END AS t
+        |  FROM und u JOIN deg ds ON u.src = ds.node
+        |  JOIN deg dd ON u.dst = dd.node),
+        |tri AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+        |  JOIN und u ON u.src = least(o1.t, o2.t)
+        |    AND u.dst = greatest(o1.t, o2.t)),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) q GROUP BY 1)
+        |SELECT deg.node AS doc_id, deg.deg AS degree,
+        |  coalesce(pn.triangles, 0) AS triangles
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      val sh = Caches.persist(
+        shingles(Tables.documentsSpread(s, d), "doc_id", Nil, 4))
+      val ed = coAnchorEdges(sh, 4, "doc_id")
+      val und = Caches.persist(ed.filter(col("src") < col("dst")))
+      val deg = Caches.persist(
+        ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+      val lower = col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst"))
+      val o = Caches.persist(und
+        .join(deg.select(col("node").as("src"), col("deg").as("ds")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dd")),
+          Seq("dst"))
+        .select(when(lower, col("src")).otherwise(col("dst")).as("s"),
+          when(lower, col("dst")).otherwise(col("src")).as("t")))
+      val tri = o.select(col("s"), col("t").as("b"))
+        .join(o.select(col("s"), col("t").as("c")), Seq("s"))
+        .filter(col("b") < col("c"))
+        .join(und, und("src") === least(col("b"), col("c")) &&
+          und("dst") === greatest(col("b"), col("c")), "left_semi")
+      val pn = tri.select(col("s").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      deg.join(pn, Seq("node"), "left")
+        .select(col("node").as("doc_id"), col("deg").as("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .orderBy("doc_id")
+    },
   )
 }

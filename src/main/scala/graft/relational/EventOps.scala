@@ -1193,5 +1193,51 @@ object EventOps {
           (col("n_outliers").cast("double") / col("n")).as("outlier_ratio"))
         .orderBy("event_type")
     },
+
+    // ---- q148: event-path mining — the top-20 most common session
+    //      journeys (first ≤ 4 event types per user-day, in time
+    //      order), the path-analysis complement to q88's FIXED funnel:
+    //      the funnel checks one prescribed sequence, this DISCOVERS
+    //      which sequences happen. Sessions are user-day buckets
+    //      (q39's gap sessionization is the other rendering; a bucket
+    //      key needs no window state to assign). The per-session
+    //      sequence is built by a (user, day)-PARTITIONED row_number —
+    //      state per task is one session, never a global sort — then a
+    //      length-capped sort_array(collect_list(struct)) fold: the
+    //      struct sort makes collect_list's arrival order irrelevant
+    //      (deterministic under ts ties via the event_id key), and the
+    //      ≤4 cap bounds per-group state BEFORE the fold. Path counts
+    //      partial-aggregate on the (tiny) path domain; top-20 rides
+    //      TakeOrdered with the (count desc, path asc) tie-break. ----
+    Q(
+      "q148_event_paths",
+      """WITH se AS (SELECT user_id, date_trunc('day', ts) AS sess,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM se WHERE rn <= 4 GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("sess"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .groupBy("user_id", "sess")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(rn, event_type)))," +
+            " x -> x.event_type)"), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
   )
 }
