@@ -1070,5 +1070,102 @@ object Similarity {
               col("n1"))).as("drift2"))
         .orderBy("label")
     },
+
+    // ---- q149: k-center coreset — Gonzalez's greedy farthest-point
+    //      selection (the 2-approximation to metric k-center; public
+    //      literature) picking 5 maximally-spread vectors: seed = min
+    //      id, then 4 rounds of "farthest point from the chosen set",
+    //      each emitting the coverage radius at selection (the
+    //      monotone curve a diverse-subset audit reads). The 100 TB
+    //      shape is exactly the algorithm's O(k·N): each round is ONE
+    //      broadcast of the single new center + a map-side
+    //      min-distance update over the carried state (point, qvec,
+    //      dmin) + a TakeOrdered(1) argmax — no shuffle wider than
+    //      the reduction, no pairwise matrix, state O(1) per point.
+    //      Rounds unroll into one declarative plan (q142's
+    //      discipline) with each round's state persisted so the
+    //      chain replays nothing. Distances are INTEGER squared L2
+    //      over GLOBALLY-scaled int8 quantized vectors (one
+    //      broadcast max-abs scalar — per-vector scales would break
+    //      the metric), so both engines walk the identical greedy
+    //      trajectory; ties break on vec_id. ----
+    Q(
+      "q149_kcenter_coreset",
+      """WITH g AS (SELECT max(list_max(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS mx
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 127.0 / g.mx + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings, g),
+        |c0 AS (SELECT vec_id, q FROM v
+        |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
+        |d0 AS (SELECT v.vec_id, v.q,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT)
+        |      AS dmin
+        |  FROM v, c0 c),
+        |c1 AS (SELECT vec_id, q, dmin FROM d0
+        |  ORDER BY dmin DESC, vec_id LIMIT 1),
+        |d1 AS (SELECT d.vec_id, d.q, least(d.dmin,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (d.q[i] - c.q[i]) * (d.q[i] - c.q[i]))) AS BIGINT))
+        |      AS dmin
+        |  FROM d0 d, c1 c),
+        |c2 AS (SELECT vec_id, q, dmin FROM d1
+        |  ORDER BY dmin DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d.vec_id, d.q, least(d.dmin,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (d.q[i] - c.q[i]) * (d.q[i] - c.q[i]))) AS BIGINT))
+        |      AS dmin
+        |  FROM d1 d, c2 c),
+        |c3 AS (SELECT vec_id, q, dmin FROM d2
+        |  ORDER BY dmin DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d.vec_id, d.q, least(d.dmin,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (d.q[i] - c.q[i]) * (d.q[i] - c.q[i]))) AS BIGINT))
+        |      AS dmin
+        |  FROM d2 d, c3 c),
+        |c4 AS (SELECT vec_id, q, dmin FROM d3
+        |  ORDER BY dmin DESC, vec_id LIMIT 1)
+        |SELECT 0 AS pick, vec_id, CAST(0 AS BIGINT) AS radius FROM c0
+        |UNION ALL SELECT 1, vec_id, dmin FROM c1
+        |UNION ALL SELECT 2, vec_id, dmin FROM c2
+        |UNION ALL SELECT 3, vec_id, dmin FROM c3
+        |UNION ALL SELECT 4, vec_id, dmin FROM c4
+        |ORDER BY pick""".stripMargin,
+    ) { (s, d) =>
+      val distTo = expr("CAST(aggregate(zip_with(q, cq, " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+        "(acc, e) -> acc + e) AS BIGINT)")
+      val gmx = Tables.embeddings(s, d)
+        .agg(max(array_max(transform(
+          col("embedding").cast("array<double>"), x => abs(x)))).as("mx"))
+      val v = graft.Caches.persist(Tables.embeddings(s, d)
+        .crossJoin(broadcast(gmx))
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(127.0) / col("mx") + lit(0.5))
+              .cast("long")).as("q")))
+      val c0 = v.orderBy("vec_id").limit(1)
+      def centerVec(c: DataFrame) = broadcast(c.select(col("q").as("cq")))
+      val d0 = graft.Caches.persist(v.crossJoin(centerVec(c0))
+        .select(col("vec_id"), col("q"), distTo.as("dmin")))
+      def next(dk: DataFrame) =
+        dk.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+      def update(dk: DataFrame, ck: DataFrame) =
+        graft.Caches.persist(dk.crossJoin(centerVec(ck))
+          .select(col("vec_id"), col("q"),
+            least(col("dmin"), distTo).as("dmin")))
+      val c1 = next(d0); val d1 = update(d0, c1)
+      val c2 = next(d1); val d2 = update(d1, c2)
+      val c3 = next(d2); val d3 = update(d2, c3)
+      val c4 = next(d3)
+      def pickRow(c: DataFrame, k: Int) =
+        c.select(lit(k).as("pick"), col("vec_id"),
+          (if (k == 0) lit(0L) else col("dmin")).as("radius"))
+      pickRow(c0, 0).unionAll(pickRow(c1, 1)).unionAll(pickRow(c2, 2))
+        .unionAll(pickRow(c3, 3)).unionAll(pickRow(c4, 4))
+        .orderBy("pick")
+    },
   )
 }
