@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming k-anonymity gate — the ingest-time twin of the batch
+  * release audit (q139, `llmdata/Governance`).
+  *
+  * The batch op answers "which quasi-identifier groups clear k" over a
+  * finished table; a privacy-gated LIVE release needs the decision at
+  * arrival: a row may only flow downstream once its QI group holds at
+  * least k rows, else the row alone re-identifies its subject. One
+  * `groupByKey(qi).flatMapGroupsWithState` buffers each group's rows
+  * while the group is SMALL (< k), releases the whole buffer the
+  * moment the k-th row arrives, and passes everything through
+  * immediately once the group is open. Nothing is ever dropped — rows
+  * of forever-small groups stay buffered (suppressed), exactly the
+  * k-anonymity suppression rule, and a group's opening retroactively
+  * releases its history in deterministic (arrival-batch, id) order.
+  *
+  * Replay: releases are remembered by row id — an at-least-once replay
+  * re-emits nothing and never double-counts a group's size (a doubled
+  * count would open a group at k-1 real subjects, a privacy violation,
+  * not a cosmetic bug). Id memory grows with distinct arrivals per
+  * group; production gates bound it with a state TTL matched to the
+  * replay horizon (checkpoint retention) — [[StreamingAdmission]]'s
+  * note verbatim.
+  *
+  * Scale (100 TB, 1000 executors): state per QI group is ≤ k-1
+  * buffered rows + the id memory — the buffer is bounded BY THE
+  * PRIVACY PARAMETER, not the stream; the shuffle is the same
+  * QI-keyed exchange the batch census uses (bounded by the QI domain
+  * product). RocksDB state store for open group cardinalities.
+  */
+object StreamingGovernance {
+
+  /** An arriving row, reduced to id + its quasi-identifier key. */
+  final case class QiRow(row_id: Long, qi: String)
+
+  /** Per-group state: rows released so far (group size for the k
+    * test), buffered small-group rows, ids already seen (replay
+    * armor). `ver` is the state-schema version ([[StateVersion]]). */
+  final case class QiState(released: Long, buffered: List[Long],
+      seen: Set[Long], ver: Int = QiStateVer)
+
+  final val QiStateVer = 1
+
+  /** One released row: the group's size when it left the gate. */
+  final case class Released(row_id: Long, qi: String, group_n: Long)
+
+  /** (row_id, qi) projection for a customer-shaped frame, using the
+    * q139 QI tuple (nation, segment, 2000-unit balance band). */
+  def customerQi(df: DataFrame): Dataset[QiRow] = {
+    import df.sparkSession.implicits._
+    df.select(col("c_custkey").as("row_id"),
+      concat_ws("", col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long")).as("qi"))
+      .as[QiRow]
+  }
+
+  /** The stateful gate; works under a streaming query (cross-batch
+    * group growth) and in batch mode (one pass ⇒ exactly the q139
+    * census's n ≥ k groups release, spec-pinned). */
+  def gate(in: Dataset[QiRow], k: Int = 5): Dataset[Released] = {
+    import in.sparkSession.implicits._
+    require(k >= 1, "k must be positive")
+    def fn(qi: String, rows: Iterator[QiRow],
+        st: GroupState[QiState]): Iterator[Released] = {
+      val prev = st.getOption.getOrElse(QiState(0L, Nil, Set.empty))
+      StateVersion.check(prev.ver, QiStateVer, "StreamingGovernance.gate")
+      var released = prev.released
+      var buffered = prev.buffered
+      var seen = prev.seen
+      val out = List.newBuilder[Released]
+      // within a micro-batch, id order — partition order never leaks
+      rows.toSeq.sortBy(_.row_id).foreach { r =>
+        if (!seen.contains(r.row_id)) {
+          seen += r.row_id
+          buffered = r.row_id :: buffered
+          if (released > 0 || buffered.size >= k) {
+            // group is open (or just opened): flush in arrival order
+            buffered.reverse.foreach { id =>
+              released += 1
+              out += Released(id, qi, released)
+            }
+            buffered = Nil
+          }
+        }
+      }
+      st.update(QiState(released, buffered, seen))
+      out.result().iterator
+    }
+    in.groupByKey(_.qi)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

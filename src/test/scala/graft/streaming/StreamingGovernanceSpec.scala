@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingGovernanceSpec extends SparkSpec {
+  import StreamingGovernance.{QiRow, Released}
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("one-batch gate releases exactly the q139 census groups clearing k") {
+    val sp = spark
+    import sp.implicits._
+    val cust = graft.Tables.customer(sp, sf)
+    val released = StreamingGovernance
+      .gate(StreamingGovernance.customerQi(cust), k = 2)
+      .select("row_id").as[Long].collect().toSet
+    // independent batch computation of k-cleared QI groups
+    val qi = cust.select(col("c_custkey"),
+      concat_ws("", col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long")).as("qi"))
+    val open = qi.groupBy("qi").count().filter(col("count") >= 2)
+    val expect = qi.join(open, Seq("qi"), "left_semi")
+      .select("c_custkey").as[Long].collect().toSet
+    assert(released == expect,
+      "released rows must be exactly the members of k-cleared QI groups")
+    assert(released.nonEmpty && released.size < cust.count())
+  }
+
+  test("a group opens retroactively across micro-batches, in arrival order") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[QiRow](sp)
+    val q = StreamingGovernance.gate(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("gov_cross").start()
+    try {
+      input.addData(QiRow(10, "g"), QiRow(11, "g"))
+      q.processAllAvailable()
+      assert(sp.table("gov_cross").count() == 0,
+        "a 2-member group must stay suppressed at k=3")
+      input.addData(QiRow(12, "g"))
+      q.processAllAvailable()
+      val rel = sp.table("gov_cross").as[Released].collect()
+        .sortBy(_.group_n)
+      assert(rel.map(_.row_id).toSeq == Seq(10L, 11L, 12L),
+        "the k-th arrival flushes the buffered history in arrival order")
+      assert(rel.map(_.group_n).toSeq == Seq(1L, 2L, 3L))
+      // once open: immediate passthrough with a growing census
+      input.addData(QiRow(13, "g"))
+      q.processAllAvailable()
+      val all = sp.table("gov_cross").as[Released].collect()
+      assert(all.exists(r => r.row_id == 13L && r.group_n == 4L))
+    } finally q.stop()
+  }
+
+  test("at-least-once replay neither re-releases nor double-counts") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[QiRow](sp)
+    val q = StreamingGovernance.gate(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("gov_replay").start()
+    try {
+      input.addData(QiRow(1, "g"), QiRow(2, "g"))
+      q.processAllAvailable()
+      // replay the same rows: a doubled count would open the group at
+      // 2 real subjects - the privacy violation the id memory prevents
+      input.addData(QiRow(1, "g"), QiRow(2, "g"))
+      q.processAllAvailable()
+      assert(sp.table("gov_replay").count() == 0,
+        "replayed rows must not open a k=3 group with 2 subjects")
+      input.addData(QiRow(3, "g"))
+      q.processAllAvailable()
+      val rel = sp.table("gov_replay").as[Released].collect()
+      assert(rel.map(_.row_id).toSet == Set(1L, 2L, 3L))
+      assert(rel.map(_.group_n).max == 3L, "census counts real subjects")
+    } finally q.stop()
+  }
+
+  test("independent QI groups gate independently") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[QiRow](sp)
+    val q = StreamingGovernance.gate(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("gov_indep").start()
+    try {
+      input.addData(QiRow(1, "a"), QiRow(2, "a"), QiRow(3, "b"))
+      q.processAllAvailable()
+      val rel = sp.table("gov_indep").as[Released].collect()
+      assert(rel.map(_.row_id).toSet == Set(1L, 2L),
+        "group a clears k=2; the singleton in b stays suppressed")
+    } finally q.stop()
+  }
+}
