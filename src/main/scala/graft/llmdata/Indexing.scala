@@ -239,5 +239,106 @@ object Indexing {
             .as("mean_df_frac"))
         .orderBy("doc_id")
     },
+
+    // ---- q150: pseudo-relevance feedback — the two-pass query-
+    //      expansion retrieval loop (Rocchio/RM lineage; Robertson's
+    //      term-selection idea with a LINEARIZED no-log selection
+    //      value): (1) BM25 the seed query, (2) mine the top-5
+    //      feedback docs for the 3 best expansion terms by
+    //      rsv = df_fb·(N − df) — frequent IN the feedback, rare in
+    //      the corpus, integer-exact — then (3) rescore with the
+    //      5-term expanded query and serve the top-10. ONE persisted
+    //      per-(doc, term) micro-score table feeds BOTH retrieval
+    //      passes (the q127 discipline): per-term BM25 is floored to
+    //      integer MICRO-units first (q146's rule), so every
+    //      downstream sum — including the dynamic expanded-query sum
+    //      a fixed slot-column layout can't express — is associative
+    //      integer math, immune to partition order; the one double in
+    //      the output is a single division of bit-identical ints.
+    //      Plan: tf/df/scalars as in q70 (term-keyed broadcast
+    //      joins), feedback set + expansion terms are ≤ 5-row
+    //      broadcasts, both TakeOrdered — no new shuffle shape
+    //      appears at any corpus size. ----
+    Q(
+      "q150_prf_expansion",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2, 3),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks
+        |  FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.w,
+        |    CAST(floor(1000000.0 *
+        |      ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * 2.2)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                    / (CAST(toks AS DOUBLE) / n)))))
+        |      ) AS BIGINT) AS su
+        |  FROM tf JOIN df USING (w) CROSS JOIN st),
+        |s0 AS (SELECT doc_id, CAST(sum(su) AS BIGINT) AS score0 FROM sc
+        |  WHERE w IN ('spark', 'vector') GROUP BY 1),
+        |fb AS (SELECT doc_id FROM s0 ORDER BY score0 DESC, doc_id LIMIT 5),
+        |exp AS (SELECT tf.w,
+        |    CAST(count(*) * (min(st.n) - min(df.df)) AS BIGINT) AS rsv
+        |  FROM tf JOIN fb USING (doc_id) JOIN df USING (w) CROSS JOIN st
+        |  WHERE tf.w NOT IN ('spark', 'vector')
+        |  GROUP BY tf.w ORDER BY rsv DESC, w LIMIT 3),
+        |qt AS (SELECT 'spark' AS w UNION ALL SELECT 'vector'
+        |  UNION ALL SELECT w FROM exp),
+        |s1 AS (SELECT sc.doc_id, CAST(sum(sc.su) AS BIGINT) AS micro,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM sc JOIN qt USING (w) GROUP BY 1)
+        |SELECT doc_id, micro, n_terms,
+        |  CAST(micro AS DOUBLE) / 1000000 AS score
+        |FROM s1 ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val seed = Seq("spark", "vector")
+      val tf = Tables.documentsSpread(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("dl"),
+          explode(col("arr")).as("w"))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        .transform(graft.Caches.persist)
+      val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val st = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " "))).cast("long").as("toks"))
+      // the q70 parity rule: identical expression TREES (float ops do
+      // not reassociate), then one floor to integer micro-units
+      val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val avgdl = col("toks").cast("double") / col("n")
+      val den = col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      val su = floor(lit(1000000.0) * idf *
+        ((col("tf").cast("double") * lit(2.2)) / den)).cast("long")
+      val sc = tf.join(broadcast(dfT), "w").join(broadcast(st))
+        .select(col("doc_id"), col("w"), su.as("su"))
+        .transform(graft.Caches.persist)
+      val fb = sc.filter(col("w").isin(seed: _*))
+        .groupBy("doc_id").agg(sum("su").as("score0"))
+        .orderBy(col("score0").desc, col("doc_id")).limit(5)
+        .select("doc_id")
+      val expT = tf.join(broadcast(fb), "doc_id")
+        .filter(!col("w").isin(seed: _*))
+        .join(broadcast(dfT), "w").crossJoin(broadcast(st))
+        .groupBy("w")
+        .agg(count(lit(1)).as("dffb"), min("n").as("n"), min("df").as("df"))
+        .select(col("w"), (col("dffb") * (col("n") - col("df"))).as("rsv"))
+        .orderBy(col("rsv").desc, col("w")).limit(3)
+        .select("w")
+      val qt = seed.toDF("w").unionAll(expT)
+      sc.join(broadcast(qt), "w")
+        .groupBy("doc_id")
+        .agg(sum("su").as("micro"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("micro"), col("n_terms"),
+          (col("micro").cast("double") / 1000000).as("score"))
+        .orderBy(col("micro").desc, col("doc_id")).limit(10)
+    },
   )
 }
