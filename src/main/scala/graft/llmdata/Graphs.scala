@@ -286,5 +286,82 @@ object Graphs {
           coalesce(col("triangles"), lit(0L)).as("triangles"))
         .orderBy("doc_id")
     },
+
+    // ---- q151: deterministic random walks — the DeepWalk/node2vec
+    //      data-prep step (walk corpus generation for graph-embedding
+    //      training), made reproducible the q50 way: the "random"
+    //      neighbor at step s is indexed by an md5 of (walk, step,
+    //      node) mod degree — uniform over neighbors, stable across
+    //      runs/engines/cluster sizes, and NEVER rand() (a re-run
+    //      that changes the walk corpus invalidates every downstream
+    //      embedding diff). One walker starts at each doc_id % 7 = 0
+    //      node; 3 steps unroll as 3 joins against the persisted
+    //      neighbor table (rn = per-src row_number over dst — the
+    //      alias-free indexed adjacency list). Each step is one
+    //      walker⋈adjacency hash join on the current node — walker
+    //      cardinality rows, never edge-quadratic; the symmetric
+    //      graph guarantees no walker strands. ----
+    Q(
+      "q151_random_walks",
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |    string_split(text,' ')[i] || ' ' ||
+        |    string_split(text,' ')[i+1] || ' ' ||
+        |    string_split(text,' ')[i+2] || ' ' ||
+        |    string_split(text,' ')[i+3] AS g
+        |  FROM documents,
+        |    unnest(range(1, len(string_split(text,' ')) - 2)) AS t(i)
+        |  WHERE len(string_split(text,' ')) >= 4),
+        |an AS (SELECT g FROM sh GROUP BY g
+        |  HAVING count(*) BETWEEN 2 AND 4),
+        |ed AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN an ON a.g = an.g JOIN sh b ON a.g = b.g
+        |  WHERE a.doc_id <> b.doc_id),
+        |nb AS (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM ed),
+        |w0 AS (SELECT src AS walk, src AS cur FROM nb
+        |  WHERE src % 7 = 0 GROUP BY 1, 2),
+        |w1 AS (SELECT w.walk, nb.dst AS cur FROM w0 w JOIN nb
+        |  ON nb.src = w.cur AND nb.rn = 1 + CAST(('0x' ||
+        |    substr(md5(w.walk || '|0|' || w.cur), 1, 15)) AS BIGINT)
+        |    % nb.deg),
+        |w2 AS (SELECT w.walk, nb.dst AS cur FROM w1 w JOIN nb
+        |  ON nb.src = w.cur AND nb.rn = 1 + CAST(('0x' ||
+        |    substr(md5(w.walk || '|1|' || w.cur), 1, 15)) AS BIGINT)
+        |    % nb.deg),
+        |w3 AS (SELECT w.walk, nb.dst AS cur FROM w2 w JOIN nb
+        |  ON nb.src = w.cur AND nb.rn = 1 + CAST(('0x' ||
+        |    substr(md5(w.walk || '|2|' || w.cur), 1, 15)) AS BIGINT)
+        |    % nb.deg)
+        |SELECT w0.walk, w1.cur AS s1, w2.cur AS s2, w3.cur AS s3
+        |FROM w0 JOIN w1 USING (walk) JOIN w2 USING (walk)
+        |JOIN w3 USING (walk)
+        |ORDER BY walk""".stripMargin,
+    ) { (s, d) =>
+      val sh = Caches.persist(
+        shingles(Tables.documentsSpread(s, d), "doc_id", Nil, 4))
+      val ed = coAnchorEdges(sh, 4, "doc_id")
+      val wAdj = Window.partitionBy("src").orderBy("dst")
+      val nb = Caches.persist(ed
+        .withColumn("rn", row_number().over(wAdj).cast("long"))
+        .withColumn("deg",
+          count(lit(1)).over(Window.partitionBy("src")).cast("long")))
+      val w0 = nb.filter(col("src") % 7 === 0)
+        .select(col("src").as("walk"), col("src").as("cur")).distinct()
+      def step(wk: DataFrame, k: Int): DataFrame = {
+        val pick = lit(1) + conv(substring(md5(
+          concat_ws("|", col("walk"), lit(k), col("cur"))), 1, 15),
+          16, 10).cast("long") % col("deg")
+        wk.join(nb, nb("src") === wk("cur") && col("rn") === pick)
+          .select(col("walk"), col("dst").as("cur"))
+      }
+      val w1 = step(w0, 0); val w2 = step(w1, 1); val w3 = step(w2, 2)
+      w0.select(col("walk"))
+        .join(w1.select(col("walk"), col("cur").as("s1")), Seq("walk"))
+        .join(w2.select(col("walk"), col("cur").as("s2")), Seq("walk"))
+        .join(w3.select(col("walk"), col("cur").as("s3")), Seq("walk"))
+        .orderBy("walk")
+    },
   )
 }

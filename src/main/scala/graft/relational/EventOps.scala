@@ -1239,5 +1239,45 @@ object EventOps {
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(20)
     },
+
+    // ---- q152: Markov transition matrix — first-order next-event
+    //      probabilities P(next | current) estimated from within-
+    //      session consecutive pairs (q148 mines whole paths; this is
+    //      the model behind them — the transition structure a journey
+    //      simulator or next-event predictor consumes). Consecutive
+    //      pairs come from a session-PARTITIONED lead() (per-task
+    //      state = one session, ties broken by event id); counts
+    //      partial-aggregate on the event-type² domain, so the only
+    //      full shuffle carries ≤ |types|² rows no matter the event
+    //      volume; each probability is ONE division of two exact
+    //      integers (bit-identical cross-engine). ----
+    Q(
+      "q152_markov_transitions",
+      """WITH tr AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id,
+        |      date_trunc('day', ts) ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM tr
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_out
+        |  FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n, t.n_out,
+        |  CAST(c.n AS DOUBLE) / t.n_out AS p
+        |FROM c JOIN tot t USING (cur) ORDER BY cur, nxt""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"),
+        date_trunc("day", col("ts"))).orderBy("ts", "event_id")
+      val c = Tables.events(s, d)
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .transform(graft.Caches.persist)
+      val tot = c.groupBy("cur").agg(sum("n").as("n_out"))
+      c.join(broadcast(tot), "cur")
+        .select(col("cur"), col("nxt"), col("n"), col("n_out"),
+          (col("n").cast("double") / col("n_out")).as("p"))
+        .orderBy("cur", "nxt")
+    },
   )
 }
