@@ -1,5 +1,6 @@
 package graft.relational
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -123,6 +124,103 @@ object Stats {
       est.crossJoin(broadcast(act))
         .select(col("est_rows"), col("actual_rows"),
           abs(col("est_rows") - col("actual_rows")).as("abs_err"))
+    },
+
+    // ---- q153: equi-depth histogram — exact decile boundaries over
+    //      l_quantity via the COLLAPSED value histogram: group by
+    //      value first (the only corpus-sized shuffle, bounded by the
+    //      value domain), then one cumulative window over the ≤
+    //      |domain| distinct rows and a boundary probe per decile
+    //      (smallest value whose cumulative count reaches ⌈i·n/10⌉ —
+    //      q86's rank rule). This is the LOW-CARDINALITY exact route:
+    //      the global window touches 50 rows here and |domain| rows
+    //      ever, never the corpus; q86's compactor sketch is the
+    //      open-domain route. The equi-depth complement of q146's
+    //      equi-width build — depth adapts bucket width to density,
+    //      which is why optimizers prefer it for skewed columns. ----
+    Q(
+      "q153_equidepth_histogram",
+      """WITH vh AS (SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cc
+        |  FROM vh),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vh),
+        |t AS (SELECT i, CAST((i * n.n + 9) // 10 AS BIGINT) AS target
+        |  FROM unnest(range(1, 11)) AS u(i), n)
+        |SELECT CAST(t.i AS BIGINT) AS decile, min(cum.v) AS boundary,
+        |  min(cum.cc) AS cum_rows
+        |FROM t JOIN cum ON cum.cc >= t.target
+        |GROUP BY t.i ORDER BY decile""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val vh = graft.Caches.persist(Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("c")))
+      // global window over the COLLAPSED domain (|distinct values|
+      // rows), not the corpus — the single-partition stage is bounded
+      // by the value domain by construction
+      val cum = vh.withColumn("cc",
+        sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = vh.agg(sum("c").as("n"))
+      val t = (1 to 10).toDF("i").crossJoin(broadcast(n))
+        .select(col("i"), expr("(i * n + 9) div 10").as("target"))
+      broadcast(t).join(cum, col("cc") >= col("target"))
+        .groupBy(col("i").cast("long").as("decile"))
+        .agg(min("v").as("boundary"), min("cc").as("cum_rows"))
+        .orderBy("decile")
+    },
+
+    // ---- q154: Neyman sample allocation — the survey-sampling
+    //      design step (Neyman 1934): split a 1000-row sample budget
+    //      across order-priority strata ∝ N_h·S_h, so high-variance
+    //      strata get proportionally more of the budget than
+    //      proportional allocation would give. Per-stratum variance
+    //      is EXACT-decimal (q119's discipline: 2-decimal inputs cast
+    //      to DECIMAL, n·Σx² − (Σx)² computed in exact integer-scaled
+    //      arithmetic, ONE double conversion at the end — the oracle
+    //      routes that cast through VARCHAR because the numerator
+    //      exceeds 2^53); sqrt is IEEE-correctly-rounded in both
+    //      engines, the stratum weight is floored to integer
+    //      micro-units (q146's rule) and the final allocation is pure
+    //      integer division. One grouped aggregation + one ≤|strata|-
+    //      row broadcast total. ----
+    Q(
+      "q154_neyman_allocation",
+      """WITH s AS (SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS nh,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |        AS DECIMAL(38,4)) * CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS sx2,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT stratum, nh,
+        |    CAST(floor(1000000.0 * nh * sqrt(
+        |      CAST(CAST((nh * sx2 - sx * sx) AS VARCHAR) AS DOUBLE)
+        |        / (CAST(nh AS DOUBLE) * nh))) AS BIGINT) AS w
+        |  FROM s),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v)
+        |SELECT stratum, nh, CAST(1000 * v.w // tw.tw AS BIGINT) AS alloc
+        |FROM v, tw ORDER BY stratum""".stripMargin,
+    ) { (s, d) =>
+      val x = col("o_totalprice").cast("decimal(18,2)")
+      val st = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("stratum"))
+        .agg(count(lit(1)).as("nh"),
+          sum(x.cast("decimal(38,4)") * x).as("sx2"),
+          sum(x).as("sx"))
+      val num = (col("nh") * col("sx2") - col("sx") * col("sx"))
+      val v = graft.Caches.persist(st.select(col("stratum"), col("nh"),
+        floor(lit(1000000.0) * col("nh") *
+          sqrt(num.cast("double") /
+            (col("nh").cast("double") * col("nh")))).cast("long").as("w")))
+      val tw = v.agg(sum("w").as("tw"))
+      v.crossJoin(broadcast(tw))
+        .select(col("stratum"), col("nh"),
+          expr("(1000 * w) div tw").as("alloc"))
+        .orderBy("stratum")
     },
   )
 }
