@@ -241,5 +241,46 @@ object Curation {
           (col("doc_id") === col("keep_id")).as("is_canonical"))
         .orderBy("doc_id")
     },
+
+    // ---- q155: grouped k-fold assignment — GroupKFold semantics
+    //      (sklearn's name for the leakage rule every eval design
+    //      needs): folds are keyed by the GROUP (customer), never the
+    //      row, so no entity ever straddles a train/validation
+    //      boundary — q50 splits rows, this splits entities. Fold =
+    //      md5(group) mod 5 (q50's engine-stable hash bucketing,
+    //      never rand()); the output is the per-fold census PLUS the
+    //      leakage audit itself (max folds touched by any group —
+    //      contractually 1, and the query proves it rather than
+    //      assuming it). One row-keyed map + two group-keyed
+    //      aggregations; the audit max is a broadcast scalar. ----
+    Q(
+      "q155_group_kfold",
+      """WITH f AS (SELECT o_orderkey, o_custkey,
+        |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 5 AS fold
+        |  FROM orders),
+        |leak AS (SELECT o_custkey, count(DISTINCT fold) AS nf
+        |  FROM f GROUP BY 1)
+        |SELECT f.fold, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_groups,
+        |  CAST((SELECT max(nf) FROM leak) AS BIGINT)
+        |    AS max_folds_per_group
+        |FROM f GROUP BY 1 ORDER BY fold""".stripMargin,
+    ) { (s, d) =>
+      val f = graft.Caches.persist(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (conv(substring(md5(col("o_custkey").cast("string")), 1, 4),
+            16, 10).cast("long") % 5).as("fold")))
+      val leak = f.groupBy("o_custkey")
+        .agg(countDistinct("fold").as("nf"))
+        .agg(max("nf").as("max_folds_per_group"))
+      f.groupBy("fold")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_groups"))
+        .crossJoin(broadcast(leak))
+        .select(col("fold"), col("n_orders"), col("n_groups"),
+          col("max_folds_per_group"))
+        .orderBy("fold")
+    },
   )
 }

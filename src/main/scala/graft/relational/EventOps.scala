@@ -1279,5 +1279,49 @@ object EventOps {
           (col("n").cast("double") / col("n_out")).as("p"))
         .orderBy("cur", "nxt")
     },
+
+    // ---- q156: last-touch attribution — credit each purchase to the
+    //      most recent NON-purchase event in its session (the
+    //      marketing-attribution primitive; purchases with no prior
+    //      touch credit 'direct'). The lookback is a session-
+    //      partitioned IGNORE-NULLS last_value over the strictly-
+    //      preceding frame — per-task state = one session, no
+    //      self-join, no per-purchase scan-back; credit counts
+    //      partial-aggregate on the event-type domain and the share
+    //      is one int/int division against a broadcast total. ----
+    Q(
+      "q156_attribution_credit",
+      """WITH pur AS (SELECT event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events),
+        |c AS (SELECT coalesce(touch, 'direct') AS credited,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pur WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT credited, n, CAST(n AS DOUBLE) / t.tot AS share
+        |FROM c, t ORDER BY credited""".stripMargin,
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"),
+          date_trunc("day", col("ts")))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = graft.Caches.persist(Tables.events(s, d)
+        .select(col("event_type"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("touch"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("credited"))
+        .agg(count(lit(1)).as("n")))
+      val t = c.agg(sum("n").as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("credited"), col("n"),
+          (col("n").cast("double") / col("tot")).as("share"))
+        .orderBy("credited")
+    },
   )
 }

@@ -222,5 +222,59 @@ object Stats {
           expr("(1000 * w) div tw").as("alloc"))
         .orderBy("stratum")
     },
+
+    // ---- q157: Benford first-digit audit — the classic synthetic /
+    //      manipulated-data screen (Benford 1938; fraud-detection
+    //      practice): compare the leading-digit distribution of
+    //      o_totalprice against Benford's log law and report the
+    //      per-digit deviation. Expected shares are INTEGER
+    //      mille-rate literals (the law's constants — no runtime
+    //      transcendentals), observed shares integer floor-division
+    //      against a broadcast total, so the whole audit row is
+    //      exact. First digit via bigint→string substr, never log10.
+    //      One digit-keyed aggregation on a 9-value domain; the
+    //      digits table is a 9-row literal join. (The flagged
+    //      deviation here is real: uniform synthetic prices are NOT
+    //      Benford — exactly what the audit exists to say.) ----
+    Q(
+      "q157_benford_audit",
+      """WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+        |  FROM dg GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+        |b AS (SELECT * FROM (VALUES (1,301),(2,176),(3,125),(4,97),
+        |    (5,79),(6,67),(7,58),(8,51),(9,46))
+        |  AS t(digit, benford_milli))
+        |SELECT b.digit, coalesce(c.observed, 0) AS observed,
+        |  CAST(1000 * coalesce(c.observed, 0) // n.n AS BIGINT)
+        |    AS obs_milli,
+        |  CAST(b.benford_milli AS BIGINT) AS benford_milli,
+        |  CAST(abs(1000 * coalesce(c.observed, 0) // n.n
+        |    - b.benford_milli) AS BIGINT) AS dev_milli
+        |FROM b LEFT JOIN c ON b.digit = c.digit, n
+        |ORDER BY b.digit""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val c = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+        .transform(graft.Caches.persist)
+      val n = c.agg(sum("observed").as("n"))
+      val b = Seq((1L, 301L), (2L, 176L), (3L, 125L), (4L, 97L),
+        (5L, 79L), (6L, 67L), (7L, 58L), (8L, 51L), (9L, 46L))
+        .toDF("digit", "benford_milli")
+      b.join(c, Seq("digit"), "left").crossJoin(broadcast(n))
+        .select(col("digit"), coalesce(col("observed"), lit(0L))
+          .as("observed"),
+          expr("(1000 * coalesce(observed, 0)) div n").as("obs_milli"),
+          col("benford_milli"),
+          abs(expr("(1000 * coalesce(observed, 0)) div n")
+            - col("benford_milli")).as("dev_milli"))
+        .orderBy("digit")
+    },
   )
 }
