@@ -555,4 +555,44 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "partial + final at both aggregation levels")
   }
+
+  test("q142/q143/q147: graph supersteps are equi-joins over persisted edges — no pair enumeration") {
+    for (q <- Seq("q142_source_pagerank", "q143_label_propagation",
+        "q147_triangle_count")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: anchor/edge joins must be equi-joins")
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: the edge list must persist across supersteps")
+    }
+  }
+
+  test("q150: one persisted micro-score table feeds both retrieval passes") {
+    val p = planOf(SparkEntry.queries("q150_prf_expansion")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "the per-(doc, term) score table must be persisted and reused, " +
+        "not re-tokenized per pass")
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-10 must avoid a global sort")
+  }
+
+  test("q153: the only corpus-sized exchange is the value-domain groupBy") {
+    val p = planOf(SparkEntry.queries("q153_equidepth_histogram")(spark, sf))
+    // the cumulative window runs on the COLLAPSED domain: it must sit
+    // above the value aggregation, never above the raw scan
+    assert(p.contains("Window"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "value histogram partial-aggregates before the exchange")
+    assert(!p.contains("SortMergeJoin"),
+      "decile probes join a broadcast 10-row target table")
+  }
+
+  test("q144: the entity catalog broadcasts; blocking is an equi-join") {
+    val p = planOf(SparkEntry.queries("q144_entity_resolution")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "catalog side (entity-cardinality) must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "candidates come from the block equi-join, never all-pairs")
+  }
 }
