@@ -1017,5 +1017,78 @@ object Dedup {
         .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
         .orderBy("doc_id")
     },
+
+    // ---- q160: dedup yield curve — near-dup pair counts at Jaccard
+    //      0.7 / 0.8 / 0.9 from ONE candidate pass: the what-if audit
+    //      run BEFORE committing to a dedup threshold (every
+    //      curation review asks "how much does 0.8 vs 0.9 actually
+    //      remove"). The prefix filter is sized for the LOOSEST
+    //      threshold (plen = nw − ⌈0.7·nw⌉ + 1, size prune
+    //      10·min ≥ 7·max) so it is lossless for every reported
+    //      threshold simultaneously; candidates verify ONCE, the
+    //      three bucket counts ride one conditional aggregate over
+    //      the survivors. The oracle brute-forces the same counts
+    //      (candidate generation is an optimization, never a
+    //      semantics change — same contract as q28). Lang-blocked
+    //      like the whole q28 family. ----
+    Q(
+      "q160_dedup_yield_curve",
+      """WITH words AS (SELECT DISTINCT doc_id, lang,
+        |    unnest(string_split(text,' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+        |  FROM words GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    count(*) AS ni
+        |  FROM words a JOIN words b
+        |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT i.a_id, i.b_id,
+        |    CAST(ni AS DOUBLE) / (ca.nw + cb.nw - ni) AS jac
+        |  FROM inter i JOIN wc ca ON ca.doc_id = i.a_id
+        |  JOIN wc cb ON cb.doc_id = i.b_id)
+        |SELECT CAST(t.thr AS BIGINT) AS thr,
+        |  CAST(count(CASE WHEN j.jac >= t.thr / 100.0 THEN 1 END)
+        |    AS BIGINT) AS dup_pairs
+        |FROM (VALUES (70), (80), (90)) AS t(thr), j
+        |GROUP BY t.thr ORDER BY thr""".stripMargin,
+    ) { (s, d) =>
+      val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,
+        nMinhash = 0)
+      // prefix sized for the loosest curve point: ⌈0.7·nw⌉ = (7·nw+9) div 10
+      val sets = f.work
+        .withColumn("plen",
+          (col("nw") - expr("(7 * nw + 9) div 10") + lit(1)).cast("int"))
+        .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
+        .select("doc_id", "lang", "nw", "pre")
+      val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
+        explode(col("pre")).as("pw"))
+      val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
+      val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
+      val cand = a.join(b,
+        col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
+          col("doc_id_a") < col("doc_id_b") &&
+          least(col("nw_a"), col("nw_b")) * 10 >=
+            greatest(col("nw_a"), col("nw_b")) * 7)
+        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+      val repPairs = f.verified(cand)
+        .withColumn("jaccard",
+          col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
+        .filter(col("jaccard") >= 0.7)
+        .select("a_id", "b_id", "jaccard")
+        .dropDuplicates("a_id", "b_id")
+      val pairs =
+        if (f.collapse) expandPairs(f.members, repPairs) else repPairs
+      val counts = pairs.agg(
+        count(when(col("jaccard") >= 0.7, 1)).as("c70"),
+        count(when(col("jaccard") >= 0.8, 1)).as("c80"),
+        count(when(col("jaccard") >= 0.9, 1)).as("c90"))
+      counts.select(explode(array(
+          struct(lit(70L).as("thr"), col("c70").as("dup_pairs")),
+          struct(lit(80L).as("thr"), col("c80").as("dup_pairs")),
+          struct(lit(90L).as("thr"), col("c90").as("dup_pairs"))))
+          .as("r"))
+        .select(col("r.thr").as("thr"), col("r.dup_pairs").as("dup_pairs"))
+        .orderBy("thr")
+    },
   )
 }

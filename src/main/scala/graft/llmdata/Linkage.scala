@@ -111,5 +111,77 @@ object Linkage {
             .as("correct"))
         .orderBy("record_id")
     },
+
+    // ---- q158: golden-record survivorship — the MDM merge step after
+    //      q144's matching: three conflicting feeds for the same
+    //      entity fold to one golden row with PER-FIELD survivorship
+    //      rules (segment: valid beats UNKNOWN, then newest, then
+    //      source priority; balance: newest then priority — so one
+    //      golden row can mix sources per field, which is the point
+    //      of field-level survivorship vs row-level SCD2, q74's
+    //      territory). Each rule compiles to ONE argmax over a
+    //      COMPOSITE INTEGER key (validity·10⁹ + recency·10³ +
+    //      inverted priority — monotone encoding of the lexicographic
+    //      rule, q137's argmax-fold discipline: O(1) state per
+    //      entity, partial-aggregated, never a per-entity sort).
+    //      Feeds are derived deterministically from `customer`;
+    //      feed-2 nulls 20% of segments to 'UNKNOWN' and shifts
+    //      balances so survivorship is observable per field. ----
+    Q(
+      "q158_golden_record",
+      """WITH feeds AS (
+        |  SELECT c_custkey AS id, 1 AS src_prio,
+        |    100 + c_custkey % 50 AS recency,
+        |    c_mktsegment AS segment, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 200 + c_custkey % 30,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END,
+        |    c_acctbal + 10
+        |  FROM customer WHERE c_custkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT c_custkey, 3, 50 + c_custkey % 80,
+        |    c_mktsegment, c_acctbal - 5
+        |  FROM customer WHERE c_custkey % 5 <> 2),
+        |keyed AS (SELECT id, segment, bal,
+        |    CAST((CASE WHEN segment <> 'UNKNOWN' THEN 1 ELSE 0 END)
+        |        * 1000000000 + recency * 1000 + (9 - src_prio)
+        |      AS BIGINT) AS seg_key,
+        |    CAST(recency * 1000 + (9 - src_prio) AS BIGINT) AS bal_key
+        |  FROM feeds)
+        |SELECT id, arg_max(segment, seg_key) AS segment,
+        |  arg_max(bal, bal_key) AS bal,
+        |  CAST(count(*) AS BIGINT) AS n_sources
+        |FROM keyed GROUP BY id ORDER BY id""".stripMargin,
+    ) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      def feed(pred: org.apache.spark.sql.Column, prio: Int,
+          recBase: Int, recMod: Int,
+          seg: org.apache.spark.sql.Column,
+          bal: org.apache.spark.sql.Column) =
+        cust.filter(pred).select(col("c_custkey").as("id"),
+          lit(prio).as("src_prio"),
+          (lit(recBase) + col("c_custkey") % recMod).as("recency"),
+          seg.as("segment"), bal.as("bal"))
+      val feeds = feed(col("c_custkey") % 3 =!= 0, 1, 100, 50,
+          col("c_mktsegment"), col("c_acctbal"))
+        .unionAll(feed(col("c_custkey") % 4 =!= 1, 2, 200, 30,
+          when(col("c_custkey") % 5 === 0, "UNKNOWN")
+            .otherwise(col("c_mktsegment")), col("c_acctbal") + 10))
+        .unionAll(feed(col("c_custkey") % 5 =!= 2, 3, 50, 80,
+          col("c_mktsegment"), col("c_acctbal") - 5))
+      feeds.select(col("id"), col("segment"), col("bal"),
+          (when(col("segment") =!= "UNKNOWN", 1L).otherwise(0L)
+            * 1000000000L + col("recency") * 1000L
+            + (lit(9) - col("src_prio"))).as("seg_key"),
+          (col("recency") * 1000L + (lit(9) - col("src_prio")))
+            .as("bal_key"))
+        .groupBy("id")
+        .agg(max_by(col("segment"), col("seg_key")).as("segment"),
+          max_by(col("bal"), col("bal_key")).as("bal"),
+          count(lit(1)).as("n_sources"))
+        .orderBy("id")
+    },
   )
 }

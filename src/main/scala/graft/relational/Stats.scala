@@ -276,5 +276,63 @@ object Stats {
             - col("benford_milli")).as("dev_milli"))
         .orderBy("digit")
     },
+
+    // ---- q159: Horvitz–Thompson estimation audit — reconstruct
+    //      full-population row counts from a stratified md5-bucketed
+    //      sample (per-stratum rates 20%/10%/10%/5%/5%) by inverse-
+    //      probability weighting (est = n_sampled · 100/rate), and
+    //      report the per-mille error against the exact census IN THE
+    //      SAME PLAN — the "can we answer from the 5% sample" question
+    //      every 100 TB telemetry pipeline asks before it pays for the
+    //      full scan. Sampling is q50's engine-stable md5 bucketing
+    //      (never rand(), so the oracle draws the identical sample);
+    //      estimates and errors are pure integer floor arithmetic; the
+    //      rate table is a ≤|strata|-row literal broadcast. ----
+    Q(
+      "q159_horvitz_thompson",
+      """WITH pop AS (SELECT o_orderpriority AS stratum,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % 100 AS b
+        |  FROM orders),
+        |rates AS (SELECT * FROM (VALUES ('1-URGENT', 20), ('2-HIGH', 10),
+        |    ('3-MEDIUM', 10), ('4-NOT SPECIFIED', 5), ('5-LOW', 5))
+        |  AS t(stratum, pct)),
+        |est AS (SELECT p.stratum,
+        |    CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(count(*) * 100 // min(r.pct) AS BIGINT) AS est_rows
+        |  FROM pop p JOIN rates r ON p.stratum = r.stratum
+        |  WHERE p.b < r.pct GROUP BY 1),
+        |act AS (SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM orders GROUP BY 1)
+        |SELECT a.stratum, e.n_sampled, e.est_rows, a.actual_rows,
+        |  CAST(abs(e.est_rows - a.actual_rows) * 1000 // a.actual_rows
+        |    AS BIGINT) AS row_err_milli
+        |FROM act a JOIN est e ON a.stratum = e.stratum
+        |ORDER BY a.stratum""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val rates = Seq(("1-URGENT", 20L), ("2-HIGH", 10L),
+        ("3-MEDIUM", 10L), ("4-NOT SPECIFIED", 5L), ("5-LOW", 5L))
+        .toDF("stratum", "pct")
+      val pop = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("stratum"),
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+            16, 10).cast("long") % 100).as("b"))
+      val est = pop.join(broadcast(rates), "stratum")
+        .filter(col("b") < col("pct"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_sampled"),
+          expr("count(1) * 100 div min(pct)").as("est_rows"))
+      val act = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("stratum"))
+        .agg(count(lit(1)).as("actual_rows"))
+      act.join(est, "stratum")
+        .select(col("stratum"), col("n_sampled"), col("est_rows"),
+          col("actual_rows"),
+          expr("abs(est_rows - actual_rows) * 1000 div actual_rows")
+            .as("row_err_milli"))
+        .orderBy("stratum")
+    },
   )
 }
