@@ -1323,5 +1323,108 @@ object EventOps {
           (col("n").cast("double") / col("tot")).as("share"))
         .orderBy("credited")
     },
+
+    // ---- q161: CUSUM change-point — the offline mean-shift detector
+    //      (Page's cumulative-sum statistic): per event type, the day
+    //      t maximizing |N·S_t − t·S_N| over the daily-count series —
+    //      the scaled deviation of the cumulative sum from the
+    //      uniform-rate line, INTEGER-exact (the |T|·S_t form clears
+    //      the mean division q23's z-score pays in doubles).
+    //      Everything windows PARTITION BY event_type over the tiny
+    //      per-type day series (≤ |days| rows/type — the corpus-sized
+    //      work is the daily groupBy, domain-bounded); argmax via the
+    //      (cusum desc, day) row_number tie-break. ----
+    Q(
+      "q161_changepoint",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS sn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+        |  FROM daily),
+        |mx AS (SELECT event_type, day, t,
+        |    CAST(abs(nt * st - t * sn) AS BIGINT) AS cusum,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(nt * st - t * sn) DESC, day) AS rk
+        |  FROM cum)
+        |SELECT event_type, day AS change_day, t AS day_index, cusum
+        |FROM mx WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val cum = daily
+        .withColumn("st", sum("n").over(wOrd
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("sn", sum("n").over(wAll))
+        .withColumn("nt", count(lit(1)).over(wAll))
+      val cusum = abs(col("nt") * col("st") - col("t") * col("sn"))
+      cum.withColumn("cusum", cusum)
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("event_type").orderBy(cusum.desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          col("t").as("day_index"), col("cusum"))
+        .orderBy("event_type")
+    },
+
+    // ---- q162: chi-square drift audit — the no-transcendental
+    //      distribution-shift test between two corpus epochs (PSI's
+    //      ln(p/q) needs logs; Pearson's χ² = Σ(o−e)²/e does not):
+    //      event-type mix in days 1–15 vs 16–30 as a 2×|types|
+    //      contingency table, χ² per type in integer MICRO-units
+    //      (per-cell floor before the sum — q146's associativity
+    //      rule; expected counts are one double product/division of
+    //      exact integers). The corpus-sized work is one (type,
+    //      epoch) groupBy; everything after runs on ≤ 2·|types|
+    //      rows. ----
+    Q(
+      "q162_chisq_drift",
+      """WITH c AS (SELECT event_type,
+        |    CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END
+        |      AS epoch,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT epoch, CAST(sum(n) AS BIGINT) AS ne
+        |  FROM c GROUP BY 1),
+        |g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ng
+        |  FROM c GROUP BY 1),
+        |all_ AS (SELECT CAST(sum(n) AS BIGINT) AS na FROM c),
+        |cells AS (SELECT c.event_type, c.n,
+        |    CAST(g.ng AS DOUBLE) * t.ne / a.na AS expected
+        |  FROM c JOIN g USING (event_type)
+        |  JOIN tot t ON c.epoch = t.epoch, all_ a)
+        |SELECT event_type,
+        |  CAST(sum(CAST(floor(1000000 * (n - expected) * (n - expected)
+        |    / expected) AS BIGINT)) AS BIGINT) AS chi2_micro
+        |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val c = graft.Caches.persist(Tables.events(s, d)
+        .select(col("event_type"),
+          when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("epoch"))
+        .groupBy("event_type", "epoch").agg(count(lit(1)).as("n")))
+      val tot = c.groupBy("epoch").agg(sum("n").as("ne"))
+      val g = c.groupBy("event_type").agg(sum("n").as("ng"))
+      val na = c.agg(sum("n").as("na"))
+      val expected = col("ng").cast("double") * col("ne") / col("na")
+      c.join(broadcast(g), "event_type").join(broadcast(tot), "epoch")
+        .crossJoin(broadcast(na))
+        .withColumn("expected", expected)
+        .withColumn("cell_micro",
+          floor(lit(1000000) * (col("n") - col("expected"))
+            * (col("n") - col("expected")) / col("expected"))
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(sum("cell_micro").as("chi2_micro"))
+        .orderBy("event_type")
+    },
   )
 }
