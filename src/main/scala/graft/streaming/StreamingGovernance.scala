@@ -54,7 +54,7 @@ object StreamingGovernance {
   def customerQi(df: DataFrame): Dataset[QiRow] = {
     import df.sparkSession.implicits._
     df.select(col("c_custkey").as("row_id"),
-      concat_ws("", col("c_nationkey"), col("c_mktsegment"),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 2000).cast("long")).as("qi"))
       .as[QiRow]
   }

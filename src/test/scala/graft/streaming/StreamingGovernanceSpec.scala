@@ -18,7 +18,7 @@ class StreamingGovernanceSpec extends SparkSpec {
       .select("row_id").as[Long].collect().toSet
     // independent batch computation of k-cleared QI groups
     val qi = cust.select(col("c_custkey"),
-      concat_ws("", col("c_nationkey"), col("c_mktsegment"),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 2000).cast("long")).as("qi"))
     val open = qi.groupBy("qi").count().filter(col("count") >= 2)
     val expect = qi.join(open, Seq("qi"), "left_semi")
