@@ -1426,5 +1426,106 @@ object EventOps {
         .agg(sum("cell_micro").as("chi2_micro"))
         .orderBy("event_type")
     },
+
+    // ---- q163: session-concurrency curve — active sessions per hour
+    //      (the "concurrent users" capacity line): fold each user-day
+    //      to its [first, last] hour span (one corpus-sized groupBy),
+    //      explode the span onto the hour grid (sequence + explode —
+    //      codegen'd, fan-out bounded by span length ≤ 24), count per
+    //      hour. The interval→grid rasterization pattern: contrast
+    //      q40's interval JOIN (pairwise overlap) — a grid count is
+    //      O(spans·span_len), never pairwise. ----
+    Q(
+      "q163_concurrency_curve",
+      """WITH se AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    date_trunc('hour', min(ts)) AS h0,
+        |    date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY 1, 2),
+        |hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |    AS hour
+        |  FROM se)
+        |SELECT hour, CAST(count(*) AS BIGINT) AS active_sessions
+        |FROM hrs GROUP BY 1 ORDER BY hour""".stripMargin,
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(date_trunc("hour", min("ts")).as("h0"),
+          date_trunc("hour", max("ts")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+        .groupBy("hour").agg(count(lit(1)).as("active_sessions"))
+        .orderBy("hour")
+    },
+
+    // ---- q164: bitemporal as-of — the two-axis time-travel read
+    //      (valid time = when a fact WAS true; transaction time =
+    //      when we RECORDED it; Snodgrass's bitemporal model): "what
+    //      did we believe at T about the state at V" for four (V, T)
+    //      scenarios in one plan. The version store derives from
+    //      `customer`: v1 valid [100,200) recorded at tx 10, v2
+    //      valid [200,300) recorded at tx 30, and a CORRECTION of v1
+    //      (balance restated) recorded at tx 50 for every 6th
+    //      customer — so (150, 20) sees the original, (150, 60) the
+    //      correction, (250, 20) nothing yet (v2 unrecorded at T=20),
+    //      (250, 60) v2. Rows carry closed-open [from, to) on BOTH
+    //      axes; the read is two range predicates against a 4-row
+    //      broadcast scenario table + q118's order-free checksum.
+    //      SCD2 (q74) is the valid-time-only special case. ----
+    Q(
+      "q164_bitemporal_asof",
+      """WITH vers AS (
+        |  SELECT c_custkey AS id, c_acctbal AS bal,
+        |    100 AS vf, 200 AS vt, 10 AS txf,
+        |    CASE WHEN c_custkey % 6 = 2 THEN 50 ELSE 999999 END AS txt
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100, 100, 200, 50, 999999
+        |  FROM customer WHERE c_custkey % 6 = 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 7, 200, 300, 30, 999999
+        |  FROM customer),
+        |sc AS (SELECT * FROM (VALUES (150, 20), (150, 60), (250, 20),
+        |    (250, 60)) AS t(v, tx)),
+        |hit AS (SELECT sc.v, sc.tx, vers.id, vers.bal
+        |  FROM vers JOIN sc ON vers.vf <= sc.v AND sc.v < vers.vt
+        |    AND vers.txf <= sc.tx AND sc.tx < vers.txt)
+        |SELECT CAST(v AS BIGINT) AS valid_at, CAST(tx AS BIGINT)
+        |    AS recorded_at,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(CAST(('0x' || substr(md5(id || '|'
+        |      || CAST(floor(bal * 100 + 0.5) AS BIGINT)), 1, 15))
+        |    AS BIGINT)) AS BIGINT) AS state_checksum
+        |FROM hit GROUP BY 1, 2 ORDER BY valid_at, recorded_at""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val inf = lit(999999)
+      val vers = cust.select(col("c_custkey").as("id"),
+          col("c_acctbal").as("bal"), lit(100).as("vf"), lit(200).as("vt"),
+          lit(10).as("txf"),
+          when(col("c_custkey") % 6 === 2, 50).otherwise(inf).as("txt"))
+        .unionAll(cust.filter(col("c_custkey") % 6 === 2)
+          .select(col("c_custkey").as("id"),
+            (col("c_acctbal") + 100).as("bal"), lit(100).as("vf"),
+            lit(200).as("vt"), lit(50).as("txf"), inf.as("txt")))
+        .unionAll(cust.select(col("c_custkey").as("id"),
+          (col("c_acctbal") + 7).as("bal"), lit(200).as("vf"),
+          lit(300).as("vt"), lit(30).as("txf"), inf.as("txt")))
+      val sc = Seq((150, 20), (150, 60), (250, 20), (250, 60))
+        .toDF("v", "tx")
+      vers.join(broadcast(sc),
+          col("vf") <= col("v") && col("v") < col("vt") &&
+            col("txf") <= col("tx") && col("tx") < col("txt"))
+        .groupBy(col("v").cast("long").as("valid_at"),
+          col("tx").cast("long").as("recorded_at"))
+        .agg(count(lit(1)).as("n_rows"),
+          // balance digested as exact integer CENTS — a double→string
+          // cast would pin the checksum to each engine's float
+          // formatter (q119's lesson applied to digests)
+          expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', id, " +
+            "CAST(floor(bal * 100 + 0.5) AS BIGINT))), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("state_checksum"))
+        .orderBy("valid_at", "recorded_at")
+    },
   )
 }

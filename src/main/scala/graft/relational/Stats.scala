@@ -334,5 +334,73 @@ object Stats {
             .as("row_err_milli"))
         .orderBy("stratum")
     },
+
+    // ---- q165: referential-integrity audit — orphan counts for all
+    //      four star-schema FKs in one report (the constraint pass
+    //      Spark cannot enforce declaratively, so the pipeline must
+    //      PROVE it; q94 is the doc/vector twin). Each FK is one
+    //      LEFT anti-style probe (left join + null count — keeps the
+    //      child row count in the same pass) against the parent key
+    //      projection: dims broadcast, the two lineitem probes share
+    //      one scan via the persisted key projection. A deterministic
+    //      "deletion" (every 97th customer, every 89th order) makes
+    //      orphans OBSERVABLE — an audit that can only ever print
+    //      zero tests nothing; the supplier FK stays intact as the
+    //      clean-case control. ----
+    Q(
+      "q165_fk_audit",
+      """WITH live_cust AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 97 <> 3),
+        |live_ord AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 89 <> 7),
+        |li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+        |fk1 AS (SELECT 'orders->customer' AS fk,
+        |    CAST(count(*) AS BIGINT) AS child_rows,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS orphans
+        |  FROM orders o LEFT JOIN live_cust c ON o.o_custkey = c.c_custkey),
+        |fk2 AS (SELECT 'lineitem->orders',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM li LEFT JOIN live_ord oo ON li.l_orderkey = oo.o_orderkey),
+        |fk3 AS (SELECT 'lineitem->part',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM li LEFT JOIN part p ON li.l_partkey = p.p_partkey),
+        |fk4 AS (SELECT 'lineitem->supplier',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM li LEFT JOIN supplier sp ON li.l_suppkey = sp.s_suppkey)
+        |SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+        |UNION ALL SELECT * FROM fk3 UNION ALL SELECT * FROM fk4
+        |ORDER BY fk""".stripMargin,
+    ) { (s, d) =>
+      val li = graft.Caches.persist(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey"))
+      def audit(name: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parent: org.apache.spark.sql.DataFrame,
+          parentKey: String) =
+        child.join(broadcast(parent), col(childKey) === col(parentKey),
+            "left")
+          .agg(count(lit(1)).as("child_rows"),
+            sum(when(col(parentKey).isNull, 1).otherwise(0))
+              .as("orphans"))
+          .select(lit(name).as("fk"), col("child_rows"), col("orphans"))
+      audit("orders->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d)
+            .filter(col("c_custkey") % 97 =!= 3).select("c_custkey"),
+          "c_custkey")
+        .unionAll(audit("lineitem->orders", li, "l_orderkey",
+          Tables.orders(s, d).filter(col("o_orderkey") % 89 =!= 7)
+            .select("o_orderkey"), "o_orderkey"))
+        .unionAll(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, d).select("p_partkey"), "p_partkey"))
+        .unionAll(audit("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d).select("s_suppkey"), "s_suppkey"))
+        .orderBy("fk")
+    },
   )
 }
