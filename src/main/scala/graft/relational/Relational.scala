@@ -650,5 +650,151 @@ object Relational {
           ((col("sy") - cov / vx * col("sx")) / col("n")).as("intercept"))
         .orderBy("l_returnflag")
     },
+
+    // ---- q166: frequent triples via A-priori pruning — the level-3
+    //      step of frequent-itemset mining (Agrawal–Srikant) that
+    //      q122's pair pass feeds: candidate triples are generated
+    //      ONLY from frequent pairs (joined on a shared first item,
+    //      then closed by requiring the third pair — the downward-
+    //      closure prune), so the support-counting join runs on
+    //      candidates bounded by the frequent-pair square, never on
+    //      all C(|items|,3) triples — THE a-priori scale argument.
+    //      Baskets = per-order distinct brand sets (one dim-broadcast
+    //      join + distinct); support counting re-joins the candidate
+    //      list to the basket items three-legged on the basket id.
+    //      Integer supports, deterministic lexicographic item order. ----
+    Q(
+      "q166_apriori_triples",
+      """WITH items AS (SELECT DISTINCT l.l_orderkey AS bid,
+        |    p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |thr AS (SELECT greatest(1, count(DISTINCT bid) // 300) AS t
+        |  FROM items),
+        |pairs AS (SELECT a.item AS i1, b.item AS i2,
+        |    CAST(count(*) AS BIGINT) AS sup
+        |  FROM items a JOIN items b ON a.bid = b.bid AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr)),
+        |cand AS (SELECT p1.i1, p1.i2, p2.i2 AS i3
+        |  FROM pairs p1 JOIN pairs p2 ON p1.i1 = p2.i1 AND p1.i2 < p2.i2
+        |  JOIN pairs p3 ON p3.i1 = p1.i2 AND p3.i2 = p2.i2),
+        |tri AS (SELECT c.i1, c.i2, c.i3, CAST(count(*) AS BIGINT) AS sup
+        |  FROM cand c JOIN items a ON a.item = c.i1
+        |  JOIN items b ON b.bid = a.bid AND b.item = c.i2
+        |  JOIN items e ON e.bid = a.bid AND e.item = c.i3
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT t FROM thr))
+        |SELECT i1, i2, i3, sup FROM tri
+        |ORDER BY sup DESC, i1, i2, i3 LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      val items = graft.Caches.persist(Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+        .distinct())
+      // support floor scales with basket count (0.33% of baskets) so
+      // the operator is scale-parametric, not magic-numbered; one
+      // count action on the persisted basket table
+      val thr = math.max(1L,
+        items.select("bid").distinct().count() / 300)
+      val pairs = graft.Caches.persist(
+        items.toDF("bid", "i1")
+          .join(items.toDF("bid", "i2"), "bid")
+          .filter(col("i1") < col("i2"))
+          .groupBy("i1", "i2").agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= thr))
+      val cand = pairs.select(col("i1"), col("i2"))
+        .join(pairs.select(col("i1"), col("i2").as("i3")), Seq("i1"))
+        .filter(col("i2") < col("i3"))
+        .join(pairs.select(col("i1").as("i2"), col("i2").as("i3")),
+          Seq("i2", "i3"), "left_semi")
+      cand
+        .join(items.toDF("bid", "i1"), Seq("i1"))
+        .join(items.toDF("bid", "i2"), Seq("bid", "i2"))
+        .join(items.toDF("bid", "i3"), Seq("bid", "i3"))
+        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= thr)
+        .orderBy(col("sup").desc, col("i1"), col("i2"), col("i3"))
+        .limit(20)
+    },
+
+    // ---- q167: winsorized mean — the clip-then-average robust
+    //      estimator (vs q128's flag-the-outliers MAD screen): exact
+    //      P10/P90 bounds by order statistic (q128's rank rule — every
+    //      bound is an actual data value, no interpolation), values
+    //      clipped INTO [lo, hi], mean over the clipped column as an
+    //      exact DECIMAL sum with ONE double conversion (q119 route,
+    //      oracle cast through VARCHAR). Two type-keyed window sorts
+    //      on the bounded event-type domain, then one grouped sum. ----
+    Q(
+      "q167_winsorized_mean",
+      """WITH v AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN rn = (n + 9) // 10 THEN value END) AS lo,
+        |    min(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS hi
+        |  FROM v GROUP BY 1)
+        |SELECT v.event_type, CAST(count(*) AS BIGINT) AS n, b.lo, b.hi,
+        |  CAST(CAST(sum(CAST(least(greatest(v.value, b.lo), b.hi)
+        |      AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*)
+        |    AS wmean
+        |FROM v JOIN b USING (event_type)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("event_type", "event_id", "value")
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val wp = Window.partitionBy("event_type")
+      val v = ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wp))
+      val b = v.groupBy("event_type")
+        .agg(min(when(col("rn") === expr("(n + 9) div 10"),
+          col("value"))).as("lo"),
+          min(when(col("rn") === expr("(9 * n + 9) div 10"),
+            col("value"))).as("hi"))
+      ev.join(broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast("decimal(18,6)")).as("wsum"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          (col("wsum").cast("double") / col("n")).as("wmean"))
+        .orderBy("event_type")
+    },
+
+    // ---- q168: KWIC snippets — keyword-in-context extraction (the
+    //      concordance/snippet pass a retrieval UI runs over its
+    //      hits): for every doc containing the query term, the ±3-
+    //      token window around the FIRST occurrence plus its token
+    //      position. Pure map over the corpus (array_position +
+    //      slice + join — codegen'd, no explode, no shuffle at all
+    //      until the presentation sort), so at 100 TB it pipelines
+    //      behind the hit filter with zero exchanges. ----
+    Q(
+      "q168_kwic_snippets",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |hit AS (SELECT doc_id, w,
+        |    list_position(w, 'vector') AS pos FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(w[greatest(1, pos - 3):least(len(w), pos + 3)],
+        |    ' ') AS snippet
+        |FROM hit WHERE pos IS NOT NULL AND pos > 0
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("pos", array_position(col("w"), "vector"))
+        .filter(col("pos") > 0)
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("w"),
+            greatest(lit(1), col("pos") - 3),
+            least(size(col("w")).cast("long"), col("pos") + 3)
+              - greatest(lit(1), col("pos") - 3) + 1), " ")
+            .as("snippet"))
+        .orderBy("doc_id")
+    },
   )
 }
