@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.spikeScoreFn)
     e.injectFunction(GraftExtensions.vecDotFn)
     e.injectFunction(GraftExtensions.rollingFpFn)
+    e.injectFunction(GraftExtensions.levBoundedFn)
     GraftExtensions.aggregatorFns.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
@@ -76,6 +77,18 @@ object GraftExtensions {
         toks, Cast(k, org.apache.spark.sql.types.IntegerType))
       case other => throw new IllegalArgumentException(
         s"rolling_fp expects 2 arguments, got ${other.length}")
+    },
+  )
+
+  val levBoundedFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lev_bounded"),
+    new ExpressionInfo(
+      classOf[graft.functions.BoundedLevenshtein].getName, "lev_bounded"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b, k) => graft.functions.BoundedLevenshtein(a, b,
+        Cast(k, org.apache.spark.sql.types.IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"lev_bounded expects 3 arguments, got ${other.length}")
     },
   )
 
@@ -147,7 +160,8 @@ object GraftExtensions {
     * extensions config. Idempotent (re-registration replaces with the
     * same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    (Seq(spikeScoreFn, vecDotFn, rollingFpFn) ++ aggregatorFns).foreach {
+    (Seq(spikeScoreFn, vecDotFn, rollingFpFn, levBoundedFn) ++
+        aggregatorFns).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -183,5 +183,37 @@ object Linkage {
           count(lit(1)).as("n_sources"))
         .orderBy("id")
     },
+
+    // ---- q169: bounded fuzzy name pairs — catalog names within edit
+    //      distance 3, verified by the NATIVE banded expression
+    //      `lev_bounded` (functions/BoundedLevenshtein: Ukkonen's
+    //      O(k·n) diagonal band with three early exits, whole-stage
+    //      codegen via a static call — the built-in levenshtein fills
+    //      the full O(m·n) matrix to answer a ≤3 question). Pairs
+    //      range over the DISTINCT-NAME domain (entity cardinality,
+    //      ≪ rows at any corpus scale; the name side of q144's
+    //      catalog), ordered a < b. The oracle uses exact
+    //      levenshtein — equal BY CONTRACT because the bounded form
+    //      returns the exact distance whenever it is ≤ k (the spec
+    //      pins the sentinel path the oracle never sees). ----
+    Q(
+      "q169_bounded_fuzzy_pairs",
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    ) { (s, d) =>
+      val names = Tables.part(s, d).select(col("p_name").as("name"))
+        .distinct()
+      names.toDF("name_a")
+        .join(broadcast(names.toDF("name_b")),
+          col("name_a") < col("name_b"))
+        .withColumn("dist", expr("lev_bounded(name_a, name_b, 3)"))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    },
   )
 }
+
