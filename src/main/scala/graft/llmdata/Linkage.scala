@@ -214,6 +214,76 @@ object Linkage {
         .filter(col("dist") <= 3)
         .orderBy("name_a", "name_b")
     },
+
+    // ---- q170: blocking-quality audit — the q117-style skew report
+    //      for q144's blocking scheme, run BEFORE the candidate join:
+    //      per block key, dirty-side records × catalog-side entities
+    //      = the candidate pairs that block will emit; the top-10
+    //      hottest blocks and their share of the total pair budget
+    //      tell the ER pipeline whether to cap, split, or salt a
+    //      block before paying for it (the documented hot-block seam,
+    //      now measured instead of assumed). Two domain-bounded
+    //      aggregations + a broadcast scalar total; integer mille
+    //      share. ----
+    Q(
+      "q170_blocking_audit",
+      """WITH dirty AS (SELECT p_partkey AS record_id,
+        |  CASE p_partkey % 4
+        |    WHEN 0 THEN string_split(p_name,' ')[2] || ' ' ||
+        |      string_split(p_name,' ')[1]
+        |    WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+        |    WHEN 2 THEN substr(p_name, 2)
+        |    ELSE p_name || 'x' END AS dname
+        |  FROM part),
+        |db AS (SELECT DISTINCT record_id, substr(t.tok, 1, 3) AS blk
+        |  FROM dirty, unnest(string_split(dname, ' ')) AS t(tok)),
+        |cb AS (SELECT DISTINCT e.entity_id, substr(t.tok, 1, 3) AS blk
+        |  FROM (SELECT p_name, min(p_partkey) AS entity_id
+        |        FROM part GROUP BY 1) e,
+        |    unnest(string_split(e.p_name, ' ')) AS t(tok)),
+        |dsz AS (SELECT blk, CAST(count(*) AS BIGINT) AS nd
+        |  FROM db GROUP BY 1),
+        |csz AS (SELECT blk, CAST(count(DISTINCT entity_id) AS BIGINT)
+        |    AS nc
+        |  FROM cb GROUP BY 1),
+        |j AS (SELECT d.blk, d.nd, c.nc, d.nd * c.nc AS pairs
+        |  FROM dsz d JOIN csz c ON d.blk = c.blk),
+        |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS tp FROM j)
+        |SELECT j.blk, j.nd, j.nc, CAST(j.pairs AS BIGINT) AS pairs,
+        |  CAST(1000 * j.pairs // tot.tp AS BIGINT) AS share_milli
+        |FROM j, tot ORDER BY pairs DESC, blk LIMIT 10""".stripMargin,
+    ) { (s, d) =>
+      val part = Tables.part(s, d)
+      val dirty = part.select(col("p_partkey").as("record_id"),
+        when(col("p_partkey") % 4 === 0,
+          concat_ws(" ", element_at(split(col("p_name"), " "), 2),
+            element_at(split(col("p_name"), " "), 1)))
+          .when(col("p_partkey") % 4 === 1,
+            expr("substr(p_name, 1, length(p_name) - 1)"))
+          .when(col("p_partkey") % 4 === 2, expr("substr(p_name, 2)"))
+          .otherwise(concat(col("p_name"), lit("x"))).as("dname"))
+      val dsz = dirty
+        .select(col("record_id"),
+          explode(split(col("dname"), " ")).as("tok"))
+        .select(col("record_id"), substring(col("tok"), 1, 3).as("blk"))
+        .distinct()
+        .groupBy("blk").agg(count(lit(1)).as("nd"))
+      val csz = part.groupBy(col("p_name"))
+        .agg(min("p_partkey").as("entity_id"))
+        .select(col("entity_id"),
+          explode(split(col("p_name"), " ")).as("tok"))
+        .select(col("entity_id"), substring(col("tok"), 1, 3).as("blk"))
+        .distinct()
+        .groupBy("blk").agg(countDistinct("entity_id").as("nc"))
+      val j = graft.Caches.persist(dsz.join(csz, "blk")
+        .withColumn("pairs", col("nd") * col("nc")))
+      val tot = j.agg(sum("pairs").as("tp"))
+      j.crossJoin(broadcast(tot))
+        .select(col("blk"), col("nd"), col("nc"), col("pairs"),
+          expr("(1000 * pairs) div tp").as("share_milli"))
+        .orderBy(col("pairs").desc, col("blk"))
+        .limit(10)
+    },
   )
 }
 
