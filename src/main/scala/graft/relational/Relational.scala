@@ -656,13 +656,18 @@ object Relational {
     //      q122's pair pass feeds: candidate triples are generated
     //      ONLY from frequent pairs (joined on a shared first item,
     //      then closed by requiring the third pair — the downward-
-    //      closure prune), so the support-counting join runs on
-    //      candidates bounded by the frequent-pair square, never on
-    //      all C(|items|,3) triples — THE a-priori scale argument.
-    //      Baskets = per-order distinct brand sets (one dim-broadcast
-    //      join + distinct); support counting re-joins the candidate
-    //      list to the basket items three-legged on the basket id.
-    //      Integer supports, deterministic lexicographic item order. ----
+    //      closure prune). Support counting GENERATES each basket's
+    //      own C(b,3) triples (baskets here are short — b ≈ 4 — so
+    //      per-basket generation is O(b³) tiny; the sf1 rehearsal
+    //      showed the alternative three-legged candidate⋈items join
+    //      going 100× superlinear as every item row fans out across
+    //      the candidate list), then semi-joins the broadcast
+    //      candidate set BEFORE the counting shuffle — the shuffle
+    //      carries only prune-surviving triples. For LONG baskets the
+    //      roles flip (C(b,3) explodes, the candidate join wins) —
+    //      the basket-length stats that pick the route are exactly
+    //      q87's profile. Integer supports, lexicographic item order;
+    //      support floor scales with basket count. ----
     Q(
       "q166_apriori_triples",
       """WITH items AS (SELECT DISTINCT l.l_orderkey AS bid,
@@ -707,10 +712,19 @@ object Relational {
         .filter(col("i2") < col("i3"))
         .join(pairs.select(col("i1").as("i2"), col("i2").as("i3")),
           Seq("i2", "i3"), "left_semi")
-      cand
-        .join(items.toDF("bid", "i1"), Seq("i1"))
-        .join(items.toDF("bid", "i2"), Seq("bid", "i2"))
-        .join(items.toDF("bid", "i3"), Seq("bid", "i3"))
+      val basketTriples = items.groupBy("bid")
+        .agg(sort_array(collect_set(col("item"))).as("arr"))
+        .filter(size(col("arr")) >= 3)
+        .select(explode(expr(
+          "flatten(flatten(transform(sequence(0, size(arr) - 3), " +
+            "i -> transform(sequence(i + 1, size(arr) - 2), " +
+            "j -> transform(sequence(j + 1, size(arr) - 1), " +
+            "k -> struct(arr[i] AS i1, arr[j] AS i2, arr[k] AS i3))))))"))
+          .as("t"))
+        .select(col("t.i1").as("i1"), col("t.i2").as("i2"),
+          col("t.i3").as("i3"))
+      basketTriples
+        .join(broadcast(cand), Seq("i1", "i2", "i3"), "left_semi")
         .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= thr)
         .orderBy(col("sup").desc, col("i1"), col("i2"), col("i3"))
