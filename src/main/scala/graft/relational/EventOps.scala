@@ -1527,5 +1527,95 @@ object EventOps {
             "AS BIGINT))").as("state_checksum"))
         .orderBy("valid_at", "recorded_at")
     },
+
+    // ---- q172: linear-interpolation gap fill — the lerp alternative
+    //      to q107's LOCF resampling (LOCF repeats the past; lerp
+    //      reconstructs a trend — the choice every sensor pipeline
+    //      makes per signal): hourly sums on a fixed day-1 grid,
+    //      missing cells filled as pv + (nv−pv)·(h−ph)/(nh−ph)
+    //      between the nearest observed neighbors (IGNORE-NULLS
+    //      last/first over strictly-preceding / strictly-following
+    //      frames carry value AND position), edges fall back to
+    //      nearest-observation fill, every row labeled with its fill
+    //      source. Observed sums are exact DECIMAL → one double; the
+    //      lerp is the same mirrored IEEE tree in both engines.
+    //      Windows partition per type over the 24-cell grid — state
+    //      is the grid, never the event volume. ----
+    Q(
+      "q172_lerp_gapfill",
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+        |      AS DOUBLE) AS v
+        |  FROM events WHERE extract(day FROM ts) = 1 GROUP BY 1, 2),
+        |grid AS (SELECT e.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM hourly) e,
+        |    (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |      TIMESTAMP '2024-01-01 23:00:00', INTERVAL 1 HOUR)) AS h) g),
+        |j AS (SELECT g.event_type, g.h,
+        |    CAST(extract(hour FROM g.h) AS BIGINT) AS hr, hourly.v
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.event_type = hourly.event_type AND g.h = hourly.h),
+        |w AS (SELECT event_type, h, hr, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hr ROWS BETWEEN 1 FOLLOWING
+        |      AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, h,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (hr - ph) / (nh - ph) END AS value,
+        |  CASE WHEN v IS NOT NULL THEN 'observed'
+        |       WHEN pv IS NULL THEN 'backfill'
+        |       WHEN nv IS NULL THEN 'ffill'
+        |       ELSE 'interpolated' END AS source
+        |FROM w ORDER BY event_type, h""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .filter(dayofmonth(col("ts")) === 1)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("v"))
+      val grid = hourly.select("event_type").distinct()
+        .crossJoin(broadcast((0 until 24).toDF("hr0")))
+        .select(col("event_type"),
+          expr("timestamp'2024-01-01 00:00:00' " +
+            "+ make_interval(0, 0, 0, 0, hr0, 0, 0)").as("h"),
+          col("hr0").cast("long").as("hr"))
+      val j = grid.join(hourly, Seq("event_type", "h"), "left")
+      def prevF = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def nextF = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val w = j
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevF))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hr")),
+          ignoreNulls = true).over(prevF))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextF))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hr")),
+          ignoreNulls = true).over(nextF))
+      w.select(col("event_type"), col("h"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("hr") - col("ph")) / (col("nh") - col("ph")))
+            .as("value"),
+          when(col("v").isNotNull, "observed")
+            .when(col("pv").isNull, "backfill")
+            .when(col("nv").isNull, "ffill")
+            .otherwise("interpolated").as("source"))
+        .orderBy("event_type", "h")
+    },
   )
 }

@@ -810,5 +810,59 @@ object Relational {
             .as("snippet"))
         .orderBy("doc_id")
     },
+
+    // ---- q171: RFM segmentation — the classic customer-value grid
+    //      (recency / frequency / monetary quintiles): one grouped
+    //      pass builds the per-customer triple (monetary as exact
+    //      DECIMAL, one double conversion — q119 route), three
+    //      ntile(5) windows assign quintile codes with deterministic
+    //      (value, customer) tie-breaks (ntile is order-exact in both
+    //      engines given a total order), and the output is the
+    //      125-cell segment census — cardinality bounded by 5³, not
+    //      customers. The windows are global but run on the
+    //      CUSTOMER-grain frame (entity cardinality ≪ fact rows; at
+    //      larger entity counts the quantile boundaries come from
+    //      q86's sketch and the codes from a broadcast join — the
+    //      documented scale route). ----
+    Q(
+      "q171_rfm_scores",
+      """WITH rfm AS (SELECT o_custkey AS cust,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '1999-01-01') AS BIGINT) AS recency,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS VARCHAR) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT cust, recency, frequency, monetary,
+        |    ntile(5) OVER (ORDER BY recency DESC, cust) AS r,
+        |    ntile(5) OVER (ORDER BY frequency, cust) AS f,
+        |    ntile(5) OVER (ORDER BY monetary, cust) AS m
+        |  FROM rfm)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  min(cust) AS sample_cust
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+    ) { (s, d) =>
+      val rfm = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(datediff(lit(java.sql.Date.valueOf("1999-01-01")),
+          max(col("o_orderdate")).cast("date")).cast("long").as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("msum"))
+        .withColumn("monetary", col("msum").cast("double"))
+      val sc = rfm
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("recency").desc, col("cust"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("frequency"), col("cust"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary"), col("cust"))))
+      sc.groupBy(col("r").cast("long").as("r"),
+          col("f").cast("long").as("f"), col("m").cast("long").as("m"))
+        .agg(count(lit(1)).as("n_customers"),
+          min("cust").as("sample_cust"))
+        .orderBy("r", "f", "m")
+    },
   )
 }
