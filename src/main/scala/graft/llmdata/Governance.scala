@@ -13,7 +13,7 @@ import graft.{Q, Tables}
   *  - k-anonymity (Sweeney 2002): every quasi-identifier (QI)
   *    combination must be shared by ≥ k rows, else the row is
   *    re-identifiable by linkage.
-  *  - l-diversity (Machanavalli et al. 2007): within each QI group the
+  *  - l-diversity (Machanavajjhala et al. 2007): within each QI group the
   *    SENSITIVE attribute must take ≥ l distinct values, else group
   *    membership alone leaks the sensitive value even at high k.
   *
