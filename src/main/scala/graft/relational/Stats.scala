@@ -402,5 +402,45 @@ object Stats {
           Tables.supplier(s, d).select("s_suppkey"), "s_suppkey"))
         .orderBy("fk")
     },
+
+    // ---- q173: Wilson lower-bound ranking — rank groups by the
+    //      LOWER confidence bound of their success rate, not the
+    //      point estimate (Wilson 1927; the standard fix for "a 1/1
+    //      group outranks a 950/1000 group" in rate leaderboards —
+    //      data-selection pipelines rank sources by quality-pass
+    //      rate with exactly this correction). One grouped count
+    //      pass; the bound is a mirrored IEEE tree over (k, n) —
+    //      int/int divisions, literal z = 1.96 kept as the written
+    //      product 1.96·1.96 in BOTH engines (a pre-multiplied
+    //      3.8416 literal would be a different double), sqrt
+    //      correctly rounded per IEEE in both. ----
+    Q(
+      "q173_wilson_ranking",
+      """WITH s AS (SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM orders GROUP BY 1)
+        |SELECT grp, n, k, CAST(k AS DOUBLE) / n AS rate,
+        |  (CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2 * n)
+        |    - 1.96 * sqrt((CAST(k AS DOUBLE) / n
+        |        * (1 - CAST(k AS DOUBLE) / n)
+        |      + (1.96 * 1.96) / (4 * n)) / n))
+        |    / (1 + (1.96 * 1.96) / n) AS wlb
+        |FROM s ORDER BY wlb DESC, grp""".stripMargin,
+    ) { (s, d) =>
+      val st = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("k"))
+      val p = col("k").cast("double") / col("n")
+      val z2 = lit(1.96) * lit(1.96)
+      val wlb = (p + z2 / (lit(2) * col("n")) -
+        lit(1.96) * sqrt((p * (lit(1) - p) + z2 / (lit(4) * col("n")))
+          / col("n"))) / (lit(1) + z2 / col("n"))
+      st.select(col("grp"), col("n"), col("k"), p.as("rate"),
+          wlb.as("wlb"))
+        .orderBy(col("wlb").desc, col("grp"))
+    },
   )
 }
