@@ -1167,5 +1167,81 @@ object Similarity {
         .unionAll(pickRow(c3, 3)).unionAll(pickRow(c4, 4))
         .orderBy("pick")
     },
+
+    // ---- q174: ANN recall audit — measure the sign-LSH index (q32)
+    //      against exact brute-force ground truth on a SAMPLED query
+    //      set: per query, |LSH top-3 ∩ exact top-3|, reported as the
+    //      overlap histogram. This is how ANN quality is actually
+    //      certified at scale — ground truth is exact (O(|sample|·N),
+    //      affordable because the sample is bounded), the index path
+    //      is the production plan, and the histogram IS the recall
+    //      curve's pointwise form. The measured answer on this corpus
+    //      — 8 hyperplanes recall almost nothing at k=3 — is the
+    //      finding such an audit exists to surface (and why q93's
+    //      multi-probe and q52's IVF carry explicit probe knobs; q93
+    //      audits candidate COST, this audits candidate QUALITY).
+    //      Query side broadcasts against the corpus scan both legs;
+    //      ranking ties break on neighbor id (q31's rule). ----
+    Q(
+      "q174_ann_recall_audit",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 100),
+        |truth AS (SELECT q_id, n_id FROM (
+        |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |          b.vec_id) AS rn
+        |    FROM q a JOIN v b ON b.vec_id <> a.vec_id) WHERE rn <= 3),
+        |got AS (SELECT q_id, n_id FROM (
+        |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |          b.vec_id) AS rn
+        |    FROM q a JOIN v b ON a.bucket = b.bucket
+        |      AND b.vec_id <> a.vec_id)
+        |  WHERE rn <= 3),
+        |ov AS (SELECT t.q_id, CAST(count(g.n_id) AS BIGINT) AS overlap
+        |  FROM truth t LEFT JOIN got g
+        |    ON t.q_id = g.q_id AND t.n_id = g.n_id
+        |  GROUP BY 1)
+        |SELECT overlap, CAST(count(*) AS BIGINT) AS n_queries FROM ov
+        |GROUP BY 1 ORDER BY overlap""".stripMargin,
+    ) { (s, d) =>
+      val v = graft.Caches.persist(Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        signBucket(col("embedding")).as("bucket"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+      val q = v.filter(col("vec_id") < 100)
+      def top3(joinCond: Column): DataFrame = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("c").desc, col("n_id"))
+        q.as("a").join(v.as("b"), joinCond)
+          .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+            (dot(col("a.v"), col("b.v")) /
+              (col("a.nrm") * col("b.nrm"))).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).select("q_id", "n_id")
+      }
+      val truth = top3(col("b.vec_id") =!= col("a.vec_id"))
+      val got = top3(col("a.bucket") === col("b.bucket") &&
+        col("b.vec_id") =!= col("a.vec_id"))
+      val gotR = got.toDF("gq_id", "g_id")
+      truth.join(gotR,
+          col("q_id") === col("gq_id") && col("n_id") === col("g_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(col("g_id")).as("overlap"))
+        .groupBy("overlap").agg(count(lit(1)).as("n_queries"))
+        .orderBy("overlap")
+    },
   )
 }

@@ -442,5 +442,56 @@ object Stats {
           wlb.as("wlb"))
         .orderBy(col("wlb").desc, col("grp"))
     },
+
+    // ---- q175: Kendall rank correlation — agreement between two
+    //      rankings of the same entities (here: sources by doc count
+    //      vs by token mass — "do my two size metrics tell the same
+    //      story"), the eval metric for comparing rankers without
+    //      assuming score scales. Rankings are strict permutations
+    //      (deterministic (metric desc, source) tie-breaks), tau-a =
+    //      (C − D)/(n(n−1)/2) reduces to INTEGER concordant/
+    //      discordant pair counts over the entity-pair join —
+    //      entity-cardinality², never corpus-sized; emitted in
+    //      mille-units by integer division. ----
+    Q(
+      "q175_rank_correlation",
+      """WITH m AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source,
+        |    row_number() OVER (ORDER BY n_docs DESC, source) AS r1,
+        |    row_number() OVER (ORDER BY n_tok DESC, source) AS r2
+        |  FROM m),
+        |p AS (SELECT CAST(sum(CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM r a JOIN r b ON a.source < b.source)
+        |SELECT conc, disc, np,
+        |  CAST((1000 * (conc - disc)) // np AS BIGINT) AS tau_milli
+        |FROM p""".stripMargin,
+    ) { (s, d) =>
+      val m = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tok"))
+      // global windows over the SOURCE domain (entity cardinality)
+      val r = graft.Caches.persist(m
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("n_docs").desc, col("source"))).cast("long"))
+        .withColumn("r2", row_number().over(
+          Window.orderBy(col("n_tok").desc, col("source"))).cast("long"))
+        .select("source", "r1", "r2"))
+      val sign = (col("ar1") - col("br1")) * (col("ar2") - col("br2"))
+      r.toDF("sa", "ar1", "ar2")
+        .join(r.toDF("sb", "br1", "br2"), col("sa") < col("sb"))
+        .agg(sum(when(sign > 0, 1L).otherwise(0L)).as("conc"),
+          sum(when(sign < 0, 1L).otherwise(0L)).as("disc"),
+          count(lit(1)).as("np"))
+        .select(col("conc"), col("disc"), col("np"),
+          expr("(1000 * (conc - disc)) div np").as("tau_milli"))
+    },
   )
 }
