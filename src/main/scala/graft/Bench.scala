@@ -1,8 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-min system load (external contention sentinel): /proc/loadavg
+    * where it exists, OperatingSystemMXBean elsewhere. */
+  private def loadAvg(): Double =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split("\\s+")(0).toDouble
+    } catch {
+      case _: Throwable =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contention sentinel (round-7 verdict): two rounds running, the
+    // committed closing record diverged ~2× from idle-box reality
+    // because the bench ran concurrently with other work. Sample the
+    // load BEFORE Spark spins any threads; if the box is already busy,
+    // wait (bounded) for it to drain, then proceed regardless —
+    // refusing outright could lose the round record — and stamp both
+    // samples plus a `contended` flag into the JSON so a hot record
+    // is self-incriminating. SPARK_GRAFT_LOAD_MAX overrides the
+    // threshold; SPARK_GRAFT_LOAD_WAIT_SECS=0 skips the wait.
+    val loadMax = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble)
+      .getOrElse(2.0)
+    val loadWaitSecs = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "180").toInt)
+      .getOrElse(180)
+    var loadBefore = loadAvg()
+    val waitDeadline = System.nanoTime() + loadWaitSecs * 1000000000L
+    while (loadBefore > loadMax && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        f"[bench] WARNING: system load $loadBefore%.2f > $loadMax%.1f " +
+          "— waiting for the box to drain before timing")
+      Thread.sleep(5000)
+      loadBefore = loadAvg()
+    }
+    val contended = loadBefore > loadMax
+    if (contended) System.err.println(
+      f"[bench] WARNING: starting CONTENDED (load $loadBefore%.2f > " +
+        f"$loadMax%.1f after ${loadWaitSecs}s) — timings below are " +
+        "inflated; the JSON record carries contended=true")
     // default to the machine: the bench contract is local[32] on a
     // 32-CPU box; a fixed small default silently benches at 1/8th the
     // parallelism when the env var is absent
@@ -65,8 +108,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadAfter = loadAvg()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}"""
     // the driver scrapes stdout's tail; with 107 queries the single JSON
     // line can outgrow that capture window (round 5 lost the comparison
     // to exactly this). Persist the line to a known path as well, so the
@@ -75,7 +120,10 @@ object Bench {
     // otherwise clobbers the round record with a partial one (it did,
     // twice, in round 7).
     println(json)
-    if (only.isEmpty) try {
+    // ... and only at the driver's per-round scale: a full-registry run
+    // at sf0.001/sf1 writing this path would replace the round record
+    // with numbers at the wrong scale (it did, in round 8 dev)
+    if (only.isEmpty && sfDir.contains("sf0.1")) try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
       java.nio.file.Files.write(p,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -85,8 +85,19 @@ object GraftExtensions {
     new ExpressionInfo(
       classOf[graft.functions.BoundedLevenshtein].getName, "lev_bounded"),
     (args: Seq[Expression]) => args match {
-      case Seq(a, b, k) => graft.functions.BoundedLevenshtein(a, b,
-        Cast(k, org.apache.spark.sql.types.IntegerType))
+      case Seq(a, b, k) =>
+        // widen integral k to int, but DON'T cast arbitrary types: an
+        // unconditional Cast made e.g. lev_bounded(a, b, 'abc') pass
+        // analysis and return NULL at runtime instead of failing the
+        // type check like the built-in levenshtein would (round-7
+        // advice). Non-integral k reaches checkInputDataTypes as-is.
+        import org.apache.spark.sql.types._
+        val ki = k.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | NullType =>
+            Cast(k, IntegerType)
+          case _ => k
+        }
+        graft.functions.BoundedLevenshtein(a, b, ki)
       case other => throw new IllegalArgumentException(
         s"lev_bounded expects 3 arguments, got ${other.length}")
     },

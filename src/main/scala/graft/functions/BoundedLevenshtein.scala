@@ -65,32 +65,110 @@ final case class BoundedLevenshtein(a: Expression, b: Expression,
 }
 
 object BoundedLevenshtein {
+
+  /** Reusable DP rows — the expression sits on all-pairs verify hot
+    * paths (q144/q169 blocked linkage), where a per-invocation pair of
+    * Int arrays is pure garbage; one thread-local pair serves every
+    * call on that thread (Spark task threads are long-lived). */
+  private final class Rows {
+    var prev: Array[Int] = new Array[Int](64)
+    var cur: Array[Int] = new Array[Int](64)
+    def ensure(n: Int): Unit = if (prev.length < n) {
+      val sz = java.lang.Integer.highestOneBit(n - 1) << 1
+      prev = new Array[Int](sz)
+      cur = new Array[Int](sz)
+    }
+  }
+  private val tlRows: ThreadLocal[Rows] =
+    ThreadLocal.withInitial(() => new Rows)
+
   /** min(levenshtein(a, b), k+1) by banded DP — static so generated
-    * code calls it directly (no boxing, no closure). */
+    * code calls it directly (no boxing, no closure).
+    *
+    * Allocation discipline (round-7 advice): the byte-length gap is
+    * checked BEFORE any materialization — a UTF-16 length m of a
+    * UTF-8 string of b bytes satisfies ⌈b/3⌉ ≤ m ≤ b (1–3-byte
+    * sequences decode to one unit; 4-byte to two units for four
+    * bytes), so a large enough byte gap proves |m−n| > k with zero
+    * work. Full-ASCII inputs (the record-linkage catalog norm) then
+    * run the DP directly over the UTF8String bytes — no String copy
+    * at all; only genuinely non-ASCII pairs pay the toString. */
   def dist(au: UTF8String, bu: UTF8String, k0: Int): Int = {
     val k = if (k0 < 0) 0 else k0
     val inf = k + 1
-    val s = au.toString
-    val t = bu.toString
+    val ba = au.numBytes
+    val bb = bu.numBytes
+    if ((ba + 2) / 3 > bb + k || (bb + 2) / 3 > ba + k) return inf
+    if (au.isFullAscii && bu.isFullAscii) distAscii(au, ba, bu, bb, k)
+    else distChars(au.toString, bu.toString, k)
+  }
+
+  /** ASCII fast path: bytes ARE the UTF-16 code units. */
+  private def distAscii(a: UTF8String, m: Int, b: UTF8String, n: Int,
+      k: Int): Int = {
+    val inf = k + 1
+    if (m == 0) return math.min(n, inf)
+    if (n == 0) return math.min(m, inf)
+    if (math.abs(m - n) > k) return inf
+    val rows = tlRows.get()
+    rows.ensure(n + 1)
+    var prev = rows.prev
+    var cur = rows.cur
+    var j = 0
+    while (j <= n) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= m) {
+      java.util.Arrays.fill(cur, 0, n + 1, inf)
+      cur(0) = if (i <= k) i else inf
+      val lo = math.max(1, i - k)
+      val hi = math.min(n, i + k)
+      var rowMin = cur(0)
+      val ca = a.getByte(i - 1)
+      var jj = lo
+      while (jj <= hi) {
+        val cost = if (ca == b.getByte(jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = cur(jj - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(jj) = v
+        if (v < rowMin) rowMin = v
+        jj += 1
+      }
+      if (rowMin >= inf) return inf // whole band over the bound
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(n), inf)
+  }
+
+  /** General path over UTF-16 code units (the built-in's granularity). */
+  private def distChars(s: String, t: String, k: Int): Int = {
+    val inf = k + 1
     val m = s.length
     val n = t.length
     if (m == 0) return math.min(n, inf)
     if (n == 0) return math.min(m, inf)
     if (math.abs(m - n) > k) return inf
-    var prev = new Array[Int](n + 1)
-    var cur = new Array[Int](n + 1)
+    val rows = tlRows.get()
+    rows.ensure(n + 1)
+    var prev = rows.prev
+    var cur = rows.cur
     var j = 0
     while (j <= n) { prev(j) = if (j <= k) j else inf; j += 1 }
     var i = 1
     while (i <= m) {
-      java.util.Arrays.fill(cur, inf)
+      java.util.Arrays.fill(cur, 0, n + 1, inf)
       cur(0) = if (i <= k) i else inf
       val lo = math.max(1, i - k)
       val hi = math.min(n, i + k)
       var rowMin = cur(0)
+      val ca = s.charAt(i - 1)
       var jj = lo
       while (jj <= hi) {
-        val cost = if (s.charAt(i - 1) == t.charAt(jj - 1)) 0 else 1
+        val cost = if (ca == t.charAt(jj - 1)) 0 else 1
         var v = prev(jj - 1) + cost
         val del = prev(jj) + 1
         if (del < v) v = del

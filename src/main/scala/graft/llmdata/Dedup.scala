@@ -1030,7 +1030,11 @@ object Dedup {
     //      the survivors. The oracle brute-forces the same counts
     //      (candidate generation is an optimization, never a
     //      semantics change — same contract as q28). Lang-blocked
-    //      like the whole q28 family. ----
+    //      like the whole q28 family. The thresholds LEFT JOIN the
+    //      pair set (not a comma cross join) so a corpus with zero
+    //      qualifying pairs still yields three zero-count rows —
+    //      matching the Spark plan, which always emits one row per
+    //      threshold from the single-row aggregate + explode. ----
     Q(
       "q160_dedup_yield_curve",
       """WITH words AS (SELECT DISTINCT doc_id, lang,
@@ -1049,7 +1053,7 @@ object Dedup {
         |SELECT CAST(t.thr AS BIGINT) AS thr,
         |  CAST(count(CASE WHEN j.jac >= t.thr / 100.0 THEN 1 END)
         |    AS BIGINT) AS dup_pairs
-        |FROM (VALUES (70), (80), (90)) AS t(thr), j
+        |FROM (VALUES (70), (80), (90)) AS t(thr) LEFT JOIN j ON TRUE
         |GROUP BY t.thr ORDER BY thr""".stripMargin,
     ) { (s, d) =>
       val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,

@@ -328,6 +328,170 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Sweep grid for the ANN index tuner (q176): plane count p (the
+    * index fan-out — 2^p buckets over the first p sign planes) ×
+    * Hamming probe radius r (multi-probe ball size, Lv et al. VLDB'07).
+    * Includes q174's untuned default (8,0) — the measured-useless
+    * "before" point — and the exhaustive anchor (8,8): its probe ball
+    * is ALL 2^8 buckets, so its candidate set provably ⊇ the exact
+    * top-k (the q59/q108 exactness-gate regime). The anchor's recall
+    * is 1.0 by construction, which both hash-gates the probe machinery
+    * end-to-end and guarantees the tuner ALWAYS has a feasible config
+    * for any target ≤ 1. */
+  private[llmdata] val tunerGrid: Seq[(Int, Int)] =
+    Seq((4, 1), (4, 2), (6, 1), (6, 2), (6, 3), (8, 0), (8, 1), (8, 2),
+      (8, 3), (8, 4), (8, 8))
+
+  /** Probe-ball enumeration for one (planes, radius) row: all buckets
+    * b < 2^planes within Hamming radius of the row's masked query
+    * bucket. Enumerate-and-filter over the 256-element domain is exact
+    * and cheap at p ≤ 8; at production plane counts (p ≈ 20+) the ball
+    * is generated combinatorially (C(p, ≤r) flips) instead —
+    * enumeration is a fixture-scale convenience, not the algorithm. */
+  private val probeBallExpr =
+    "filter(sequence(0, 255), b -> b < shiftleft(1, planes) AND " +
+      "bit_count(b ^ pmod(qb8, shiftleft(1, planes))) <= radius)"
+
+  /** Corpus + the tuner's ranked sweep table (shared by q176/q177).
+    *
+    * Scale shape: ground truth is exact brute force bounded to the
+    * 100-query sample (the audit's declared O(|sample|·N) price, same
+    * as q174); the sweep's candidate generation replicates the CORPUS
+    * once per grid row map-side (broadcast cfg — no shuffle) and joins
+    * it against the broadcast probe table on (config, masked bucket) —
+    * the corpus is never shuffled, and per-config candidate volume is
+    * exactly the coverage the sweep exists to measure (reported as
+    * `n_cand`). Everything downstream of the two windows is
+    * grid-cardinality (11 rows). All decision math is integer
+    * (overlap counts, candidate counts, recall compared as
+    * sum_overlap·10 ≥ 24·n_queries) — no float ever picks the config. */
+  private def tunerParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val v = graft.Caches.persist(Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      signBucket(col("embedding")).as("b8"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    val cfg = tunerGrid.toDF("planes", "radius")
+    val q = v.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("b8").as("qb8"))
+    val truthW = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id"))
+    val truth = v.as("b").join(broadcast(q),
+        col("b.vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("b.vec_id").as("n_id"),
+        (dot(col("qv"), col("b.v")) / (col("qn") * col("b.nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(truthW))
+      .filter(col("rn") <= 3).select("q_id", "n_id")
+    val probes = q.crossJoin(broadcast(cfg))
+      .withColumn("pb", explode(expr(probeBallExpr)))
+      .select(col("planes"), col("radius"), col("q_id"),
+        col("pb").cast("long").as("pb"))
+    val vb = v.crossJoin(broadcast(cfg))
+      .select(col("planes").as("c_planes"), col("radius").as("c_radius"),
+        col("vec_id"), col("v"), col("nrm"),
+        expr("CAST(pmod(b8, shiftleft(1, planes)) AS BIGINT)").as("mb"))
+    val cand = graft.Caches.persist(vb.join(broadcast(probes),
+        col("c_planes") === col("planes") &&
+          col("c_radius") === col("radius") &&
+          col("mb") === col("pb") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(q.select(col("q_id").as("qq_id"), col("qv"),
+        col("qn"))), col("q_id") === col("qq_id"))
+      .select(col("planes"), col("radius"), col("q_id"),
+        col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos")))
+    val gotW = Window.partitionBy("planes", "radius", "q_id")
+      .orderBy(col("cos").desc, col("n_id"))
+    val got = cand.withColumn("rn", row_number().over(gotW))
+      .filter(col("rn") <= 3)
+      .select("planes", "radius", "q_id", "n_id")
+      .toDF("g_planes", "g_radius", "gq_id", "g_id")
+    val cost = cand.groupBy("planes", "radius")
+      .agg(count(lit(1)).as("n_cand0"))
+      .toDF("c_planes", "c_radius", "n_cand0")
+    val ov = truth.crossJoin(broadcast(cfg))
+      .join(got, col("planes") === col("g_planes") &&
+        col("radius") === col("g_radius") &&
+        col("q_id") === col("gq_id") && col("n_id") === col("g_id"),
+        "left")
+      .groupBy("planes", "radius", "q_id")
+      .agg(count(col("g_id")).as("overlap"))
+    // LEFT JOIN + coalesce(·, 0): a config whose candidate set is
+    // empty must still report a zero-cost zero-recall row (the q160
+    // degenerate-input rule)
+    val ranked = ov.groupBy("planes", "radius")
+      .agg(sum("overlap").as("sum_overlap"),
+        count(lit(1)).as("n_queries"))
+      .join(cost, col("planes") === col("c_planes") &&
+        col("radius") === col("c_radius"), "left")
+      .select(col("planes"), col("radius"), col("sum_overlap"),
+        col("n_queries"), coalesce(col("n_cand0"), lit(0L)).as("n_cand"))
+      .withColumn("meets_target",
+        col("sum_overlap") * 10 >= lit(24) * col("n_queries"))
+      .withColumn("chosen", col("meets_target") &&
+        row_number().over(Window.orderBy(
+          when(col("meets_target"), 0).otherwise(1),
+          col("n_cand"), col("planes"), col("radius"))) === 1)
+    (v, ranked)
+  }
+
+  /** Shared WITH-prefix of the q176/q177 oracles: the sweep, ranked. */
+  private val tunerSweepSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+      |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+      |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+      |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+      |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS b8
+      |  FROM embeddings),
+      |cfg AS (SELECT * FROM (VALUES (4,1),(4,2),(6,1),(6,2),(6,3),(8,0),
+      |    (8,1),(8,2),(8,3),(8,4),(8,8)) AS c(planes, radius)),
+      |q AS (SELECT vec_id AS q_id, v AS qv, b8 FROM v WHERE vec_id < 100),
+      |truth AS (SELECT q_id, n_id FROM (
+      |    SELECT a.q_id, b.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY a.q_id
+      |        ORDER BY list_cosine_similarity(a.qv, b.v) DESC,
+      |          b.vec_id) AS rn
+      |    FROM q a JOIN v b ON b.vec_id <> a.q_id) WHERE rn <= 3),
+      |probes AS (SELECT c.planes, c.radius, q.q_id, q.qv, t.b AS pb
+      |  FROM cfg c CROSS JOIN q
+      |  CROSS JOIN (SELECT unnest(range(0, 256)) AS b) t
+      |  WHERE t.b < (1 << c.planes)
+      |    AND bit_count(CAST(xor(q.b8 % (1 << c.planes), t.b) AS BIGINT))
+      |      <= c.radius),
+      |cand AS (SELECT p.planes, p.radius, p.q_id, b.vec_id AS n_id,
+      |    list_cosine_similarity(p.qv, b.v) AS cos
+      |  FROM probes p JOIN v b
+      |    ON (b.b8 % (1 << p.planes)) = p.pb AND b.vec_id <> p.q_id),
+      |got AS (SELECT planes, radius, q_id, n_id FROM (
+      |    SELECT planes, radius, q_id, n_id,
+      |      row_number() OVER (PARTITION BY planes, radius, q_id
+      |        ORDER BY cos DESC, n_id) AS rn
+      |    FROM cand) WHERE rn <= 3),
+      |cost AS (SELECT planes, radius, count(*) AS n_cand
+      |  FROM cand GROUP BY 1, 2),
+      |ov AS (SELECT c.planes, c.radius, t.q_id, count(g.n_id) AS overlap
+      |  FROM cfg c CROSS JOIN truth t
+      |  LEFT JOIN got g ON g.planes = c.planes AND g.radius = c.radius
+      |    AND g.q_id = t.q_id AND g.n_id = t.n_id
+      |  GROUP BY 1, 2, 3),
+      |agg AS (SELECT planes, radius,
+      |    CAST(sum(overlap) AS BIGINT) AS sum_overlap,
+      |    CAST(count(*) AS BIGINT) AS n_queries
+      |  FROM ov GROUP BY 1, 2),
+      |ranked AS (SELECT a.planes, a.radius, a.sum_overlap, a.n_queries,
+      |    CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_cand,
+      |    (a.sum_overlap * 10 >= 24 * a.n_queries) AS meets_target,
+      |    ((a.sum_overlap * 10 >= 24 * a.n_queries) AND row_number()
+      |      OVER (ORDER BY CASE WHEN a.sum_overlap * 10 >=
+      |          24 * a.n_queries THEN 0 ELSE 1 END,
+      |        coalesce(c.n_cand, 0), a.planes, a.radius) = 1) AS chosen
+      |  FROM agg a LEFT JOIN cost c
+      |    ON c.planes = a.planes AND c.radius = a.radius)""".stripMargin
+
   // `def`, not `val`: the q52 entry upgrades from rows-only to a full
   // hash oracle once a run has trained (and stashed) the centroid
   // literals — Verify builds `queries` first, runs them, THEN reads
@@ -1242,6 +1406,106 @@ object Similarity {
         .agg(count(col("g_id")).as("overlap"))
         .groupBy("overlap").agg(count(lit(1)).as("n_queries"))
         .orderBy("overlap")
+    },
+
+    // ---- q176: ANN index tuner — q174's audit made ACTIONABLE
+    //      (round-7 verdict item 1). The audit proved the default
+    //      8-plane/0-probe sign-LSH index recalls ~nothing at k=3 on
+    //      this corpus; the knobs existed (plane count, q93's
+    //      multi-probe radius) but nothing chose them. This sweep
+    //      measures every grid config's micro-recall@3 (sum of
+    //      truth∩got overlaps — q174's histogram, folded) AND its
+    //      candidate cost on the same 100-query sample, then CHOOSES
+    //      the cheapest config meeting recall ≥ 0.8 (compared in
+    //      integers: sum_overlap·10 ≥ 24·n_queries). The (8,0) row is
+    //      the untuned "before"; the (8,8) row probes every bucket so
+    //      its candidates provably ⊇ exact top-3 (sum_overlap =
+    //      3·n_queries by construction — the q59/q108 exactness
+    //      anchor, which also makes the choice always feasible). The
+    //      measured finding stands honestly: on this sign-structure-
+    //      free corpus, 0.88 recall costs ~63% of brute force — the
+    //      tuner's job is to SAY so, not hide it. ----
+    Q(
+      "q176_ann_index_tuner",
+      tunerSweepSql +
+        """
+          |SELECT CAST(planes AS INT) AS planes,
+          |  CAST(radius AS INT) AS radius, sum_overlap, n_queries,
+          |  n_cand, meets_target, chosen
+          |FROM ranked ORDER BY planes, radius""".stripMargin,
+    ) { (s, d) =>
+      val (_, ranked) = tunerParts(s, d)
+      ranked.select(col("planes"), col("radius"), col("sum_overlap"),
+          col("n_queries"), col("n_cand"), col("meets_target"),
+          col("chosen"))
+        .orderBy("planes", "radius")
+    },
+
+    // ---- q177: tuned ANN search — the config q176 chose, APPLIED: the
+    //      in-plan chosen (planes, radius) row parameterizes probe-ball
+    //      generation for a HELD-OUT query set (vec_id 100–119,
+    //      disjoint from the tuning sample — the config must
+    //      generalize, not memorize), and the search runs q93's
+    //      multi-probe shape under it: corpus masked to the chosen
+    //      plane count map-side, broadcast probe table, one equi-join,
+    //      per-query top-3. This is the component a user actually
+    //      calls: q32/q93/q174 were correct-but-raw primitives; the
+    //      tuner + this entry make one audited, usable index. ----
+    Q(
+      "q177_ann_tuned_search",
+      tunerSweepSql +
+        """,
+          |best AS (SELECT planes, radius FROM ranked WHERE chosen),
+          |q2 AS (SELECT vec_id AS q_id, v AS qv, b8 FROM v
+          |  WHERE vec_id >= 100 AND vec_id < 120),
+          |probes2 AS (SELECT w.planes, w.radius, q2.q_id, q2.qv, t.b AS pb
+          |  FROM best w CROSS JOIN q2
+          |  CROSS JOIN (SELECT unnest(range(0, 256)) AS b) t
+          |  WHERE t.b < (1 << w.planes)
+          |    AND bit_count(CAST(xor(q2.b8 % (1 << w.planes), t.b)
+          |      AS BIGINT)) <= w.radius),
+          |cand2 AS (SELECT p.planes, p.radius, p.q_id, b.vec_id AS n_id,
+          |    list_cosine_similarity(p.qv, b.v) AS cos
+          |  FROM probes2 p JOIN v b
+          |    ON (b.b8 % (1 << p.planes)) = p.pb AND b.vec_id <> p.q_id)
+          |SELECT q_id, CAST(rn AS INT) AS rank, n_id, planes, radius
+          |FROM (
+          |  SELECT planes, radius, q_id, n_id,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos DESC, n_id) AS rn
+          |  FROM cand2)
+          |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
+    ) { (s, d) =>
+      val (v, ranked) = tunerParts(s, d)
+      val best = ranked.filter(col("chosen")).select("planes", "radius")
+      val q2 = v.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("b8").as("qb8"))
+      val probes2 = q2.crossJoin(broadcast(best))
+        .withColumn("pb", explode(expr(probeBallExpr)))
+        .select(col("planes"), col("radius"), col("q_id"),
+          col("pb").cast("long").as("pb"))
+      val vb2 = v.crossJoin(broadcast(best))
+        .select(col("planes").as("c_planes"),
+          col("radius").as("c_radius"), col("vec_id"), col("v"),
+          col("nrm"),
+          expr("CAST(pmod(b8, shiftleft(1, planes)) AS BIGINT)").as("mb"))
+      val rankW = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id"))
+      vb2.join(broadcast(probes2),
+          col("c_planes") === col("planes") &&
+            col("c_radius") === col("radius") &&
+            col("mb") === col("pb") && col("vec_id") =!= col("q_id"))
+        .join(broadcast(q2.select(col("q_id").as("qq_id"), col("qv"),
+          col("qn"))), col("q_id") === col("qq_id"))
+        .select(col("planes"), col("radius"), col("q_id"),
+          col("vec_id").as("n_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("int").as("rank"),
+          col("n_id"), col("planes"), col("radius"))
+        .orderBy("q_id", "rank")
     },
   )
 }

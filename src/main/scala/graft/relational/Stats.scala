@@ -86,10 +86,10 @@ object Stats {
         |      / ((mm.mx - mm.mn) / 20)) AS BIGINT)) AS b,
         |    count(*) AS cnt
         |  FROM orders, mm GROUP BY 1),
-        |est AS (SELECT CAST(sum(CAST(floor(1000 * cnt
+        |est AS (SELECT CAST(coalesce(sum(CAST(floor(1000 * cnt
         |      * (least(300000.0, mm.mn + (b + 1) * ((mm.mx - mm.mn) / 20))
         |        - greatest(150000.0, mm.mn + b * ((mm.mx - mm.mn) / 20)))
-        |      / ((mm.mx - mm.mn) / 20)) AS BIGINT)) // 1000
+        |      / ((mm.mx - mm.mn) / 20)) AS BIGINT)), 0) // 1000
         |    AS BIGINT) AS est_rows
         |  FROM h, mm
         |  WHERE mm.mn + (b + 1) * ((mm.mx - mm.mn) / 20) > 150000.0
@@ -117,7 +117,11 @@ object Stats {
         .withColumn("milli", floor(lit(1000) * col("cnt") *
           (least(hi, col("mn") + (col("b") + 1) * w) -
             greatest(lo, col("mn") + col("b") * w)) / w).cast("long"))
-        .agg(expr("CAST(sum(milli) div 1000 AS BIGINT)").as("est_rows"))
+        // coalesce(·, 0): a predicate overlapping NO histogram bucket
+        // must estimate 0 rows, not NULL, in both engines (the q160
+        // degenerate-input rule)
+        .agg(expr("CAST(coalesce(sum(milli), 0) div 1000 AS BIGINT)")
+          .as("est_rows"))
       val act = orders
         .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
         .agg(count(lit(1)).as("actual_rows"))

@@ -61,12 +61,34 @@ object StreamingGovernance {
 
   /** The stateful gate; works under a streaming query (cross-batch
     * group growth) and in batch mode (one pass ⇒ exactly the q139
-    * census's n ≥ k groups release, spec-pinned). */
-  def gate(in: Dataset[QiRow], k: Int = 5): Dataset[Released] = {
+    * census's n ≥ k groups release, spec-pinned).
+    *
+    * `stateTtl` bounds the per-group state (id replay-armor + small-
+    * group buffers) to the replay horizon: a group idle longer than
+    * the TTL has its state dropped (round-7 advice — NoTimeout was
+    * hard-coded, so state grew with distinct arrivals forever). Set it
+    * to ≥ the checkpoint retention window: beyond that horizon an
+    * at-least-once replay cannot happen, so dropping the armor is
+    * safe. Both failure directions of an expiry are privacy-SAFE or
+    * replay-bounded: a dropped SMALL group's buffered rows stay
+    * suppressed (suppression is the k-anonymity rule, never a leak),
+    * and a dropped OPEN group that later sees a replayed row re-emits
+    * it — exactly the at-least-once contract every downstream sink
+    * here already absorbs idempotently. None (the default) keeps the
+    * unbounded NoTimeout behavior for bounded fixtures and batch mode
+    * (batch ignores timeouts — state dies with the single pass). */
+  def gate(in: Dataset[QiRow], k: Int = 5,
+      stateTtl: Option[java.time.Duration] = None): Dataset[Released] = {
     import in.sparkSession.implicits._
     require(k >= 1, "k must be positive")
+    require(stateTtl.forall(d => !d.isNegative && !d.isZero),
+      "stateTtl must be positive when set")
     def fn(qi: String, rows: Iterator[QiRow],
         st: GroupState[QiState]): Iterator[Released] = {
+      if (st.hasTimedOut) { // TTL expiry: drop the group's state
+        st.remove()
+        return Iterator.empty
+      }
       val prev = st.getOption.getOrElse(QiState(0L, Nil, Set.empty))
       StateVersion.check(prev.ver, QiStateVer, "StreamingGovernance.gate")
       var released = prev.released
@@ -89,9 +111,13 @@ object StreamingGovernance {
         }
       }
       st.update(QiState(released, buffered, seen))
+      stateTtl.foreach(d => st.setTimeoutDuration(d.toMillis))
       out.result().iterator
     }
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
     in.groupByKey(_.qi)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
 }

@@ -41,6 +41,23 @@ object BoundedLevenshteinProps extends Properties("BoundedLevenshtein") {
       BoundedLevenshtein.dist(u(a), u(b), -5) ==
         (if (a == b) 0 else 1)
     }
+
+  // non-ASCII alphabet: exercises the toString fallback path AND the
+  // pre-materialization byte-gap exit with 2-byte (é) and 3-byte (λ̄…)
+  // sequences, against the same UTF-16-unit reference DP
+  private val wideWord = Gen.choose(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf('a', 'é', 'λ', '中')).map(_.mkString))
+
+  property("non-ASCII pairs match the reference over UTF-16 units") =
+    forAll(wideWord, wideWord, bound) { (a: String, b: String, k: Int) =>
+      BoundedLevenshtein.dist(u(a), u(b), k) == math.min(full(a, b), k + 1)
+    }
+
+  property("mixed ASCII/non-ASCII pairs (one per path) agree") =
+    forAll(word, wideWord, bound) { (a: String, b: String, k: Int) =>
+      BoundedLevenshtein.dist(u(a), u(b), k) == math.min(full(a, b), k + 1) &&
+        BoundedLevenshtein.dist(u(b), u(a), k) == math.min(full(b, a), k + 1)
+    }
 }
 
 /** Sentinel/early-exit behavior + the whole-stage-codegen SQL route. */
@@ -77,5 +94,19 @@ class BoundedLevenshteinSpec extends graft.SparkSpec {
     val n = sp.sql("SELECT lev_bounded(CAST(NULL AS STRING), 'x', 2)")
       .collect()(0)
     assert(n.isNullAt(0))
+  }
+
+  test("non-integral bound fails analysis, not silently NULL at runtime") {
+    val sp = spark
+    graft.GraftExtensions.register(sp)
+    // round-7 advice: an unconditional Cast let a string bound pass
+    // analysis and return NULL per-row; it must fail like the built-in
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      sp.sql("SELECT lev_bounded('a', 'b', 'abc')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("lev_bounded"))
+    // integral widths still widen fine
+    assert(sp.sql("SELECT lev_bounded('a', 'b', CAST(2 AS BIGINT))")
+      .collect()(0).getInt(0) == 1)
   }
 }

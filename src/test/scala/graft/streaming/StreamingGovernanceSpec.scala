@@ -91,4 +91,47 @@ class StreamingGovernanceSpec extends SparkSpec {
         "group a clears k=2; the singleton in b stays suppressed")
     } finally q.stop()
   }
+
+  test("stateTtl expires an idle small group's state; suppression holds") {
+    val sp = spark
+    import sp.implicits._
+    val input = MemoryStream[QiRow](sp)
+    val q = StreamingGovernance
+      .gate(input.toDS(), k = 3,
+        stateTtl = Some(java.time.Duration.ofMillis(100)))
+      .writeStream.format("memory").queryName("gov_ttl").start()
+    // With a processing-time timeout armed, the micro-batch loop keeps
+    // scheduling timeout-check batches, so processAllAvailable never
+    // reports idle — progress is observed through an always-open
+    // MARKER group ("m", released immediately at k=3) polled off the
+    // sink instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (sp.table("gov_ttl").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(sp.table("gov_ttl").count() >= n,
+        s"sink never reached $n rows")
+    }
+    try {
+      input.addData(QiRow(1, "g"), QiRow(2, "g"),
+        QiRow(10, "m"), QiRow(11, "m"), QiRow(12, "m"))
+      awaitRows(3) // the marker group released ⇒ batch 1 fully applied
+      assert(!sp.table("gov_ttl").as[Released].collect().exists(_.qi == "g"),
+        "a 2-member group must stay suppressed at k=3")
+      Thread.sleep(1000) // TTL lapses; timeout batches drop ALL state
+      // g's buffer + armor are gone; a late third member finds an
+      // empty group and stays suppressed — the privacy-SAFE direction.
+      // The old marker group's release memory expired too (row 13
+      // below re-buffers at size 1), so a FRESH 3-row marker group is
+      // the progress signal for this batch.
+      input.addData(QiRow(3, "g"), QiRow(13, "m"),
+        QiRow(20, "m2"), QiRow(21, "m2"), QiRow(22, "m2"))
+      awaitRows(6) // fresh marker group released ⇒ the batch applied
+      val rel = sp.table("gov_ttl").as[Released].collect()
+      assert(!rel.exists(_.qi == "g"),
+        "after expiry the group must re-count from zero (no release at 1)")
+      assert(rel.count(_.qi == "m") == 3 && rel.count(_.qi == "m2") == 3,
+        "expired open group m re-counts from zero as well (row 13 buffers)")
+    } finally q.stop()
+  }
 }
