@@ -11,36 +11,48 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * monotone `seq` for within-batch conflict resolution) continuously
   * maintains a table that always holds the LATEST version of each key.
   *
-  * Layout is `<table>/bucket=<id mod numBuckets>/` — the partition
-  * discovery layout, so `readTable` is a plain parquet read. Each
-  * micro-batch rewrites ONLY the buckets its changes touch, each
-  * behind [[Maintenance.atomicSwap]]'s two-rename protocol: readers
-  * of a bucket see old-or-new, never truncated; untouched buckets are
-  * byte-stable on disk (the IncrementalRefresh discipline). At 100 TB
-  * the rewrite unit is `corpus/numBuckets`, not the corpus — the knob
-  * a real table sizes so a micro-batch's rewrite amortizes against
-  * its change volume.
+  * Layout (round 8 — closes the torn-snapshot gap round 7 documented
+  * as out of scope): immutable per-bucket GENERATION dirs
+  * `bucket-<b>-g<v>/` plus a table-level `manifest-<v>` mapping each
+  * bucket to its current generation, written once via tmp + rename
+  * (`sources/AppendLog`'s manifest discipline applied to a keyed
+  * table). A micro-batch writes a NEW generation for every bucket it
+  * touches, then commits ONE manifest referencing the new generations
+  * — so a reader resolves the manifest once and reads an immutable,
+  * CROSS-BUCKET-CONSISTENT snapshot: mid-apply it sees the previous
+  * batch's complete table, never some buckets new and some old (the
+  * one consistency gap the previous in-place-swap layout had).
+  * Untouched buckets keep their generation dirs byte-stable (the
+  * IncrementalRefresh discipline). At 100 TB the rewrite unit is
+  * `corpus/numBuckets`, not the corpus — the knob a real table sizes
+  * so a micro-batch's rewrite amortizes against its change volume.
   *
   * Replay contract — the DESIGNED contrast with
   * [[StreamingIndexMaintenance]]'s append-only sink: upsert-apply is
-  * IDEMPOTENT (applying the same resolved changes to a bucket that
-  * already absorbed them reproduces the same bucket), and a streaming
-  * query replays only its most recent uncommitted micro-batch (batch
-  * ids are monotone past the commit point), so at-least-once delivery
-  * needs NO high-water-mark armor here. A crash mid-batch leaves some
-  * buckets new and some old until the replay completes the rest —
-  * per-bucket atomicity, batch-level convergence; a reader needing a
-  * cross-bucket snapshot reads behind a manifest (out of scope here,
-  * `sources/AppendLog` is the in-repo pattern). Two concurrent
-  * writers on one bucket hit atomicSwap's tmp guard and fail loudly —
-  * single-writer stays the contract, satisfied by a streaming query's
-  * one-foreachBatch-at-a-time execution.
+  * IDEMPOTENT and DETERMINISTIC against the manifest it read
+  * (generation names derive from the manifest version, so a crashed
+  * attempt's partial generation dirs are uncommitted garbage that the
+  * replay deletes and rewrites byte-for-byte), and a streaming query
+  * replays only its most recent uncommitted micro-batch, so
+  * at-least-once delivery needs NO high-water-mark armor here. A
+  * crash anywhere before the manifest rename leaves readers on the
+  * old snapshot; the rename itself is the commit point.
   *
-  * Within-batch resolution: a key may appear several times in one
-  * micro-batch; the row with the highest (`seq`, `op`) wins BEFORE
-  * apply (one id-keyed window on the BATCH, never on the table).
-  * `seq` ties on one key resolve deterministically (D sorts above U)
-  * but indicate a producer bug — give keys unique sequence numbers.
+  * Writers: SINGLE-writer by contract (satisfied by a streaming
+  * query's one-foreachBatch-at-a-time execution), ENFORCED at the
+  * commit point rather than by a lock file: manifests are never
+  * overwritten, so the second of two racing writers fails its rename
+  * loudly instead of corrupting the table — and crash recovery stays
+  * fully automatic (no stale lock to clean), which an apply that runs
+  * every few seconds needs more than an hourly index ingest does.
+  *
+  * Retention: each apply keeps the newest `keepGenerations` (default
+  * 2) generation dirs per touched bucket and deletes older ones
+  * best-effort AFTER the commit, bounding garbage to one extra table
+  * copy while giving in-flight readers a full batch interval of
+  * grace. Old manifests are tiny and kept — [[readVersion]] time-
+  * travels to any version whose generations still exist and fails
+  * loudly (missing files) on vacuumed ones, the q137 contract.
   */
 object StreamingUpsert {
 
@@ -48,21 +60,89 @@ object StreamingUpsert {
   private def bucketOf(id: Column, numBuckets: Int): Column =
     pmod(id, lit(numBuckets.toLong))
 
-  /** Current table contents: plain parquet read over the bucket
-    * layout (partition discovery supplies `bucket`, dropped here).
-    * Absent or empty table → None. */
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** (current manifest version, bucket → generation-dir name) —
+    * (0, empty) for a fresh table. */
+  def state(s: SparkSession, tableDir: String): (Int, Map[Long, String]) = {
+    val fs = fsOf(s, tableDir)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(dir)) return (0, Map.empty)
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("manifest-").toInt).toOption)
+    if (versions.isEmpty) (0, Map.empty) else (versions.max, readManifest(s, tableDir, versions.max))
+  }
+
+  private def readManifest(s: SparkSession, tableDir: String,
+      v: Int): Map[Long, String] = {
+    val fs = fsOf(s, tableDir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(tableDir, s"manifest-$v"))
+    val text =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(b, d) = line.split("\t", 2)
+      b.toLong -> d
+    }.toMap
+  }
+
+  /** The current committed snapshot: resolve the manifest once, read
+    * exactly the generation dirs it lists — consistent across buckets
+    * no matter what an in-flight apply is doing. Absent/empty table →
+    * None. */
   def readTable(s: SparkSession, tableDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
-    else Some(s.read.parquet(tableDir).drop("bucket"))
+    val (v, buckets) = state(s, tableDir)
+    if (v == 0 || buckets.isEmpty) None
+    else Some(s.read.parquet(
+      buckets.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*))
+  }
+
+  /** Time travel: the snapshot as of manifest version `v` (q137's
+    * contract on the streaming table). Fails loudly when `v` was never
+    * committed or its generations have been vacuumed. */
+  def readVersion(s: SparkSession, tableDir: String, v: Int)
+      : Option[DataFrame] = {
+    val buckets = readManifest(s, tableDir, v)
+    if (buckets.isEmpty) None
+    else Some(s.read.parquet(
+      buckets.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*))
+  }
+
+  /** Writes `manifest-(v+1)` via tmp + rename. The rename is the
+    * snapshot commit point; renaming onto an existing manifest fails
+    * ⇒ a racing writer dies loudly here, after producing only
+    * unreferenced generation dirs. A crashed attempt's leftover tmp
+    * is uncommitted garbage — deleted and rewritten (single-writer
+    * contract makes that safe). */
+  private def commitManifest(s: SparkSession, tableDir: String, v: Int,
+      buckets: Map[Long, String]): Unit = {
+    val fs = fsOf(s, tableDir)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-${v + 1}.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val os = fs.create(tmp, false)
+    try os.write(buckets.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+    val mf = new org.apache.hadoop.fs.Path(dir, s"manifest-${v + 1}")
+    if (fs.exists(mf) || !fs.rename(tmp, mf))
+      throw new IllegalStateException(
+        s"manifest commit failed: $mf already exists or rename refused — " +
+          "a second writer committed concurrently. Writers must be " +
+          "serialized; this attempt's generation dirs are unreferenced " +
+          "garbage, safe to delete.")
   }
 
   /** Apply one micro-batch of changes. `changes` columns: `id` LONG,
     * `seq` LONG, `op` STRING (U/D), payload = every other column.
     * Exposed so specs (and batch backfills) can drive it directly. */
   def applyBatch(s: SparkSession, tableDir: String, numBuckets: Int,
-      changes: DataFrame): Unit = {
+      changes: DataFrame, keepGenerations: Int = 2): Unit = {
+    require(keepGenerations >= 1, "keepGenerations must be positive")
     val payloadCols = changes.columns.toSeq
       .filterNot(Set("id", "seq", "op"))
     val storedCols = "id" +: payloadCols
@@ -76,12 +156,18 @@ object StreamingUpsert {
     // by-construction-small driver collect (the q55/IVF discipline)
     val touched = resolved.select("__b").distinct()
       .collect().map(_.getLong(0)).sorted
-    val fs = new org.apache.hadoop.fs.Path(tableDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    touched.foreach { b =>
-      val bucketDir = s"$tableDir/bucket=$b"
+    val fs = fsOf(s, tableDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tableDir))
+    val (v, buckets) = state(s, tableDir)
+    val newGens = touched.map { b =>
+      val genName = s"bucket-$b-g${v + 1}"
+      val genPath = new org.apache.hadoop.fs.Path(tableDir, genName)
+      // a crashed attempt at THIS version left an uncommitted dir:
+      // delete and rewrite — deterministic replay, never data
+      if (fs.exists(genPath)) fs.delete(genPath, true)
       val chg = resolved.filter(col("__b") === b)
-      val applied = readTable0(s, fs, bucketDir, changes) match {
+      val applied = buckets.get(b).map(d =>
+        s.read.parquet(s"$tableDir/$d")) match {
         case None =>
           chg.filter(col("op") =!= "D")
             .select(storedCols.map(col): _*)
@@ -98,19 +184,25 @@ object StreamingUpsert {
               when(col("op").isNull, col(c))
                 .otherwise(col(s"__c_$c")).as(c)): _*)
       }
-      Maintenance.atomicSwap(s, bucketDir, "upsert") { tmp =>
-        applied.write.parquet(tmp)
+      applied.write.parquet(s"$tableDir/$genName")
+      b -> genName
+    }.toMap
+    commitManifest(s, tableDir, v, buckets ++ newGens)
+    // retention: per touched bucket keep the newest keepGenerations
+    // dirs, delete older best-effort AFTER the commit point
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .map(_.getPath.getName)
+    touched.foreach { b =>
+      val prefix = s"bucket-$b-g"
+      val gens = all.filter(_.startsWith(prefix))
+        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
+        .sorted
+      gens.dropRight(keepGenerations).foreach { g =>
+        try fs.delete(
+          new org.apache.hadoop.fs.Path(tableDir, s"$prefix$g"), true)
+        catch { case _: java.io.IOException => () } // best-effort
       }
     }
-  }
-
-  /** Bucket read for the apply path: absent bucket → None; present
-    * bucket reads with the STORED schema (no partition discovery —
-    * we're below the partition root here). */
-  private def readTable0(s: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      bucketDir: String, changes: DataFrame): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(bucketDir)
-    if (!fs.exists(p)) None else Some(s.read.parquet(bucketDir))
   }
 
   /** Start continuous maintenance of the table from a change stream. */

@@ -58,24 +58,85 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(contents(dir) == once)
   }
 
-  test("a micro-batch rewrites only the buckets it touches") {
+  test("a micro-batch writes new generations only for touched buckets") {
     val dir = tmpTable()
     // ids 0..7 across 4 buckets (id mod 4)
     StreamingUpsert.applyBatch(spark, dir, 4,
       chg((0L to 7L).map(i => (i, i, "U", s"v$i"))))
-    def listing(b: Int): Seq[(String, Long, Long)] = {
-      val p = new java.io.File(s"$dir/bucket=$b")
+    def listing(gen: String): Seq[(String, Long, Long)] = {
+      val p = new java.io.File(s"$dir/$gen")
       p.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getName, f.length, f.lastModified))
         .sortBy(_._1)
     }
-    val before = (0 until 4).map(listing)
+    val (v1, m1) = StreamingUpsert.state(spark, dir)
+    assert(v1 == 1 && m1.keySet == Set(0L, 1L, 2L, 3L))
+    val before = (0L until 4L).map(b => listing(m1(b)))
     // touch only bucket 1 (id 9 mod 4 = 1)
     StreamingUpsert.applyBatch(spark, dir, 4, chg(Seq((9L, 99L, "U", "z"))))
-    assert(listing(1) != before(1), "touched bucket must be rewritten")
-    for (b <- Seq(0, 2, 3))
-      assert(listing(b) == before(b), s"bucket $b must be byte-stable")
+    val (v2, m2) = StreamingUpsert.state(spark, dir)
+    assert(v2 == 2)
+    assert(m2(1L) == "bucket-1-g2", "touched bucket gets a new generation")
+    for (b <- Seq(0L, 2L, 3L)) {
+      assert(m2(b) == m1(b), s"untouched bucket $b keeps its generation")
+      assert(listing(m2(b)) == before(b.toInt),
+        s"bucket $b generation must be byte-stable on disk")
+    }
     assert(contents(dir).size == 9)
+  }
+
+  test("readers get a cross-bucket-consistent snapshot across an apply") {
+    val dir = tmpTable()
+    StreamingUpsert.applyBatch(spark, dir, 4,
+      chg((0L to 7L).map(i => (i, i, "U", s"v$i"))))
+    val (v1, _) = StreamingUpsert.state(spark, dir)
+    // a reader that resolved version 1 before the next apply reads
+    // version 1's immutable generations — after the apply commits a
+    // multi-bucket change, the OLD snapshot is still complete and
+    // consistent (keepGenerations=2 retains it), never a torn mix
+    StreamingUpsert.applyBatch(spark, dir, 4, chg(Seq(
+      (0L, 10L, "U", "w0"), (1L, 11L, "U", "w1"), (2L, 12L, "D", ""))))
+    val old = StreamingUpsert.readVersion(spark, dir, v1).get
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(old == (0L to 7L).map(i => (i, s"v$i")),
+      "the pre-apply snapshot must read complete and unchanged")
+    assert(contents(dir) ==
+      ((3L to 7L).map(i => (i, s"v$i")) ++ Seq((0L, "w0"), (1L, "w1")))
+        .sorted)
+  }
+
+  test("a crashed attempt's uncommitted generation is replay-safe garbage") {
+    val dir = tmpTable()
+    StreamingUpsert.applyBatch(spark, dir, 4, chg(Seq(
+      (0L, 1L, "U", "a"), (1L, 2L, "U", "b"))))
+    // simulate a crash mid-apply at version 2: a partial generation
+    // dir exists but no manifest-2 references it
+    val sp = spark
+    import sp.implicits._
+    Seq((999L, "junk")).toDF("id", "payload")
+      .write.parquet(s"$dir/bucket-0-g2")
+    assert(contents(dir) == Seq((0L, "a"), (1L, "b")),
+      "readers never see the uncommitted generation")
+    // the replay deletes the garbage and applies deterministically
+    StreamingUpsert.applyBatch(spark, dir, 4, chg(Seq(
+      (0L, 3L, "U", "a2"), (4L, 4L, "U", "e"))))
+    assert(contents(dir) == Seq((0L, "a2"), (1L, "b"), (4L, "e")))
+  }
+
+  test("retention bounds generations per bucket to keepGenerations") {
+    val dir = tmpTable()
+    for (i <- 1 to 4)
+      StreamingUpsert.applyBatch(spark, dir, 2, chg(Seq(
+        (0L, i.toLong, "U", s"v$i"))))
+    val gens = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith("bucket-0-g")).sorted
+    assert(gens == Seq("bucket-0-g3", "bucket-0-g4"),
+      s"only the newest two generations survive, got $gens")
+    assert(contents(dir) == Seq((0L, "v4")))
+    // vacuumed versions fail loudly on read; the retained one works
+    assert(StreamingUpsert.readVersion(spark, dir, 3).get
+      .select("payload").collect().map(_.getString(0)).toSeq == Seq("v3"))
   }
 
   test("streamed changes maintain the same table the batch fold produces") {
