@@ -340,5 +340,94 @@ object Indexing {
           (col("micro").cast("double") / 1000000).as("score"))
         .orderBy(col("micro").desc, col("doc_id")).limit(10)
     },
+
+    // ---- q178: reciprocal-rank fusion (Cormack et al. SIGIR'09,
+    //      public literature) — THE standard way hybrid retrieval
+    //      combines a lexical run and a semantic run without score
+    //      calibration: each run contributes 1/(60 + rank), ranks
+    //      only, so incomparable score scales never meet. Lexical leg
+    //      = query-term frequency top-50 (one documents scan,
+    //      TakeOrdered); semantic leg = cosine-to-anchor top-50 (one
+    //      embeddings scan against the broadcast anchor vector,
+    //      TakeOrdered — vec_id ≡ doc_id, the q94 cross-modal
+    //      contract); rank windows run on the 50-row results, never
+    //      the corpus. Fusion contributions are INTEGER micro-units
+    //      (10^9 div (60 + rank)) so the fused score is exact
+    //      integer addition — no float ever orders the output. A doc
+    //      present in only one run coalesces the other leg to 0, the
+    //      rank-only analogue of the q160 degenerate-input rule. ----
+    Q(
+      "q178_rrf_fusion",
+      """WITH lex AS (SELECT doc_id, tf,
+        |    row_number() OVER (ORDER BY tf DESC, doc_id) AS lex_rank
+        |  FROM (SELECT doc_id, CAST(len(list_filter(
+        |      string_split(text, ' '),
+        |      w -> w IN ('dup', 'spark', 'vector'))) AS BIGINT) AS tf
+        |    FROM documents) WHERE tf > 0
+        |  ORDER BY tf DESC, doc_id LIMIT 50),
+        |sem AS (SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY c DESC, vec_id) AS sem_rank
+        |  FROM (SELECT b.vec_id,
+        |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) AS c
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+        |      AND b.vec_id <> 0)
+        |  ORDER BY c DESC, vec_id LIMIT 50),
+        |fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    CAST(l.lex_rank AS BIGINT) AS lex_rank,
+        |    CAST(s.sem_rank AS BIGINT) AS sem_rank,
+        |    CAST(coalesce(1000000000 // (60 + l.lex_rank), 0)
+        |      + coalesce(1000000000 // (60 + s.sem_rank), 0) AS BIGINT)
+        |      AS score_micro
+        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |    AS INT) AS rank, doc_id, lex_rank, sem_rank, score_micro
+        |FROM fused ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    ) { (s, d) =>
+      val terms = Seq("dup", "spark", "vector")
+      // lexical leg: corpus scan → TakeOrdered(50); the rank window
+      // runs on those 50 rows, never the corpus
+      val lexTop = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "),
+            x => terms.map(x === _).reduce(_ || _))).cast("long").as("tf"))
+        .filter(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id")).limit(50)
+      val lex = lexTop
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("l_doc_id"), col("lex_rank"))
+      // semantic leg: embeddings scan vs the broadcast anchor →
+      // TakeOrdered(50)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val anchor = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("v").as("av")))
+      val semTop = emb.filter(col("vec_id") =!= 0).crossJoin(anchor)
+        .select(col("vec_id").as("doc_id"),
+          (Similarity.dot(col("v"), col("av")) /
+            (sqrt(Similarity.dot(col("v"), col("v"))) *
+              sqrt(Similarity.dot(col("av"), col("av"))))).as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(50)
+      val sem = semTop
+        .withColumn("sem_rank", row_number().over(
+          Window.orderBy(col("c").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("s_doc_id"), col("sem_rank"))
+      val fused = lex.join(sem, col("l_doc_id") === col("s_doc_id"),
+          "full_outer")
+        .select(coalesce(col("l_doc_id"), col("s_doc_id")).as("doc_id"),
+          col("lex_rank"), col("sem_rank"),
+          (coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + sem_rank)"), lit(0L)))
+            .as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      fused
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("int"))
+        .select(col("rank"), col("doc_id"), col("lex_rank"),
+          col("sem_rank"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+    },
   )
 }

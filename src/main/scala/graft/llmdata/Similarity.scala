@@ -33,7 +33,7 @@ object Similarity {
     * the HOF rendering (`aggregate(zip_with(...))`) is CodegenFallback
     * and costs a boxed lambda call per element; [[graft.functions.VecDot]]
     * is the same fold as a primitive loop (bit-identical results). */
-  private def dot(a: Column, b: Column): Column = {
+  private[llmdata] def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     column(graft.functions.VecDot(expression(a), expression(b)))
   }
@@ -1506,6 +1506,130 @@ object Similarity {
         .select(col("q_id"), col("rn").cast("int").as("rank"),
           col("n_id"), col("planes"), col("radius"))
         .orderBy("q_id", "rank")
+    },
+
+    // ---- q179: MMR diverse selection (maximal marginal relevance,
+    //      Carbonell & Goldstein SIGIR'98 — public literature): pick 5
+    //      results that are RELEVANT to the anchor but not redundant
+    //      with each other — the context-selection pass of a RAG
+    //      pipeline, and the de-clumping answer to "top-k returns five
+    //      near-copies". λ = 0.5 unrolled as score2 = 2·rel − max sim-
+    //      to-selected, over q48/q149's global-max-abs INT8 grid so
+    //      relevance and redundancy are EXACT integer dot products —
+    //      the greedy argmax is never decided by a float (the q149
+    //      exactness discipline; pick 0's score2 = 2·rel, no
+    //      redundancy term yet). Scale shape: ONE corpus pass scores
+    //      relevance against the broadcast anchor and TakeOrdered
+    //      keeps the top-20 pool; the greedy loop then runs on the
+    //      DRIVER over the collected pool — a documented bounded
+    //      collect (≤ poolK rows of 64 int8-grid longs, the q52
+    //      trainCentroids class): 5 picks over 20 candidates is
+    //      arithmetic, and an unrolled lazy-plan rendering measured
+    //      ~8 s of pure job-scheduling overhead on 20 rows. The
+    //      corpus is scanned once, shuffled never. ----
+    Q(
+      "q179_mmr_select",
+      """WITH mxv AS (SELECT max(list_max(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> abs(x)))) AS mx
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings, mxv),
+        |anchor AS (SELECT q FROM v WHERE vec_id = 0),
+        |rel AS (SELECT v.vec_id, CAST(list_sum(list_transform(
+        |    range(1, 65), i -> v.q[i] * a.q[i])) AS BIGINT) AS rel
+        |  FROM v, anchor a WHERE v.vec_id <> 0),
+        |pool AS (SELECT vec_id, rel FROM rel
+        |  ORDER BY rel DESC, vec_id LIMIT 20),
+        |pd AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> va.q[i] * vb.q[i])) AS BIGINT) AS d
+        |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id),
+        |s0 AS (SELECT vec_id, rel FROM pool
+        |  ORDER BY rel DESC, vec_id LIMIT 1),
+        |c1 AS (SELECT p.vec_id, p.rel, 2 * p.rel - max(pd.d) AS score2
+        |  FROM pool p JOIN pd ON pd.ai = p.vec_id
+        |    AND pd.bi IN (SELECT vec_id FROM s0)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM s0) GROUP BY 1, 2),
+        |s1 AS (SELECT vec_id, rel, score2 FROM c1
+        |  ORDER BY score2 DESC, vec_id LIMIT 1),
+        |sel1 AS (SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM s1),
+        |c2 AS (SELECT p.vec_id, p.rel, 2 * p.rel - max(pd.d) AS score2
+        |  FROM pool p JOIN pd ON pd.ai = p.vec_id
+        |    AND pd.bi IN (SELECT vec_id FROM sel1)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel1) GROUP BY 1, 2),
+        |s2 AS (SELECT vec_id, rel, score2 FROM c2
+        |  ORDER BY score2 DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2),
+        |c3 AS (SELECT p.vec_id, p.rel, 2 * p.rel - max(pd.d) AS score2
+        |  FROM pool p JOIN pd ON pd.ai = p.vec_id
+        |    AND pd.bi IN (SELECT vec_id FROM sel2)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2) GROUP BY 1, 2),
+        |s3 AS (SELECT vec_id, rel, score2 FROM c3
+        |  ORDER BY score2 DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |c4 AS (SELECT p.vec_id, p.rel, 2 * p.rel - max(pd.d) AS score2
+        |  FROM pool p JOIN pd ON pd.ai = p.vec_id
+        |    AND pd.bi IN (SELECT vec_id FROM sel3)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3) GROUP BY 1, 2),
+        |s4 AS (SELECT vec_id, rel, score2 FROM c4
+        |  ORDER BY score2 DESC, vec_id LIMIT 1)
+        |SELECT 0 AS pick, vec_id, 2 * rel AS score2 FROM s0
+        |UNION ALL SELECT 1, vec_id, score2 FROM s1
+        |UNION ALL SELECT 2, vec_id, score2 FROM s2
+        |UNION ALL SELECT 3, vec_id, score2 FROM s3
+        |UNION ALL SELECT 4, vec_id, score2 FROM s4
+        |ORDER BY pick""".stripMargin,
+    ) { (s, d) =>
+      val qdot = expr("CAST(aggregate(zip_with(qa, qb, " +
+        "(x, y) -> x * y), CAST(0 AS BIGINT), " +
+        "(acc, e) -> acc + e) AS BIGINT)")
+      val gmx = Tables.embeddings(s, d)
+        .agg(max(array_max(transform(
+          col("embedding").cast("array<double>"), x => abs(x)))).as("mx"))
+      val v = graft.Caches.persist(Tables.embeddings(s, d)
+        .crossJoin(broadcast(gmx))
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * lit(127.0) / col("mx") + lit(0.5))
+              .cast("long")).as("q")))
+      val anchor = broadcast(v.filter(col("vec_id") === 0)
+        .select(col("q").as("qb")))
+      val relTop = v.filter(col("vec_id") =!= 0).crossJoin(anchor)
+        .select(col("vec_id"), col("q").as("qa"), col("qb"))
+        .select(col("vec_id"), qdot.as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      // bounded driver collect: poolK rows × 64 int8-grid longs
+      val poolRows = v.join(broadcast(relTop), "vec_id")
+        .select(col("vec_id"), col("rel"), col("q"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toArray))
+      def pairDot(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val byId = poolRows.map(p => p._1 -> p).toMap
+      val first = poolRows.minBy { case (id, rel, _) => (-rel, id) }
+      var selected = Vector(first._1)
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (0, first._1, 2 * first._2))
+      for (k <- 1 to 4) {
+        val best = poolRows.iterator
+          .filterNot(p => selected.contains(p._1))
+          .map { case (id, rel, qv) =>
+            val maxd = selected.map(s0 => pairDot(qv, byId(s0)._3)).max
+            (id, 2 * rel - maxd)
+          }
+          .minBy { case (id, sc) => (-sc, id) }
+        picks += ((k, best._1, best._2))
+        selected :+= best._1
+      }
+      import s.implicits._
+      picks.toSeq.toDF("pick", "vec_id", "score2")
     },
   )
 }
