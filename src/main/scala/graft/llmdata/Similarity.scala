@@ -1477,7 +1477,11 @@ object Similarity {
           |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
     ) { (s, d) =>
       val (v, ranked) = tunerParts(s, d)
-      val best = ranked.filter(col("chosen")).select("planes", "radius")
+      // persisted: `best` feeds TWO broadcast exchanges (probe gen +
+      // corpus masking), and an unpersisted 1-row plan re-runs the
+      // whole sweep once per broadcast (measured 2.5 s vs 1.3 s)
+      val best = graft.Caches.persist(
+        ranked.filter(col("chosen")).select("planes", "radius"))
       val q2 = v.filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("b8").as("qb8"))
