@@ -829,5 +829,53 @@ object TextAnalysis {
         .filter(col("n_anchors") >= 2)
         .orderBy("doc_a", "doc_b")
     },
+
+    // ---- q181: token-frequency Gini — vocabulary concentration in
+    //      one number (the data-mix audit next to q87's profile and
+    //      q117's skew report: a corpus whose token mass concentrates
+    //      in few types trains a tokenizer badly; Zipf makes SOME
+    //      concentration normal, the audit tracks drift). Exact
+    //      integer rank formula over the ASCENDING frequency order:
+    //      gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — numerator and
+    //      denominator are exact BIGINTs, one integer-division to
+    //      micro-units (tie order within equal x cannot change
+    //      Σ i·x_i: a tie block contributes x·Σi regardless of
+    //      permutation, so the (x, w) tie-break is determinism-only).
+    //      One token-keyed shuffle builds the count table; the rank
+    //      window runs over the VOCABULARY domain, never the corpus
+    //      (q153's low-cardinality exact route — the open-vocabulary
+    //      scale path replaces the global window with q86/q98 sketch
+    //      boundaries). Magnitude bound: micro-scaling keeps the
+    //      numerator < 2^63 while Σ i·x_i < ~9·10^12 — i.e. up to
+    //      ~10^6 types over ~10^7 occurrences; beyond that drop to
+    //      milli-units (documented regime, q116's loud-gate spirit). ----
+    Q(
+      "q181_token_gini",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS x
+        |  FROM tok GROUP BY 1),
+        |rk AS (SELECT x, row_number() OVER (ORDER BY x, w) AS i
+        |  FROM cnt),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(i * x) AS BIGINT) AS six FROM rk)
+        |SELECT n, total,
+        |  CAST((2 * six - (n + 1) * total) * 1000000 // (n * total)
+        |    AS BIGINT) AS gini_micro
+        |FROM agg""".stripMargin,
+    ) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("x"))
+      cnt
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("x"), col("w"))).cast("long"))
+        .agg(count(lit(1)).as("n"), sum("x").as("total"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n"), col("total"),
+          expr("CAST((2 * six - (n + 1) * total) * 1000000 div " +
+            "(n * total) AS BIGINT)").as("gini_micro"))
+    },
   )
 }

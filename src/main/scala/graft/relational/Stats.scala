@@ -497,5 +497,73 @@ object Stats {
         .select(col("conc"), col("disc"), col("np"),
           expr("(1000 * (conc - disc)) div np").as("tau_milli"))
     },
+
+    // ---- q180: rank-biased overlap (Webber et al. TOIS'10, public
+    //      literature) — q175's TOP-WEIGHTED complement: Kendall
+    //      weighs every pair equally, RBO discounts agreement
+    //      geometrically with depth, which is what search evaluation
+    //      actually wants ("do the two rankings agree where users
+    //      look"). Compared rankings: the two length proxies over
+    //      documents (char count vs whitespace token count) — same
+    //      entities, correlated but not identical, so every depth
+    //      exercises the arithmetic. p = 1/2 makes each term
+    //      A_d/(d·2^(d-1)) EXACTLY representable in integer
+    //      pico-units with one floor per depth before the cumulative
+    //      sum (the q146 per-cell-floor discipline) — no float ever
+    //      enters. A_d (prefix-intersection size at depth d) comes
+    //      from the entry-depth trick: a common doc enters both
+    //      prefixes at max(ra, rb), so one ≤k² join + a 20-row
+    //      band-join replaces 20 prefix intersections. Both rank
+    //      legs are TakeOrdered(k) over one corpus scan each; rank
+    //      windows and everything downstream touch k-row data. ----
+    Q(
+      "q180_rbo_agreement",
+      """WITH la AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+        |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20),
+        |lb AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY nt DESC, doc_id) AS rb
+        |  FROM (SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |    FROM documents)
+        |  ORDER BY nt DESC, doc_id LIMIT 20),
+        |common AS (SELECT greatest(a.ra, b.rb) AS entry_d
+        |  FROM la a JOIN lb b ON a.doc_id = b.doc_id),
+        |depths AS (SELECT unnest(range(1, 21)) AS d),
+        |ov AS (SELECT d.d, CAST(count(c.entry_d) AS BIGINT) AS overlap
+        |  FROM depths d LEFT JOIN common c ON c.entry_d <= d.d
+        |  GROUP BY 1)
+        |SELECT CAST(d AS INT) AS d, overlap,
+        |  CAST(500000000000 * overlap // (d * (1 << (d - 1)))
+        |    AS BIGINT) AS term_pico,
+        |  CAST(sum(500000000000 * overlap // (d * (1 << (d - 1))))
+        |    OVER (ORDER BY d) AS BIGINT) AS rbo_pico_cum
+        |FROM ov ORDER BY d""".stripMargin,
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val laTop = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+      val la = laTop.withColumn("ra", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("ra"))
+      val lbTop = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .orderBy(col("nt").desc, col("doc_id")).limit(20)
+      val lb = lbTop.withColumn("rb", row_number().over(
+          Window.orderBy(col("nt").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("b_doc_id"), col("rb"))
+      val common = la.join(lb, col("doc_id") === col("b_doc_id"))
+        .select(greatest(col("ra"), col("rb")).as("entry_d"))
+      val depths = s.range(1, 21).select(col("id").as("d"))
+      depths.join(broadcast(common), col("entry_d") <= col("d"), "left")
+        .groupBy("d").agg(count(col("entry_d")).as("overlap"))
+        .select(col("d").cast("int").as("d"), col("overlap"),
+          expr("CAST(500000000000 * overlap div " +
+            "(d * shiftleft(1, CAST(d - 1 AS INT))) AS BIGINT)")
+            .as("term_pico"))
+        .withColumn("rbo_pico_cum",
+          sum("term_pico").over(Window.orderBy("d")).cast("long"))
+        .orderBy("d")
+    },
   )
 }
