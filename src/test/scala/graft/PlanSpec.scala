@@ -595,4 +595,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "candidates come from the block equi-join, never all-pairs")
   }
+
+  test("q176: sweep candidates come from a broadcast-probe equi-join; corpus never shuffled") {
+    val p = planOf(SparkEntry.queries("q176_ann_index_tuner")(spark, sf))
+    // the (config, masked-bucket) candidate join must be a broadcast
+    // hash join of the probe table against the corpus-side scan — a
+    // sort-merge here would shuffle the corpus once per grid row
+    assert(p.contains("BroadcastHashJoin"),
+      "probe table must broadcast against the corpus leg")
+    assert(!p.contains("CartesianProduct"),
+      "only the tiny cfg/scalar cross joins may be nested-loop")
+  }
+
+  test("q178: both fusion legs are TakeOrdered over their scans, never a global sort") {
+    val p = planOf(SparkEntry.queries("q178_rrf_fusion")(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "lexical and semantic top-50 must both plan as TakeOrdered")
+  }
+
+  test("q181: token counts partial-aggregate before the vocab-domain window") {
+    val p = planOf(SparkEntry.queries("q181_token_gini")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "token counting must map-side combine before its exchange")
+    assert(p.contains("Window"))
+  }
 }
