@@ -59,6 +59,43 @@ object StreamingGovernance {
       .as[QiRow]
   }
 
+  /** An arriving row carrying its SENSITIVE attribute next to the QI
+    * key — the l-diversity gate's input shape. */
+  final case class SensRow(row_id: Long, qi: String, sens: String)
+
+  /** One buffered small-group row (id + sensitive value). */
+  final case class BufRow(row_id: Long, sens: String)
+
+  /** Per-group state for the diversity gate: released census, buffered
+    * rows (with their sensitive values — the flush needs them), id
+    * replay armor, and the distinct sensitive values observed so far
+    * (the l test; grows monotonically, bounded by the sensitive-value
+    * DOMAIN — order status has 3 values, not 3 billion). */
+  final case class DivState(released: Long, buffered: List[BufRow],
+      seen: Set[Long], sens: Set[String], ver: Int = DivStateVer)
+
+  final val DivStateVer = 1
+
+  /** One released row: group size at release + the group's distinct
+    * sensitive-value count at that moment (its l). */
+  final case class ReleasedDiverse(row_id: Long, qi: String,
+      group_n: Long, l: Long)
+
+  /** (row_id, qi, sens) projection for the q140 shape: orders stream,
+    * QI from the broadcast customer FK join, sensitive = order status.
+    * The QI string matches [[customerQi]]'s encoding so the two gates
+    * census the same groups. */
+  def orderSens(orders: DataFrame, customer: DataFrame): Dataset[SensRow] = {
+    import orders.sparkSession.implicits._
+    val cust = customer.select(col("c_custkey"),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long")).as("qi"))
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("row_id"), col("qi"),
+        col("o_orderstatus").as("sens"))
+      .as[SensRow]
+  }
+
   /** The stateful gate; works under a streaming query (cross-batch
     * group growth) and in batch mode (one pass ⇒ exactly the q139
     * census's n ≥ k groups release, spec-pinned).
@@ -111,6 +148,66 @@ object StreamingGovernance {
         }
       }
       st.update(QiState(released, buffered, seen))
+      stateTtl.foreach(d => st.setTimeoutDuration(d.toMillis))
+      out.result().iterator
+    }
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    in.groupByKey(_.qi)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
+  }
+
+  /** Streaming l-diversity gate — q140's arrival-time twin, and the
+    * audit k alone misses: a QI group can clear k with every member
+    * sharing ONE sensitive value, so releasing it publishes that value
+    * for anyone known to be in the group (Machanavajjhala et al.
+    * 2007). This gate releases a group's history only once BOTH
+    * conditions hold: ≥ k rows AND ≥ l distinct sensitive values.
+    * Both census counts grow monotonically, so open-stays-open and the
+    * k-gate's retroactive-flush / replay-armor / TTL mechanics carry
+    * over unchanged.
+    *
+    * State adds one set to the k-gate's: the distinct sensitive values
+    * seen — bounded by the sensitive-value DOMAIN (for q140's order
+    * status: 3), not the stream; buffered rows stay ≤ the larger of
+    * the two thresholds' release point, reached at latest once k rows
+    * AND l values arrive. A group that never diversifies stays
+    * suppressed forever — the privacy rule, not a leak. */
+  def gateDiverse(in: Dataset[SensRow], k: Int = 5, l: Int = 2,
+      stateTtl: Option[java.time.Duration] = None): Dataset[ReleasedDiverse] = {
+    import in.sparkSession.implicits._
+    require(k >= 1, "k must be positive")
+    require(l >= 1, "l must be positive")
+    require(stateTtl.forall(d => !d.isNegative && !d.isZero),
+      "stateTtl must be positive when set")
+    def fn(qi: String, rows: Iterator[SensRow],
+        st: GroupState[DivState]): Iterator[ReleasedDiverse] = {
+      if (st.hasTimedOut) { st.remove(); return Iterator.empty }
+      val prev = st.getOption.getOrElse(
+        DivState(0L, Nil, Set.empty, Set.empty))
+      StateVersion.check(prev.ver, DivStateVer, "StreamingGovernance.gateDiverse")
+      var released = prev.released
+      var buffered = prev.buffered
+      var seen = prev.seen
+      var sens = prev.sens
+      val out = List.newBuilder[ReleasedDiverse]
+      rows.toSeq.sortBy(_.row_id).foreach { r =>
+        if (!seen.contains(r.row_id)) {
+          seen += r.row_id
+          sens += r.sens
+          buffered = BufRow(r.row_id, r.sens) :: buffered
+          if (released > 0 || (buffered.size >= k && sens.size >= l)) {
+            val lNow = sens.size.toLong
+            buffered.reverse.foreach { b =>
+              released += 1
+              out += ReleasedDiverse(b.row_id, qi, released, lNow)
+            }
+            buffered = Nil
+          }
+        }
+      }
+      st.update(DivState(released, buffered, seen, sens))
       stateTtl.foreach(d => st.setTimeoutDuration(d.toMillis))
       out.result().iterator
     }

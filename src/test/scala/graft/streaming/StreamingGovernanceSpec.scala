@@ -92,6 +92,87 @@ class StreamingGovernanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("one-batch diverse gate releases exactly the q140 census groups clearing (k, l)") {
+    val sp = spark
+    import sp.implicits._
+    val orders = graft.Tables.orders(sp, sf)
+    val cust = graft.Tables.customer(sp, sf)
+    val in = StreamingGovernance.orderSens(orders, cust)
+    val released = StreamingGovernance.gateDiverse(in, k = 3, l = 3)
+      .select("row_id").as[Long].collect().toSet
+    // independent census: groups with >= 3 orders AND >= 3 distinct statuses
+    val open = in.groupBy("qi")
+      .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
+      .filter(col("n") >= 3 && col("l") >= 3)
+    val expect = in.join(open, Seq("qi"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(released == expect,
+      "released rows must be exactly the members of (k,l)-cleared QI groups")
+    assert(released.nonEmpty && released.size < orders.count())
+    // the gate must be STRICTER than k alone: some k-cleared group is
+    // homogeneous on this corpus, else the test pins nothing
+    val kOnly = in.groupBy("qi").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+    val kExpect = in.join(kOnly, Seq("qi"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(released.subsetOf(kExpect) && released != kExpect,
+      "l-diversity must suppress at least one high-k homogeneous group")
+  }
+
+  test("a high-k homogeneous group stays suppressed until the l-th distinct value") {
+    val sp = spark
+    import sp.implicits._
+    import StreamingGovernance.{SensRow, ReleasedDiverse}
+    val input = MemoryStream[SensRow](sp)
+    val q = StreamingGovernance.gateDiverse(input.toDS(), k = 2, l = 2)
+      .writeStream.format("memory").queryName("gov_div").start()
+    try {
+      // 4 rows, one sensitive value: clears k=2 four times over, l=1
+      input.addData(SensRow(1, "g", "F"), SensRow(2, "g", "F"),
+        SensRow(3, "g", "F"), SensRow(4, "g", "F"))
+      q.processAllAvailable()
+      assert(sp.table("gov_div").count() == 0,
+        "k alone must not open a homogeneous group")
+      // the l-th distinct sensitive value retroactively opens it
+      input.addData(SensRow(5, "g", "O"))
+      q.processAllAvailable()
+      val rel = sp.table("gov_div").as[ReleasedDiverse].collect()
+        .sortBy(_.group_n)
+      assert(rel.map(_.row_id).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        "diversification flushes the whole buffered history in arrival order")
+      assert(rel.forall(_.l == 2L), "released rows carry the group's l")
+      // once open: immediate passthrough, l keeps growing
+      input.addData(SensRow(6, "g", "P"))
+      q.processAllAvailable()
+      val all = sp.table("gov_div").as[ReleasedDiverse].collect()
+      assert(all.exists(r => r.row_id == 6L && r.group_n == 6L && r.l == 3L))
+    } finally q.stop()
+  }
+
+  test("diverse-gate replay re-counts neither rows nor sensitive values") {
+    val sp = spark
+    import sp.implicits._
+    import StreamingGovernance.{SensRow, ReleasedDiverse}
+    val input = MemoryStream[SensRow](sp)
+    val q = StreamingGovernance.gateDiverse(input.toDS(), k = 3, l = 2)
+      .writeStream.format("memory").queryName("gov_div_replay").start()
+    try {
+      input.addData(SensRow(1, "g", "F"), SensRow(2, "g", "O"))
+      q.processAllAvailable()
+      // replay: the same 2 rows already clear l=2; a doubled row count
+      // would open the group at 2 real subjects
+      input.addData(SensRow(1, "g", "F"), SensRow(2, "g", "O"))
+      q.processAllAvailable()
+      assert(sp.table("gov_div_replay").count() == 0,
+        "replayed rows must not open a k=3 group with 2 subjects")
+      input.addData(SensRow(3, "g", "F"))
+      q.processAllAvailable()
+      val rel = sp.table("gov_div_replay").as[ReleasedDiverse].collect()
+      assert(rel.map(_.row_id).toSet == Set(1L, 2L, 3L))
+      assert(rel.map(_.group_n).max == 3L && rel.forall(_.l == 2L))
+    } finally q.stop()
+  }
+
   test("stateTtl expires an idle small group's state; suppression holds") {
     val sp = spark
     import sp.implicits._
