@@ -16,6 +16,9 @@ import json, subprocess, sys, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_SF1.json"
+# round-8 (round-7 verdict item 4): reps=1 at sf1 was the single-run
+# trap the sf0.1 harness documents; default to 3-rep medians
+REPS = sys.argv[3] if len(sys.argv) > 3 else "3"
 CP = "target/scala-2.13/classes:/opt/spark/jars/*"
 
 names = subprocess.run(
@@ -34,10 +37,22 @@ CHUNK = 12
 groups = [[n] for n in sorted(SOLO & set(all_q))] + \
     [rest[i:i + CHUNK] for i in range(0, len(rest), CHUNK)]
 
+# idle gate ONCE at script start: between chunks the 1-min loadavg is
+# dominated by the PREVIOUS chunk's decayed spike (stale metric, the
+# CPUs are actually free the moment its JVM exits), so the per-chunk
+# sentinel threshold is relaxed to true oversubscription (load > ncpu)
+# and the honest contention check is this start-of-run sample.
+load_start = os.getloadavg()[0]
+if load_start > 2.0:
+    print(f"WARNING: starting with load {load_start:.1f} > 2 - "
+          "timings will be contended; drain the box first")
+
 merged, total = {}, 0.0
 for g in groups:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPS="1",
-               SPARK_GRAFT_ONLY=",".join(g))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPS=REPS,
+               SPARK_GRAFT_ONLY=",".join(g),
+               SPARK_GRAFT_LOAD_MAX=str(os.cpu_count() + 1),
+               SPARK_GRAFT_LOAD_WAIT_SECS="60")
     # 8g = the driver's SPARK_DRIVER_MEM default (build.sbt). NOT more:
     # G1 on a 32-100g heap runs this cache-churn workload 2-4x SLOWER
     # (q29 at sf1: 11.4 s at 8g vs 23.7 s at 32g) - measured round 7
@@ -53,8 +68,8 @@ for g in groups:
     print(f"chunk {g[0]}..({len(g)}): {rec['value']:.1f} s")
 
 out = {"metric": "total", "value": total, "unit": "sec",
-       "queries": merged, "sf": SF,
-       "protocol": "chunked fresh JVMs (heavy solo), reps=1"}
+       "queries": merged, "sf": SF, "load_start": load_start,
+       "protocol": f"chunked fresh JVMs (heavy solo), reps={REPS}, medians"}
 with open(OUT, "w") as f:
     json.dump(out, f)
 print(f"total {total:.1f} s over {len(merged)} queries -> {OUT}")
