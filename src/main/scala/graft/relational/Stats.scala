@@ -565,5 +565,264 @@ object Stats {
           sum("term_pico").over(Window.orderBy("d")).cast("long"))
         .orderBy("d")
     },
+
+    // ---- q182: ROC-AUC by the rank statistic — the threshold-free
+    //      power of a scalar signal to separate a binary class
+    //      (Mann–Whitney U ≡ area under the ROC curve; Hanley &
+    //      McNeil 1982): does document LENGTH separate English from
+    //      the rest — the eval primitive for any data-selection
+    //      classifier. Integer-exact: collapse to the per-VALUE
+    //      (pos, neg) histogram (the corpus-sized shuffle; output is
+    //      the value DOMAIN — q153's exact route), concordant pairs
+    //      Σ pos_v · (negatives strictly below v) ride ONE cumulative
+    //      window over that domain, ties take the standard half
+    //      credit (2·conc + tied, halved inside the micro division).
+    //      BIGINT magnitude regime: the pair products stay exact
+    //      while n_pos·n_neg < 2^63/10^6 ≈ 9·10^12 (3·10^6 docs per
+    //      class); past that the three sums move to DECIMAL(38) and
+    //      the division to the q136 VARCHAR-cast route. ----
+    Q(
+      "q182_auc_rank",
+      """WITH s AS (SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nn
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT v, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_neg
+        |  FROM s)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * cum_neg) AS BIGINT) AS conc,
+        |  CAST(sum(np * nn) AS BIGINT) AS tied,
+        |  CAST((2 * sum(np * cum_neg) + sum(np * nn)) * 500000
+        |    // (sum(np) * sum(nn)) AS BIGINT) AS auc_micro
+        |FROM c""".stripMargin,
+    ) { (s, d) =>
+      val hist = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cum_neg", coalesce(sum("nn").over(w), lit(0L)))
+        .agg(sum("np").cast("long").as("n_pos"),
+          sum("nn").cast("long").as("n_neg"),
+          sum(col("np") * col("cum_neg")).cast("long").as("conc"),
+          sum(col("np") * col("nn")).cast("long").as("tied"))
+        .select(col("n_pos"), col("n_neg"), col("conc"), col("tied"),
+          expr("(2 * conc + tied) * 500000 div (n_pos * n_neg)")
+            .cast("long").as("auc_micro"))
+    },
+
+    // ---- q183: gate agreement — Cohen's kappa + McNemar for two
+    //      quality gates over the same corpus (Cohen 1960; McNemar
+    //      1947): when a pipeline swaps gate A (char length) for gate
+    //      B (token count), kappa says how interchangeable they are
+    //      beyond chance and McNemar whether their DISAGREEMENTS are
+    //      symmetric (b ≈ c) or one gate is systematically stricter.
+    //      ONE map-only pass folds to the 2×2 table; kappa = exact
+    //      integer numerator/denominator with ONE IEEE division
+    //      (inputs < 2^53 — the registry float policy), McNemar's
+    //      χ² = (b−c)²/(b+c) in integer micro-units (nonnegative, so
+    //      `div` and `//` agree). ----
+    Q(
+      "q183_gate_agreement",
+      """WITH g AS (SELECT
+        |    CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN len(string_split(text, ' ')) >= 56 THEN 1
+        |      ELSE 0 END AS gb
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(ga * gb) AS BIGINT) AS a,
+        |    CAST(sum(ga * (1 - gb)) AS BIGINT) AS b,
+        |    CAST(sum((1 - ga) * gb) AS BIGINT) AS c,
+        |    CAST(sum((1 - ga) * (1 - gb)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT a, b, c, d, n,
+        |  CAST(n * (a + d) - ((a+b) * (a+c) + (c+d) * (b+d))
+        |      AS DOUBLE)
+        |    / (n * n - ((a+b) * (a+c) + (c+d) * (b+d))) AS kappa,
+        |  CAST((1000000 * (b - c) * (b - c)) // (b + c) AS BIGINT)
+        |    AS mcnemar_micro
+        |FROM t""".stripMargin,
+    ) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(
+          when(col("n_chars") >= 306, 1L).otherwise(0L).as("ga"),
+          when(size(split(col("text"), " ")) >= 56, 1L).otherwise(0L)
+            .as("gb"))
+        .agg(sum(col("ga") * col("gb")).as("a"),
+          sum(col("ga") * (lit(1) - col("gb"))).as("b"),
+          sum((lit(1) - col("ga")) * col("gb")).as("c"),
+          sum((lit(1) - col("ga")) * (lit(1) - col("gb"))).as("d"),
+          count(lit(1)).as("n"))
+      val e = (col("a") + col("b")) * (col("a") + col("c")) +
+        (col("c") + col("d")) * (col("b") + col("d"))
+      t.select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        ((col("n") * (col("a") + col("d")) - e).cast("double") /
+          (col("n") * col("n") - e)).as("kappa"),
+        expr("(1000000 * (b - c) * (b - c)) div (b + c)")
+          .cast("long").as("mcnemar_micro"))
+    },
+
+    // ---- q184: discrete hazard curve — Kaplan–Meier's life table
+    //      over user lifetimes (first→last active day): at-risk(d) =
+    //      users surviving ≥ d days, deaths(d) = lifetimes ending AT
+    //      d, hazard(d) = deaths/at-risk — the churn-analysis
+    //      primitive (q89's cohort triangle shows WHO returns; this
+    //      shows WHEN engagement ends). The corpus-sized work is one
+    //      user-keyed groupBy; lifetimes collapse to a day-domain
+    //      histogram and at-risk is ONE cumulative-from-above window
+    //      on that domain (≤ observation-span rows). Survival
+    //      S(d) = Π(1−h) is deliberately NOT emitted: a cumulative
+    //      float product is order-dependent — the hazard table is
+    //      the exact primitive, hazard_milli one integer division
+    //      per row. ----
+    Q(
+      "q184_hazard_curve",
+      """WITH u AS (SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS life
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT life, CAST(count(*) AS BIGINT) AS deaths
+        |  FROM u GROUP BY 1),
+        |c AS (SELECT life, deaths,
+        |    CAST(sum(deaths) OVER (ORDER BY life DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS at_risk
+        |  FROM h)
+        |SELECT CAST(life AS BIGINT) AS life_days, deaths, at_risk,
+        |  CAST((1000 * deaths) // at_risk AS BIGINT) AS hazard_milli
+        |FROM c ORDER BY life_days""".stripMargin,
+    ) { (s, d) =>
+      val hist = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(datediff(max(col("ts")).cast("date"),
+          min(col("ts")).cast("date")).as("life"))
+        .groupBy("life").agg(count(lit(1)).as("deaths"))
+      val w = Window.orderBy(col("life").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("at_risk", sum("deaths").over(w))
+        .select(col("life").cast("long").as("life_days"),
+          col("deaths"), col("at_risk"),
+          expr("(1000 * deaths) div at_risk").cast("long")
+            .as("hazard_milli"))
+        .orderBy("life_days")
+    },
+
+    // ---- q185: variance explained by a binary segmentation — eta²
+    //      for purchase-vs-rest on event value (the feature-usefulness
+    //      screen: does splitting on this flag explain any of the
+    //      value variance?). Two groups give eta² a closed integer
+    //      form: eta² = Δ² / (n1·n0·(N·S2 − S1²)) with
+    //      Δ = s1·n0 − s0·n1 over CENTI-quantized values (quantize
+    //      FIRST — q48/q91's discipline — so every moment is an exact
+    //      integer; a raw double Σx² is partition-order-dependent).
+    //      Both sides of the single IEEE division are exact
+    //      DECIMAL(38,0) (Δ² overflows BIGINT), cast to double once —
+    //      correctly rounded in both engines, the q136 route
+    //      (oracle casts through VARCHAR past 2^53). One grouped
+    //      aggregate; everything after runs on 2 rows. ----
+    Q(
+      "q185_eta_squared",
+      """WITH q AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(sum(g) AS BIGINT) AS n1,
+        |    CAST(sum(1 - g) AS BIGINT) AS n0,
+        |    CAST(sum(g * vq) AS HUGEINT) AS s1,
+        |    CAST(sum((1 - g) * vq) AS HUGEINT) AS s0,
+        |    CAST(sum(vq * vq) AS HUGEINT) AS s2
+        |  FROM q)
+        |SELECT n1, n0,
+        |  CAST(CAST((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
+        |    AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(n1 AS HUGEINT) * n0
+        |      * ((n1 + n0) * s2 - (s1 + s0) * (s1 + s0))
+        |    AS VARCHAR) AS DOUBLE) AS eta_sq
+        |FROM m""".stripMargin,
+    ) { (s, d) =>
+      val q = Tables.events(s, d).select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("g"),
+        floor(col("value") * 100).cast("long").as("vq"))
+      val m = q.agg(sum("g").as("n1"),
+        sum(lit(1L) - col("g")).as("n0"),
+        sum((col("g") * col("vq")).cast("decimal(38,0)")).as("s1"),
+        sum(((lit(1L) - col("g")) * col("vq")).cast("decimal(38,0)"))
+          .as("s0"),
+        sum(col("vq").cast("decimal(38,0)") * col("vq")).as("s2"))
+      val delta = col("s1") * col("n0") - col("s0") * col("n1")
+      val denom = col("n1").cast("decimal(38,0)") * col("n0") *
+        ((col("n1") + col("n0")) * col("s2") -
+          (col("s1") + col("s0")) * (col("s1") + col("s0")))
+      m.select(col("n1").cast("long").as("n1"),
+        col("n0").cast("long").as("n0"),
+        ((delta * delta).cast("double") / denom.cast("double"))
+          .as("eta_sq"))
+    },
+
+    // ---- q186: Cramér's V — two-way independence of event type ×
+    //      weekday (is the event mix a function of the day?), the
+    //      association strength behind q162's one-way drift test.
+    //      χ² per cell in integer micro-units (per-cell floor before
+    //      the sum — q146/q162's associativity rule; expected =
+    //      row·col/n, one double product/division of exact integers,
+    //      the q162 precedent), V² = χ²/(n·(min(r,c)−1)) by integer
+    //      division with r, c counted in-plan. The corpus folds to
+    //      the (type, dow) contingency table in ONE partial-aggregated
+    //      pass; everything after runs on ≤ |types|·7 rows. ----
+    Q(
+      "q186_cramers_v",
+      """WITH c AS (SELECT event_type, extract(dow FROM ts) AS dw,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nr
+        |  FROM c GROUP BY 1),
+        |ct AS (SELECT dw, CAST(sum(n) AS BIGINT) AS nc
+        |  FROM c GROUP BY 1),
+        |all_ AS (SELECT CAST(sum(n) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT dw) AS BIGINT) AS cc FROM c),
+        |chi AS (SELECT CAST(sum(CAST(floor(1000000
+        |      * (c.n - CAST(rt.nr AS DOUBLE) * ct.nc / a.na)
+        |      * (c.n - CAST(rt.nr AS DOUBLE) * ct.nc / a.na)
+        |      / (CAST(rt.nr AS DOUBLE) * ct.nc / a.na)) AS BIGINT))
+        |    AS BIGINT) AS chi2_micro
+        |  FROM c JOIN rt USING (event_type) JOIN ct USING (dw),
+        |    all_ a)
+        |SELECT chi.chi2_micro, a.na AS n,
+        |  CAST(chi.chi2_micro
+        |    // (a.na * (CASE WHEN a.r < a.cc THEN a.r ELSE a.cc END
+        |        - 1)) AS BIGINT) AS v_sq_micro
+        |FROM chi, all_ a""".stripMargin,
+    ) { (s, d) =>
+      val c = graft.Caches.persist(Tables.events(s, d)
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dw"))
+        .groupBy("event_type", "dw").agg(count(lit(1)).as("n")))
+      val rt = c.groupBy("event_type").agg(sum("n").as("nr"))
+      val ct = c.groupBy("dw").agg(sum("n").as("nc"))
+      val a = c.agg(sum("n").as("na"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("dw")).as("cc"))
+      val exp0 = col("nr").cast("double") * col("nc") / col("na")
+      val chi = c.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dw").crossJoin(broadcast(a))
+        .withColumn("cell_micro",
+          floor(lit(1000000) * (col("n") - exp0) * (col("n") - exp0)
+            / exp0).cast("long"))
+        .agg(sum("cell_micro").as("chi2_micro"))
+      chi.crossJoin(broadcast(a))
+        .select(col("chi2_micro"), col("na").as("n"),
+          expr("chi2_micro div (na * (CASE WHEN r < cc THEN r " +
+            "ELSE cc END - 1))").cast("long").as("v_sq_micro"))
+    },
   )
 }
