@@ -30,7 +30,8 @@ object SparkEntry {
       llmdata.Snapshots.qs ++
       llmdata.Governance.qs ++
       llmdata.Graphs.qs ++
-      llmdata.Linkage.qs
+      llmdata.Linkage.qs ++
+      llmdata.Layout.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate (q03): exercises scan, broadcast joins,
