@@ -86,6 +86,29 @@ object EventStreamSource {
     * pipeline archives it VERBATIM to bronze, so no other projection
     * happens here). */
   def rawLines(spark: SparkSession, options: Map[String, String]): DataFrame =
-    spark.readStream.format("kafka").options(options).load()
-      .selectExpr("CAST(value AS STRING) AS value")
+    fromKafkaRecords(
+      spark.readStream.format("kafka").options(options).load())
+
+  /** The Kafka-source → pipeline wire contract, factored out of
+    * `rawLines` so it is testable without a broker: project the source's
+    * public record schema (key/value binary, topic, partition, offset,
+    * timestamp, timestampType) down to the one UTF-8 `value` line the
+    * pipeline consumes. Guards the `value` column's presence and binary
+    * type loudly — a schema drift here (e.g. wiring a pre-projected
+    * stream through twice) would otherwise surface as a runtime cast
+    * error deep inside the running query.
+    *
+    * (This container ships no kafka-clients/spark-sql-kafka jar and has
+    * no network egress, so an embedded-broker test cannot run here —
+    * KafkaWireSpec instead drives `CuratedPipeline.start` through this
+    * projection from a stream with the exact source schema, which is
+    * everything minus the broker's own offset bookkeeping.) */
+  def fromKafkaRecords(records: DataFrame): DataFrame = {
+    val vt = records.schema.fields.find(_.name == "value").map(_.dataType)
+    require(vt.contains(org.apache.spark.sql.types.BinaryType),
+      s"expected a Kafka record stream with a binary `value` column, got: " +
+        records.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(", "))
+    records.selectExpr("CAST(value AS STRING) AS value")
+  }
 }
