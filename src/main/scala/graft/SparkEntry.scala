@@ -31,7 +31,8 @@ object SparkEntry {
       llmdata.Governance.qs ++
       llmdata.Graphs.qs ++
       llmdata.Linkage.qs ++
-      llmdata.Layout.qs
+      llmdata.Layout.qs ++
+      llmdata.Planner.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Snowflake join + aggregate (q03): exercises scan, broadcast joins,

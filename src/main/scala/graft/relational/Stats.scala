@@ -824,5 +824,134 @@ object Stats {
           expr("chi2_micro div (na * (CASE WHEN r < cc THEN r " +
             "ELSE cc END - 1))").cast("long").as("v_sq_micro"))
     },
+
+    // ---- q190: expected calibration error — the reliability diagram
+    //      (Guo et al. ICML'17's ECE; public literature) for a scalar
+    //      classifier: does a score of 0.8 mean "right 80% of the
+    //      time"? The classifier under audit is a deliberately rough
+    //      English-ness score (q34's stopword rate, ×8 squashed into
+    //      [0,1] micro-units) against the lang='en' label — the
+    //      operator is the calibration MATH, the fixture classifier is
+    //      what it exposes (q182 measures discrimination of a signal;
+    //      this measures honesty). One tokenize pass folds to per-doc
+    //      (conf, label); the corpus then collapses to a 10-bin domain
+    //      (equal-width over confidence) carrying count, mean
+    //      confidence, and accuracy, all integer micro-units with one
+    //      floor per bin (q146 discipline); ECE = the count-weighted
+    //      mean |acc − conf| gap, an integer scalar broadcast back
+    //      onto the 10 rows. Scale: map-only until the 10-row bin
+    //      domain — the ANALYZE-job shape. ----
+    Q(
+      "q190_ece_calibration",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |ag AS (SELECT doc_id, count(*) AS nt,
+        |    sum(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) AS stop
+        |  FROM toks GROUP BY doc_id),
+        |sc AS (SELECT a.doc_id,
+        |    least(1000000, (a.stop * 8000000) // a.nt) AS conf_micro,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM ag a JOIN documents d USING (doc_id)),
+        |b AS (SELECT least(9, conf_micro // 100000) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(conf_micro) AS BIGINT) AS sum_conf,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |g AS (SELECT bin, n_docs,
+        |    sum_conf // n_docs AS avg_conf_micro,
+        |    (n_pos * 1000000) // n_docs AS acc_micro
+        |  FROM b),
+        |e AS (SELECT CAST(sum(n_docs * abs(avg_conf_micro - acc_micro))
+        |      // sum(n_docs) AS BIGINT) AS ece_micro FROM g)
+        |SELECT CAST(g.bin AS BIGINT) AS bin, g.n_docs,
+        |  CAST(g.avg_conf_micro AS BIGINT) AS avg_conf_micro,
+        |  CAST(g.acc_micro AS BIGINT) AS acc_micro,
+        |  CAST(abs(g.avg_conf_micro - g.acc_micro) AS BIGINT) AS gap_micro,
+        |  e.ece_micro
+        |FROM g, e ORDER BY bin""".stripMargin,
+    ) { (s, d) =>
+      val ag = graft.llmdata.Text.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("w").isin("the", "a"), 1).otherwise(0)).as("stop"))
+      val sc = ag.join(Tables.documents(s, d).select("doc_id", "lang"),
+          "doc_id")
+        .select(
+          least(lit(1000000L), expr("(stop * 8000000) div nt"))
+            .as("conf_micro"),
+          when(col("lang") === "en", 1).otherwise(0).as("pos"))
+      val g = sc
+        .groupBy(least(lit(9L), expr("conf_micro div 100000")).as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum("conf_micro").as("sum_conf"),
+          sum("pos").as("n_pos"))
+        .select(col("bin").cast("long"), col("n_docs"),
+          expr("sum_conf div n_docs").cast("long").as("avg_conf_micro"),
+          expr("(n_pos * 1000000) div n_docs").cast("long").as("acc_micro"))
+      val e = g.agg(
+        expr("sum(n_docs * abs(avg_conf_micro - acc_micro)) " +
+          "div sum(n_docs)").cast("long").as("ece_micro"))
+      g.withColumn("gap_micro", abs(col("avg_conf_micro") - col("acc_micro")))
+        .crossJoin(broadcast(e))
+        .orderBy("bin")
+    },
+
+    // ---- q191: Fleiss' kappa — multi-rater agreement (Fleiss 1971;
+    //      public literature), q183's generalization past two raters:
+    //      do three quality gates (length ≥ 100 tokens, TTR ≥ 0.45,
+    //      stopword rate ≤ 0.12 — q34's thresholds as integer cross-
+    //      multiplications) agree beyond what their marginal pass
+    //      rates force? One tokenize pass → per-doc pass count
+    //      k ∈ {0..3}; P̄_o folds k(k−1)+(3−k)(2−k) over 3·2; P_e from
+    //      the pooled pass share. All moments exact BIGINT (regime:
+    //      18n²·10⁶ < 2⁶³ ⇔ n ≲ 7·10⁵ docs — past that, the q136
+    //      DECIMAL(38)/VARCHAR route); kappa itself is ONE IEEE
+    //      division of identical integer operands (negative-value
+    //      safe — integer `div`/`//` disagree on negatives across
+    //      engines, so a worse-than-chance kappa must never route
+    //      through integer division). ----
+    Q(
+      "q191_fleiss_kappa",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |ag AS (SELECT doc_id, count(*) AS nt, count(DISTINCT w) AS nd,
+        |    sum(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) AS stop
+        |  FROM toks GROUP BY doc_id),
+        |r AS (SELECT doc_id,
+        |    (CASE WHEN nt >= 100 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN nd * 100 >= 45 * nt THEN 1 ELSE 0 END) +
+        |    (CASE WHEN stop * 100 <= 12 * nt THEN 1 ELSE 0 END) AS k
+        |  FROM ag),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(k) AS BIGINT) AS s,
+        |    CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS BIGINT) AS po_num
+        |  FROM r)
+        |SELECT n AS n_docs, s AS n_pass_ratings,
+        |  CAST((po_num * 1000000) // (6 * n) AS BIGINT) AS p_o_micro,
+        |  CAST(((s * s + (3 * n - s) * (3 * n - s)) * 1000000)
+        |    // (9 * n * n) AS BIGINT) AS p_e_micro,
+        |  CAST(((po_num * 1000000) // (6 * n)) -
+        |    (((s * s + (3 * n - s) * (3 * n - s)) * 1000000)
+        |      // (9 * n * n)) AS DOUBLE) /
+        |    (1000000 - (((s * s + (3 * n - s) * (3 * n - s)) * 1000000)
+        |      // (9 * n * n))) AS kappa
+        |FROM t""".stripMargin,
+    ) { (s, d) =>
+      val ag = graft.llmdata.Text.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"), countDistinct("w").as("nd"),
+          sum(when(col("w").isin("the", "a"), 1).otherwise(0)).as("stop"))
+      val t = ag
+        .select((when(col("nt") >= 100, 1).otherwise(0) +
+          when(col("nd") * 100 >= col("nt") * 45, 1).otherwise(0) +
+          when(col("stop") * 100 <= col("nt") * 12, 1).otherwise(0)).as("k"))
+        .agg(count(lit(1)).as("n"), sum("k").as("s"),
+          sum(expr("k * (k - 1) + (3 - k) * (2 - k)")).as("po_num"))
+      t.select(col("n").as("n_docs"), col("s").as("n_pass_ratings"),
+          expr("(po_num * 1000000) div (6 * n)").cast("long")
+            .as("p_o_micro"),
+          expr("((s * s + (3 * n - s) * (3 * n - s)) * 1000000) " +
+            "div (9 * n * n)").cast("long").as("p_e_micro"))
+        .withColumn("kappa",
+          (col("p_o_micro") - col("p_e_micro")).cast("double") /
+            (lit(1000000L) - col("p_e_micro")))
+    },
   )
 }
