@@ -282,5 +282,87 @@ object Curation {
           col("max_folds_per_group"))
         .orderBy("fold")
     },
+
+    // ---- q192: water-filling token-budget allocation — the mixture
+    //      solver q72's admission policy assumes has already run: given
+    //      a total token budget (scale-parametric: 80% of the corpus)
+    //      and equal target shares across languages, allocate each
+    //      language min(its availability, the water level λ), with λ
+    //      chosen so the budget is spent EXACTLY. Classic water-fill:
+    //      order languages by availability ascending; a language is
+    //      capped iff taking all its tokens plus ≥ that much for every
+    //      later language still fits the budget (the capped set is a
+    //      prefix of the order); the leftover spreads integer-evenly
+    //      over the uncapped with the remainder going to the first
+    //      (deterministic) ranks, so Σ allocated = budget exactly — no
+    //      float water level, no iteration. One corpus pass folds to
+    //      the language domain; every window runs on ≤|langs| rows
+    //      (metadata-sized). At 100 TB the allocation THIS emits is the
+    //      per-source sampling quota a q73-style weighted sampler
+    //      executes. ----
+    Q(
+      "q192_waterfill_mix",
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |a AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS avail
+        |  FROM t GROUP BY 1),
+        |b AS (SELECT CAST(sum(avail) * 4 // 5 AS BIGINT) AS budget,
+        |    CAST(count(*) AS BIGINT) AS n FROM a),
+        |o AS (SELECT lang, avail,
+        |    CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT)
+        |      AS idx,
+        |    CAST(sum(avail) OVER (ORDER BY avail, lang
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+        |  FROM a),
+        |c AS (SELECT o.lang, o.avail, o.idx, b.budget, b.n,
+        |    CASE WHEN o.pfx + o.avail * (b.n - o.idx) <= b.budget
+        |      THEN 1 ELSE 0 END AS capped
+        |  FROM o, b),
+        |s AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN capped = 1 THEN avail END), 0)
+        |      AS BIGINT) AS csum,
+        |    CAST(sum(capped) AS BIGINT) AS ncap FROM c)
+        |SELECT c.lang, c.avail,
+        |  CAST(CASE WHEN c.capped = 1 THEN c.avail
+        |    ELSE (c.budget - s.csum) // (c.n - s.ncap) +
+        |      (CASE WHEN c.idx - s.ncap <=
+        |          (c.budget - s.csum) % (c.n - s.ncap)
+        |        THEN 1 ELSE 0 END)
+        |    END AS BIGINT) AS allocated,
+        |  c.capped
+        |FROM c, s ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val a = Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("lang").agg(sum("n_tok").as("avail"))
+      val b = a.agg(expr("sum(avail) * 4 div 5").cast("long").as("budget"),
+        count(lit(1)).as("n"))
+      // language-domain windows: ≤|langs| rows, metadata-sized
+      val w = Window.orderBy(col("avail"), col("lang"))
+      val c = a
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .withColumn("pfx", sum("avail").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(b))
+        .withColumn("capped",
+          when(col("pfx") + col("avail") * (col("n") - col("idx"))
+            <= col("budget"), 1).otherwise(0))
+      val st = c.agg(
+        coalesce(sum(when(col("capped") === 1, col("avail"))), lit(0L))
+          .cast("long").as("csum"),
+        sum("capped").cast("long").as("ncap"))
+      c.crossJoin(broadcast(st))
+        .select(col("lang"), col("avail"),
+          when(col("capped") === 1, col("avail"))
+            .otherwise(expr("(budget - csum) div (n - ncap)") +
+              when(col("idx") - col("ncap") <=
+                expr("(budget - csum) % (n - ncap)"), 1L).otherwise(0L))
+            .cast("long").as("allocated"),
+          col("capped"))
+        .orderBy("lang")
+    },
   )
 }

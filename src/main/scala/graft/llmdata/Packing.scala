@@ -117,5 +117,67 @@ object Packing {
           concat_ws(" ", chunk).as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
     },
+
+    // ---- q194: context-length curve — price the sequence-length knob
+    //      before committing a packing run (q65) or a chunking run
+    //      (q106): for each candidate context length L, how many docs
+    //      truncate, how many tokens truncation loses, how full the
+    //      padded one-doc-per-row layout is, and how many sequences
+    //      concat-and-chunk mode would emit. The corpus collapses to
+    //      the LENGTH-domain histogram first (bounded by the longest
+    //      doc, not the doc count), so the 4-row L grid multiplies a
+    //      histogram, never the corpus; util_micro floors once per L.
+    //      All integer; one map-side-combined pass. ----
+    Q(
+      "q194_context_length_curve",
+      """WITH t AS (SELECT
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok * c) AS BIGINT) AS total FROM h),
+        |g AS (SELECT CAST(k AS BIGINT) AS len_ctx
+        |  FROM (VALUES (128),(256),(512),(1024)) AS v(k))
+        |SELECT g.len_ctx,
+        |  CAST(sum(CASE WHEN h.n_tok > g.len_ctx THEN h.c ELSE 0 END)
+        |    AS BIGINT) AS docs_truncated,
+        |  CAST(sum(CASE WHEN h.n_tok > g.len_ctx
+        |      THEN (h.n_tok - g.len_ctx) * h.c ELSE 0 END)
+        |    AS BIGINT) AS tokens_lost,
+        |  CAST(sum(least(h.n_tok, g.len_ctx) * h.c) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(sum(least(h.n_tok, g.len_ctx) * h.c) * 1000000
+        |    // (m.n_docs * g.len_ctx) AS BIGINT) AS util_micro,
+        |  CAST((m.total + g.len_ctx - 1) // g.len_ctx AS BIGINT)
+        |    AS chunks_concat
+        |FROM h, g, m
+        |GROUP BY g.len_ctx, m.n_docs, m.total ORDER BY len_ctx""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val h = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("n_tok").agg(count(lit(1)).as("c"))
+      val m = h.agg(sum("c").as("n_docs"),
+        sum(col("n_tok") * col("c")).as("total"))
+      val grid = Seq(128L, 256L, 512L, 1024L).toDF("len_ctx")
+      h.crossJoin(broadcast(grid)).crossJoin(broadcast(m))
+        .groupBy("len_ctx", "n_docs", "total")
+        .agg(
+          sum(when(col("n_tok") > col("len_ctx"), col("c"))
+            .otherwise(0L)).cast("long").as("docs_truncated"),
+          sum(when(col("n_tok") > col("len_ctx"),
+            (col("n_tok") - col("len_ctx")) * col("c"))
+            .otherwise(0L)).cast("long").as("tokens_lost"),
+          sum(least(col("n_tok"), col("len_ctx")) * col("c"))
+            .cast("long").as("tokens_kept"))
+        .select(col("len_ctx"), col("docs_truncated"), col("tokens_lost"),
+          col("tokens_kept"),
+          expr("tokens_kept * 1000000 div (n_docs * len_ctx)")
+            .cast("long").as("util_micro"),
+          expr("(total + len_ctx - 1) div len_ctx").cast("long")
+            .as("chunks_concat"))
+        .orderBy("len_ctx")
+    },
   )
 }

@@ -877,5 +877,79 @@ object TextAnalysis {
           expr("CAST((2 * six - (n + 1) * total) * 1000000 div " +
             "(n * total) AS BIGINT)").as("gini_micro"))
     },
+
+    // ---- q193: vocabulary coverage curve — the tokenizer-size
+    //      knob-chooser: for each candidate vocab size K, what share of
+    //      the corpus unit MASS do the top-K types cover, and how much
+    //      lands out-of-vocabulary? The unit is the token TRIGRAM —
+    //      this corpus's word vocabulary is closed (31 types, coverage
+    //      trivially 1.0), while the trigram domain is open-vocabulary,
+    //      the regime the curve exists for (q58's shingle discipline).
+    //      One trigram-keyed count, ONE vocabulary-domain rank window
+    //      (q181/q153's exact route), then each K reads the cumulative
+    //      mass at rank K. The K grid joins only the rank-≤-maxK HEAD
+    //      of the vocabulary (≤16k rows against a 5-row broadcast —
+    //      bounded regardless of corpus or vocabulary size, so the
+    //      nested-loop theta join is a constant). coverage_micro
+    //      floors once per K (q146 discipline). ----
+    Q(
+      "q193_vocab_coverage_curve",
+      """WITH tri AS (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS w
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tri GROUP BY w),
+        |m AS (SELECT CAST(sum(tf) AS BIGINT) AS mass FROM tf),
+        |r AS (SELECT w, tf,
+        |    CAST(row_number() OVER (ORDER BY tf DESC, w) AS BIGINT)
+        |      AS rnk,
+        |    CAST(sum(tf) OVER (ORDER BY tf DESC, w
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM tf),
+        |g AS (SELECT CAST(k AS BIGINT) AS k_vocab
+        |  FROM (VALUES (1000),(2000),(4000),(8000),(16000)) AS v(k))
+        |SELECT g.k_vocab,
+        |  CAST(count(*) AS BIGINT) AS n_types_used,
+        |  CAST(max(r.cum) * 1000000 // m.mass AS BIGINT)
+        |    AS coverage_micro,
+        |  CAST(m.mass - max(r.cum) AS BIGINT) AS oov_mass
+        |FROM g, r, m
+        |WHERE r.rnk <= g.k_vocab
+        |GROUP BY g.k_vocab, m.mass ORDER BY k_vocab""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val maxK = 16000L
+      val tri = Tables.documentsSpread(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("w"))
+      val tf = tri.groupBy("w").agg(count(lit(1)).as("tf"))
+      val m = tf.agg(sum("tf").as("mass"))
+      val w = Window.orderBy(col("tf").desc, col("w"))
+      // vocabulary-domain rank window (exact route), then keep only the
+      // head the K grid can reference
+      val r = tf
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("tf").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rnk") <= maxK)
+      val grid = Seq(1000L, 2000L, 4000L, 8000L, 16000L).toDF("k_vocab")
+      r.join(broadcast(grid), col("rnk") <= col("k_vocab"))
+        .crossJoin(broadcast(m))
+        .groupBy("k_vocab", "mass")
+        .agg(count(lit(1)).as("n_types_used"),
+          max("cum").as("maxcum"))
+        .select(col("k_vocab"), col("n_types_used"),
+          expr("maxcum * 1000000 div mass").cast("long")
+            .as("coverage_micro"),
+          (col("mass") - col("maxcum")).cast("long").as("oov_mass"))
+        .orderBy("k_vocab")
+    },
   )
 }
