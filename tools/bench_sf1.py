@@ -10,7 +10,12 @@ JVMs: heavy queries run alone, the rest in small groups, one JSON
 merged at the end. The per-round driver bench at sf0.1 keeps the
 single-JVM protocol (contamination there is bounded - see BENCH notes).
 
-Usage: python3 tools/bench_sf1.py [sfDir] [outJson]
+Usage: python3 tools/bench_sf1.py [sfDir] [outJson] [reps] [onlyPrefixes]
+
+With onlyPrefixes (comma-separated name prefixes), runs just those
+queries and MERGES their timings into an existing outJson (keeping the
+other entries) - the incremental path for benching newly added queries
+without re-running the whole registry.
 """
 import json, subprocess, sys, os
 
@@ -19,6 +24,7 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_SF1.json"
 # round-8 (round-7 verdict item 4): reps=1 at sf1 was the single-run
 # trap the sf0.1 harness documents; default to 3-rep medians
 REPS = sys.argv[3] if len(sys.argv) > 3 else "3"
+ONLY = sys.argv[4].split(",") if len(sys.argv) > 4 else None
 CP = "target/scala-2.13/classes:/opt/spark/jars/*"
 
 names = subprocess.run(
@@ -26,6 +32,8 @@ names = subprocess.run(
 if names.returncode != 0:
     sys.exit("graft.Names failed: " + names.stderr[-500:])
 all_q = [n for n in names.stdout.split() if n.startswith("q")]
+if ONLY:
+    all_q = [n for n in all_q if any(n.startswith(p) for p in ONLY)]
 
 # known-heavy at sf1: isolate each in its own JVM
 SOLO = {"q109_incremental_minhash", "q28_jaccard_pairs", "q75_containment",
@@ -67,6 +75,11 @@ for g in groups:
     total += rec["value"]
     print(f"chunk {g[0]}..({len(g)}): {rec['value']:.1f} s")
 
+if ONLY and os.path.exists(OUT):
+    prev = json.load(open(OUT))
+    prev["queries"].update(merged)
+    merged = prev["queries"]
+    total = sum(merged.values())
 out = {"metric": "total", "value": total, "unit": "sec",
        "queries": merged, "sf": SF, "load_start": load_start,
        "protocol": f"chunked fresh JVMs (heavy solo), reps={REPS}, medians"}
