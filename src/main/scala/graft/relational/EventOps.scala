@@ -1617,5 +1617,74 @@ object EventOps {
             .otherwise("interpolated").as("source"))
         .orderBy("event_type", "h")
     },
+
+    // ---- q197: Mann–Kendall trend test + Theil–Sen slope — the
+    //      non-parametric "is this metric trending" primitive
+    //      (Mann 1945, Kendall's tau-b numerator; Theil 1950 / Sen
+    //      1968 — public literature), q161's complement: the
+    //      changepoint finds WHERE a level shifts, this asks whether a
+    //      monotone drift exists at all, robust to outliers a
+    //      least-squares slope would chase. The corpus folds to the
+    //      DAY domain first (one grouped count), so the pairwise pass
+    //      is span², never event². S = Σ sign(n_j − n_i) is exact
+    //      integer; the Theil–Sen slope is the lower-median of the
+    //      pairwise slopes, each ONE IEEE division of identical
+    //      integer operands — deliberately NOT integer-divided:
+    //      slopes are routinely negative and `div`/`//` disagree on
+    //      negative floors across engines (the q191 rule). Median by
+    //      row_number with a deterministic (slope, i, j) tie-break on
+    //      the day-pair domain. ----
+    Q(
+      "q197_trend_test",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |d AS (SELECT CAST(day - d0.d0 AS BIGINT) AS di, n
+        |  FROM daily, d0),
+        |p AS (SELECT a.di AS i, b.di AS j, a.n AS ni, b.n AS nj
+        |  FROM d a JOIN d b ON a.di < b.di),
+        |sgn AS (SELECT CAST(sum(CASE WHEN nj > ni THEN 1
+        |      WHEN nj < ni THEN -1 ELSE 0 END) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |r AS (SELECT CAST(nj - ni AS DOUBLE) / (j - i) AS slope,
+        |    row_number() OVER (ORDER BY
+        |      CAST(nj - ni AS DOUBLE) / (j - i), i, j) AS rn
+        |  FROM p),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+        |SELECT sgn.s AS mk_s, nd.n_days, sgn.n_pairs,
+        |  r.slope AS theil_sen_slope
+        |FROM sgn, nd, r WHERE r.rn = (sgn.n_pairs + 1) // 2""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val d0 = daily.agg(min("day").as("d0"))
+      val dd = graft.Caches.persist(daily.crossJoin(broadcast(d0))
+        .select(datediff(col("day"), col("d0")).cast("long").as("di"),
+          col("n")))
+      // day-pair domain: span² rows, never event²
+      val p = graft.Caches.persist(dd.select(col("di").as("i"),
+          col("n").as("ni"))
+        .join(dd.select(col("di").as("j"), col("n").as("nj")),
+          col("i") < col("j")))
+      val sgn = p.agg(
+        sum(when(col("nj") > col("ni"), 1L)
+          .when(col("nj") < col("ni"), -1L).otherwise(0L)).cast("long")
+          .as("mk_s"),
+        count(lit(1)).as("n_pairs"))
+      val slope = (col("nj") - col("ni")).cast("double") /
+        (col("j") - col("i"))
+      val r = p.select(slope.as("slope"), col("i"), col("j"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("slope"), col("i"),
+            col("j"))))
+      val nd = dd.agg(count(lit(1)).as("n_days"))
+      r.crossJoin(broadcast(sgn)).crossJoin(broadcast(nd))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("mk_s"), col("n_days"), col("n_pairs"),
+          col("slope").as("theil_sen_slope"))
+    },
   )
 }

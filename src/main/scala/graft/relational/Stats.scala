@@ -953,5 +953,150 @@ object Stats {
           (col("p_o_micro") - col("p_e_micro")).cast("double") /
             (lit(1000000L) - col("p_e_micro")))
     },
+
+    // ---- q195: join-size estimation audit — q146's selectivity
+    //      discipline lifted to TWO tables: estimate
+    //      |events ⋈ orders ON user_id = o_custkey| (both sides
+    //      multi-row per key — a genuine m:n join) from 16 equi-width
+    //      key-range buckets per side under the per-bucket containment
+    //      assumption est_b = n_A·n_B / max(d_A, d_B), and audit it
+    //      against the EXACT size Σ_k f_A(k)·f_B(k) — computed from the
+    //      two per-key count tables joined on key, never by expanding
+    //      the join (the count-then-join shape that makes the exact
+    //      answer as cheap as the estimate at any scale). Bucketing is
+    //      pure integer ((k−mn)·16 div span — no float width), one
+    //      floor per bucket (q146 rule); the estimator a planner would
+    //      consult before choosing the join strategy, validated in the
+    //      same plan because an unvalidated estimator is how 100 TB
+    //      joins go 100× over budget. ----
+    Q(
+      "q195_join_size_estimate",
+      """WITH ek AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS f
+        |  FROM events GROUP BY 1),
+        |ok AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+        |  FROM orders GROUP BY 1),
+        |mm AS (SELECT min(k) AS mn, max(k) AS mx FROM
+        |  (SELECT k FROM ek UNION ALL SELECT k FROM ok)),
+        |eb AS (SELECT (k - mm.mn) * 16 // (mm.mx - mm.mn + 1) AS b,
+        |    CAST(sum(f) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+        |  FROM ek, mm GROUP BY 1),
+        |ob AS (SELECT (k - mm.mn) * 16 // (mm.mx - mm.mn + 1) AS b,
+        |    CAST(sum(f) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+        |  FROM ok, mm GROUP BY 1),
+        |est AS (SELECT CAST(coalesce(sum(e.n * o.n //
+        |      (CASE WHEN e.d > o.d THEN e.d ELSE o.d END)), 0)
+        |    AS BIGINT) AS est_rows
+        |  FROM eb e JOIN ob o ON e.b = o.b),
+        |act AS (SELECT CAST(coalesce(sum(e.f * o.f), 0) AS BIGINT)
+        |    AS actual_rows
+        |  FROM ek e JOIN ok o ON e.k = o.k)
+        |SELECT est.est_rows, act.actual_rows,
+        |  abs(est.est_rows - act.actual_rows) AS abs_err,
+        |  CAST(est.est_rows * 1000000 // act.actual_rows AS BIGINT)
+        |    AS est_ratio_micro
+        |FROM est, act""".stripMargin,
+    ) { (s, d) =>
+      val ek = graft.Caches.persist(Tables.events(s, d)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("f")))
+      val ok = graft.Caches.persist(Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("f")))
+      val mm = ek.select("k").unionAll(ok.select("k"))
+        .agg(min("k").as("mn"), max("k").as("mx"))
+      def bucketed(t: org.apache.spark.sql.DataFrame) =
+        t.crossJoin(broadcast(mm))
+          .groupBy(expr("(k - mn) * 16 div (mx - mn + 1)").as("b"))
+          .agg(sum("f").as("n"), count(lit(1)).as("d"))
+      val est = bucketed(ek).as("e")
+        .join(bucketed(ok).as("o"), "b")
+        .agg(coalesce(sum(expr(
+          "e.n * o.n div (CASE WHEN e.d > o.d THEN e.d ELSE o.d END)")),
+          lit(0L)).cast("long").as("est_rows"))
+      val act = ek.as("e").join(ok.as("o"), "k")
+        .agg(coalesce(sum(expr("e.f * o.f")), lit(0L)).cast("long")
+          .as("actual_rows"))
+      est.crossJoin(broadcast(act))
+        .select(col("est_rows"), col("actual_rows"),
+          abs(col("est_rows") - col("actual_rows")).as("abs_err"),
+          expr("est_rows * 1000000 div actual_rows").cast("long")
+            .as("est_ratio_micro"))
+    },
+
+    // ---- q196: Poisson-bootstrap confidence interval — the
+    //      distributed bootstrap (each row draws an independent
+    //      Poisson(1) replication weight per replica, so no replica
+    //      ever needs a global resample pass — the shape production
+    //      systems use because the classical bootstrap's sample-with-
+    //      replacement is inherently serial). 32 replicas of the mean
+    //      tokens-per-doc statistic; weights are md5-derived (q50's
+    //      engine-stable discipline — never rand()) through the exact
+    //      Poisson(1) inverse CDF in micro units (cumulative
+    //      probabilities as integer literals, tail capped at 8). CI =
+    //      the rank-1 / rank-31 replica means (floor-rank 2.5%/97.5%
+    //      convention, deterministic (mean, replica) tie-break). One
+    //      corpus pass × 32 map-side — partial aggregation collapses
+    //      to 32 rows before any shuffle. The md5-uniform is 24 bits
+    //      mod 10^6 (≈4.6% step bias at the cut — fine for replica
+    //      weights, documented rather than hidden). ----
+    Q(
+      "q196_bootstrap_ci",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT b.b, t.n_tok,
+        |    CAST(('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)||'#'||
+        |      CAST(b.b AS VARCHAR)),1,6)) AS BIGINT) % 1000000 AS u
+        |  FROM t, (SELECT unnest(range(0,32)) AS b) b),
+        |w AS (SELECT b, n_tok,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |      WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+        |      ELSE 8 END AS wt
+        |  FROM r),
+        |m AS (SELECT b,
+        |    CAST(sum(wt * n_tok) * 1000000 // sum(wt) AS BIGINT)
+        |      AS mean_micro
+        |  FROM w GROUP BY b),
+        |o AS (SELECT mean_micro,
+        |    row_number() OVER (ORDER BY mean_micro, b) AS rn FROM m),
+        |pt AS (SELECT CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
+        |    AS point_micro FROM t)
+        |SELECT pt.point_micro,
+        |  (SELECT mean_micro FROM o WHERE rn = 1) AS lo_micro,
+        |  (SELECT mean_micro FROM o WHERE rn = 31) AS hi_micro,
+        |  CAST(32 AS BIGINT) AS n_replicas
+        |FROM pt""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val r = t.select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#"), col("b").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 1000000)
+      val w = r.withColumn("wt",
+        when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+          .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+          .when(col("u") < 996340, 4L).when(col("u") < 999406, 5L)
+          .when(col("u") < 999917, 6L).when(col("u") < 999990, 7L)
+          .otherwise(8L))
+      val m = graft.Caches.persist(w.groupBy("b")
+        .agg(expr("sum(wt * n_tok) * 1000000 div sum(wt)").cast("long")
+          .as("mean_micro")))
+      // 32-row replica domain: the unpartitioned window is metadata-sized
+      val o = m.withColumn("rn",
+        row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
+      val pt = t.agg(expr("sum(n_tok) * 1000000 div count(*)")
+        .cast("long").as("point_micro"))
+      pt.crossJoin(broadcast(
+          o.filter(col("rn") === 1).select(col("mean_micro").as("lo_micro"))))
+        .crossJoin(broadcast(
+          o.filter(col("rn") === 31).select(col("mean_micro").as("hi_micro"))))
+        .select(col("point_micro"), col("lo_micro"), col("hi_micro"),
+          lit(32L).as("n_replicas"))
+    },
   )
 }
