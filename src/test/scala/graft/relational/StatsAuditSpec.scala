@@ -1,0 +1,101 @@
+package graft.relational
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Independent re-computations for the round-8 audit queries. The
+  * DuckDB oracle proves Spark ≡ DuckDB on the same SQL rendering; these
+  * pins prove the rendering computes the intended MATH, via a second
+  * path that shares no plan shape with the query:
+  *  - q195's "actual" is checked against the physically expanded join
+  *    (the thing the count-then-join shape exists to avoid);
+  *  - q196's replica means/CI against a from-scratch driver-side md5 →
+  *    Poisson-CDF → weighted-mean reimplementation;
+  *  - q197's S / n_pairs / Theil–Sen median against brute-force pair
+  *    enumeration over the collected daily counts. */
+class StatsAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q195: 'actual_rows' equals the truly expanded join; derived columns consistent") {
+    val row = run("q195_join_size_estimate").collect().head
+    val est = row.getAs[Long]("est_rows")
+    val act = row.getAs[Long]("actual_rows")
+    val expanded = Tables.events(spark, sf).select(col("user_id"))
+      .join(Tables.orders(spark, sf).select(col("o_custkey")),
+        col("user_id") === col("o_custkey")).count()
+    assert(act == expanded,
+      s"count-then-join ($act) must equal expand-then-count ($expanded)")
+    assert(row.getAs[Long]("abs_err") == math.abs(est - act))
+    assert(row.getAs[Long]("est_ratio_micro") ==
+      Math.floorDiv(est * 1000000L, act))
+    // the estimator must be useful, not just well-formed: on the
+    // near-uniform fixture keyspace the containment assumption holds
+    // to well within 2× (measured ~1.03 at sf0.01)
+    assert(est > act / 2 && est < act * 2,
+      s"estimate $est implausibly far from actual $act on a uniform fixture")
+  }
+
+  test("q196: point/replica means/CI reproduce a from-scratch reimplementation") {
+    val row = run("q196_bootstrap_ci").collect().head
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      // split with limit -1: Spark's split / DuckDB's string_split keep
+      // trailing empty fields; Scala's 1-arg split drops them
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val point = Math.floorDiv(docs.map(_._2).sum * 1000000L, docs.length.toLong)
+    assert(row.getAs[Long]("point_micro") == point)
+    def uniform(doc: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc#$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val cdf = Array(367879L, 735759L, 919699L, 981012L,
+      996340L, 999406L, 999917L, 999990L)
+    def weight(u: Long): Long = {
+      val i = cdf.indexWhere(u < _); if (i < 0) 8L else i.toLong
+    }
+    val means = (0 until 32).map { b =>
+      val (sw, swx) = docs.foldLeft((0L, 0L)) { case ((sw, swx), (id, x)) =>
+        val w = weight(uniform(id, b)); (sw + w, swx + w * x)
+      }
+      assert(sw > 0, s"replica $b drew all-zero weights on a 60-doc fixture")
+      (Math.floorDiv(swx * 1000000L, sw), b)
+    }.sorted
+    assert(row.getAs[Long]("lo_micro") == means.head._1)
+    assert(row.getAs[Long]("hi_micro") == means(30)._1)
+    assert(means.head._1 < means(30)._1,
+      "degenerate fixture: zero-width CI proves nothing")
+    assert(means.head._1 <= point && point <= means(30)._1,
+      "bootstrap CI should bracket the point estimate on this fixture")
+  }
+
+  test("q197: S, n_pairs, n_days, Theil–Sen median match brute-force pair enumeration") {
+    val row = run("q197_trend_test").collect().head
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val d0 = daily.map(_._1).min
+    val d = daily.map { case (day, n) => (day - d0, n) }.sortBy(_._1)
+    assert(d.length >= 3, "fixture too small to exercise the pair pass")
+    val pairs = for {
+      (i, ni) <- d.toSeq; (j, nj) <- d.toSeq if i < j
+    } yield (i, ni, j, nj)
+    val s = pairs.map { case (_, ni, _, nj) =>
+      java.lang.Long.signum(nj - ni).toLong }.sum
+    val nPairs = pairs.length.toLong
+    assert(nPairs == d.length.toLong * (d.length - 1) / 2)
+    // same tie-break, same single IEEE division as the plan
+    val slopes = pairs
+      .map { case (i, ni, j, nj) => ((nj - ni).toDouble / (j - i), i, j) }
+      .sortBy(identity)
+    val median = slopes(((nPairs + 1) / 2 - 1).toInt)._1
+    assert(row.getAs[Long]("mk_s") == s)
+    assert(row.getAs[Long]("n_days") == d.length.toLong)
+    assert(row.getAs[Long]("n_pairs") == nPairs)
+    assert(row.getAs[Double]("theil_sen_slope") == median,
+      "lower-median slope must match bit-exactly (identical IEEE division)")
+  }
+}
