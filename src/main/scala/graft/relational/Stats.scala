@@ -1036,7 +1036,12 @@ object Stats {
     //      corpus pass × 32 map-side — partial aggregation collapses
     //      to 32 rows before any shuffle. The md5-uniform is 24 bits
     //      mod 10^6 (≈4.6% step bias at the cut — fine for replica
-    //      weights, documented rather than hidden). ----
+    //      weights, documented rather than hidden). Oracle joins the
+    //      rank-1/rank-31 rows as derived TABLES, not scalar
+    //      subqueries: on an empty corpus both engines then emit 0
+    //      rows (a scalar subquery would emit a NULL row in DuckDB
+    //      while the plan's crossJoin of an empty broadcast emits
+    //      none — the q160/q146 degenerate-input rule). ----
     Q(
       "q196_bootstrap_ci",
       """WITH t AS (SELECT doc_id,
@@ -1061,11 +1066,11 @@ object Stats {
         |    row_number() OVER (ORDER BY mean_micro, b) AS rn FROM m),
         |pt AS (SELECT CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
         |    AS point_micro FROM t)
-        |SELECT pt.point_micro,
-        |  (SELECT mean_micro FROM o WHERE rn = 1) AS lo_micro,
-        |  (SELECT mean_micro FROM o WHERE rn = 31) AS hi_micro,
+        |SELECT pt.point_micro, lo.lo_micro, hi.hi_micro,
         |  CAST(32 AS BIGINT) AS n_replicas
-        |FROM pt""".stripMargin,
+        |FROM pt,
+        |  (SELECT mean_micro AS lo_micro FROM o WHERE rn = 1) lo,
+        |  (SELECT mean_micro AS hi_micro FROM o WHERE rn = 31) hi""".stripMargin,
     ) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, d)

@@ -619,4 +619,40 @@ class PlanSpec extends SparkSpec {
       "token counting must map-side combine before its exchange")
     assert(p.contains("Window"))
   }
+
+  test("q195: per-key counts persist and feed estimate AND exact; join never expands") {
+    val p = planOf(SparkEntry.queries("q195_join_size_estimate")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row min/max and act scalars may cross-join, as broadcasts")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "ek/ok per-key count tables must persist — each feeds the key-range " +
+        "scan, its bucket histogram, and the exact count-then-join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-key counting must map-side combine before its exchange")
+  }
+
+  test("q196: one corpus pass collapses to 32 replica rows before the rank window") {
+    val p = planOf(SparkEntry.queries("q196_bootstrap_ci")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "lo/hi scalar legs must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "replica weighted sums must partial-aggregate map-side — the " +
+        "exchange carries 32·partitions rows, never the exploded corpus")
+    assert(p.contains("Window"),
+      "the unpartitioned rank window sits on the 32-row replica domain")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "replica means persist once and feed both the rank-1 and rank-31 legs")
+  }
+
+  test("q197: events fold to the day domain before the pairwise theta join") {
+    val p = planOf(SparkEntry.queries("q197_trend_test")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the daily count must map-side combine — the pair join sees the " +
+        "span-sized fold, never raw events")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "the day fold persists (feeds both join legs); the pair table " +
+        "persists (feeds S, the slope ranks, and n_days)")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle survives the day-domain fold")
+  }
 }
