@@ -576,5 +576,79 @@ object Hygiene {
             .as("checksum"))
         .orderBy("lang")
     },
+
+    // ---- q198: Kolmogorov–Smirnov two-sample test between the q50
+    //      md5 train/test splits over the doc-LENGTH distribution —
+    //      the continuous complement to q79 (term-level df drift) and
+    //      q162 (categorical χ²): did the split preserve the length
+    //      distribution, or did hashing luck hand the test split the
+    //      long tail? Exact in cross-multiplied integer units: the KS
+    //      statistic is max_v |c_tr(v)·n_te − c_te(v)·n_tr| / (n_tr·
+    //      n_te), so the argmax and the max are computed entirely in
+    //      BIGINT — no float ECDFs whose rounding could flip the
+    //      argmax between engines. The corpus folds to the length
+    //      domain first (one grouped count, bounded by the longest
+    //      doc); the cumulative window and everything after run on
+    //      that collapsed domain — the q153 discipline. Exactness
+    //      envelope: cross-multiplied units need n_tr·n_te < 2⁶³
+    //      (~3·10⁹ docs per side); a KS test is statistically
+    //      saturated long before that, so the 100 TB route is a
+    //      bounded per-split sample feeding this same plan. Argmax
+    //      tie-break: smallest length achieving the max. ----
+    Q(
+      "q198_ks_split_drift",
+      s"""WITH b AS (SELECT n_chars AS v, $SqlBucket AS bucket
+        |  FROM documents),
+        |f AS (SELECT v,
+        |    CAST(count(CASE WHEN bucket < 8 THEN 1 END) AS BIGINT)
+        |      AS f_tr,
+        |    CAST(count(CASE WHEN bucket = 9 THEN 1 END) AS BIGINT)
+        |      AS f_te
+        |  FROM b WHERE bucket < 8 OR bucket = 9 GROUP BY 1),
+        |n AS (SELECT CAST(coalesce(sum(f_tr), 0) AS BIGINT) AS n_tr,
+        |    CAST(coalesce(sum(f_te), 0) AS BIGINT) AS n_te FROM f),
+        |c AS (SELECT v,
+        |    CAST(sum(f_tr) OVER (ORDER BY v) AS BIGINT) AS c_tr,
+        |    CAST(sum(f_te) OVER (ORDER BY v) AS BIGINT) AS c_te
+        |  FROM f),
+        |d AS (SELECT c.v,
+        |    abs(c.c_tr * n.n_te - c.c_te * n.n_tr) AS dnum FROM c, n),
+        |m AS (SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM d),
+        |am AS (SELECT CAST(min(d.v) AS BIGINT) AS at_value
+        |  FROM d, m WHERE d.dnum = m.d_num)
+        |SELECT CAST(m.d_num * 1000000 // (n.n_tr * n.n_te) AS BIGINT)
+        |    AS ks_micro,
+        |  m.d_num, am.at_value, n.n_tr AS n_train, n.n_te AS n_test
+        |FROM m, n, am""".stripMargin,
+    ) { (s, d) =>
+      val b = Tables.documents(s, d)
+        .select(col("n_chars").as("v"), bucket.as("bucket"))
+      val f = graft.Caches.persist(
+        b.filter(col("bucket") < 8 || col("bucket") === 9)
+          .groupBy("v")
+          .agg(count(when(col("bucket") < 8, 1)).as("f_tr"),
+            count(when(col("bucket") === 9, 1)).as("f_te")))
+      val n = f.agg(
+        coalesce(sum("f_tr"), lit(0L)).cast("long").as("n_tr"),
+        coalesce(sum("f_te"), lit(0L)).cast("long").as("n_te"))
+      // length-domain cumulative: the unpartitioned window runs on the
+      // collapsed value domain, never the corpus
+      val c = f.select(col("v"),
+        sum("f_tr").over(Window.orderBy("v")).cast("long").as("c_tr"),
+        sum("f_te").over(Window.orderBy("v")).cast("long").as("c_te"))
+      val dd = graft.Caches.persist(c.crossJoin(broadcast(n))
+        .select(col("v"),
+          abs(col("c_tr") * col("n_te") - col("c_te") * col("n_tr"))
+            .as("dnum")))
+      val m = dd.agg(max("dnum").cast("long").as("d_num"))
+      val am = dd.join(broadcast(m), col("dnum") === col("d_num"))
+        .agg(min("v").cast("long").as("at_value"))
+      m.crossJoin(broadcast(n)).crossJoin(broadcast(am))
+        .select(
+          expr("d_num * 1000000 div (n_tr * n_te)").cast("long")
+            .as("ks_micro"),
+          col("d_num"), col("at_value"),
+          col("n_tr").as("n_train"), col("n_te").as("n_test"))
+    },
   )
 }

@@ -1103,5 +1103,60 @@ object Stats {
         .select(col("point_micro"), col("lo_micro"), col("hi_micro"),
           lit(32L).as("n_replicas"))
     },
+
+    // ---- q199: leave-one-source-out influence — the data-ablation
+    //      primitive: for each source, the corpus mean doc length with
+    //      that source REMOVED, and its delta from the full mean. The
+    //      question a curation run asks before dropping or downweighting
+    //      a source ("which source is dragging the metric, and by how
+    //      much"), answered without G re-aggregations: one grouped pass
+    //      folds the corpus to (source, n_g, Σ_g), the LOO mean for
+    //      every source is then pure arithmetic against the broadcast
+    //      totals — the jackknife identity θ₋g = (S−S_g)/(N−n_g).
+    //      Micro means use the overflow-safe two-step split
+    //      s div n · 10⁶ + (s mod n) · 10⁶ div n — exact floor(s·10⁶/n)
+    //      without the s·10⁶ product, so a 100 TB character sum cannot
+    //      overflow BIGINT (the envelope is n < 2⁶³/10⁶ docs, not
+    //      Σchars < 2⁶³/10⁶). Single-source degenerate: N−n_g = 0 →
+    //      NULL in both engines (non-ANSI div/mod by zero). ----
+    Q(
+      "q199_source_influence",
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_g
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s FROM g),
+        |x AS (SELECT g.source, g.n_g,
+        |    t.s // t.n * 1000000 + t.s % t.n * 1000000 // t.n
+        |      AS full_mean_micro,
+        |    (t.s - g.s_g) // (t.n - g.n_g) * 1000000
+        |      + (t.s - g.s_g) % (t.n - g.n_g) * 1000000 // (t.n - g.n_g)
+        |      AS loo_mean_micro
+        |  FROM g, t)
+        |SELECT source, n_g,
+        |  CAST(full_mean_micro AS BIGINT) AS full_mean_micro,
+        |  CAST(loo_mean_micro AS BIGINT) AS loo_mean_micro,
+        |  CAST(loo_mean_micro - full_mean_micro AS BIGINT) AS delta_micro
+        |FROM x ORDER BY source""".stripMargin,
+    ) { (s, d) =>
+      // persisted: the source fold feeds both the totals and the final
+      // per-source arithmetic — one corpus scan, not two
+      val g = graft.Caches.persist(
+        Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_g"),
+            sum("n_chars").cast("long").as("s_g")))
+      val t = g.agg(sum("n_g").cast("long").as("n"),
+        sum("s_g").cast("long").as("s"))
+      g.crossJoin(broadcast(t))
+        .select(col("source"), col("n_g"),
+          expr("s div n * 1000000 + s % n * 1000000 div n")
+            .cast("long").as("full_mean_micro"),
+          expr("(s - s_g) div (n - n_g) * 1000000 + " +
+            "(s - s_g) % (n - n_g) * 1000000 div (n - n_g)")
+            .cast("long").as("loo_mean_micro"))
+        .withColumn("delta_micro",
+          (col("loo_mean_micro") - col("full_mean_micro")).cast("long"))
+        .orderBy("source")
+    },
   )
 }

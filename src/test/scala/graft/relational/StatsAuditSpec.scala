@@ -98,4 +98,55 @@ class StatsAuditSpec extends SparkSpec {
     assert(row.getAs[Double]("theil_sen_slope") == median,
       "lower-median slope must match bit-exactly (identical IEEE division)")
   }
+
+  test("q198: KS statistic and argmax match brute-force ECDF comparison") {
+    val row = run("q198_ks_split_drift").collect().head
+    def bucket(doc: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(doc.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (bucket(r.getLong(0)), r.getLong(1)))
+    val tr = docs.collect { case (b, v) if b < 8 => v }.sorted
+    val te = docs.collect { case (b, v) if b == 9 => v }.sorted
+    assert(tr.length > 10 && te.length > 3, "split fixture too thin")
+    val (dNum, atValue) = (tr ++ te).distinct.sorted.map { v =>
+      val diff = math.abs(
+        tr.count(_ <= v).toLong * te.length -
+          te.count(_ <= v).toLong * tr.length)
+      (diff, v)
+    }.maxBy { case (diff, v) => (diff, -v) } // max diff, smallest v
+    assert(row.getAs[Long]("d_num") == dNum)
+    assert(row.getAs[Long]("at_value") == atValue)
+    assert(row.getAs[Long]("n_train") == tr.length.toLong)
+    assert(row.getAs[Long]("n_test") == te.length.toLong)
+    assert(row.getAs[Long]("ks_micro") ==
+      Math.floorDiv(dNum * 1000000L, tr.length.toLong * te.length))
+  }
+
+  test("q199: two-step micro division ≡ exact floor(s·10⁶/n); jackknife identity holds") {
+    val rows = run("q199_source_influence").collect()
+    val g = Tables.documents(spark, sf).select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    val n = g.values.map(_._1).sum
+    val s = g.values.map(_._2).sum
+    def microMean(sum: Long, cnt: Long): Long =
+      ((BigInt(sum) * 1000000) / BigInt(cnt)).toLong // the direct product form
+    assert(rows.length == g.size)
+    rows.foreach { r =>
+      val (nG, sG) = g(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_g") == nG)
+      assert(r.getAs[Long]("full_mean_micro") == microMean(s, n),
+        "overflow-safe split must equal the direct BigInt product")
+      assert(r.getAs[Long]("loo_mean_micro") == microMean(s - sG, n - nG))
+      assert(r.getAs[Long]("delta_micro") ==
+        microMean(s - sG, n - nG) - microMean(s, n))
+    }
+    // the fixture must actually discriminate: some source moves the mean
+    assert(rows.exists(_.getAs[Long]("delta_micro") != 0L))
+  }
 }
