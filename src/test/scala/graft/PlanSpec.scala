@@ -644,6 +644,29 @@ class PlanSpec extends SparkSpec {
       "replica means persist once and feed both the rank-1 and rank-31 legs")
   }
 
+  test("q198: one split-filtered fold feeds sizes, ECDFs, and the argmax probe") {
+    val p = planOf(SparkEntry.queries("q198_ks_split_drift")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "the length-domain fold persists (sizes + cumulative window) and " +
+        "the diff table persists (max + argmax legs)")
+    assert(!p.contains("CartesianProduct"),
+      "the split-size scalars must broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      "the argmax probe equi-joins the broadcast 1-row max")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-length counting must map-side combine before its exchange")
+  }
+
+  test("q199: one source fold; totals broadcast; no per-source re-aggregation") {
+    val p = planOf(SparkEntry.queries("q199_source_influence")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "the (source, n, sum) fold persists and feeds totals AND the LOO math")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the source fold must map-side combine")
+  }
+
   test("q197: events fold to the day domain before the pairwise theta join") {
     val p = planOf(SparkEntry.queries("q197_trend_test")(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
