@@ -591,9 +591,12 @@ object Hygiene {
     //      doc); the cumulative window and everything after run on
     //      that collapsed domain — the q153 discipline. Exactness
     //      envelope: cross-multiplied units need n_tr·n_te < 2⁶³
-    //      (~3·10⁹ docs per side); a KS test is statistically
-    //      saturated long before that, so the 100 TB route is a
-    //      bounded per-split sample feeding this same plan. Argmax
+    //      (~3·10⁹ docs per side) for d_num/argmax, and the tighter
+    //      n_tr·n_te < 2⁶³/10⁶ for the normalized ks_micro (its
+    //      numerator is already < its denominator, so the q199
+    //      two-step split cannot widen it); a KS test is statistically
+    //      saturated long before either bound, so the 100 TB route is
+    //      a bounded per-split sample feeding this same plan. Argmax
     //      tie-break: smallest length achieving the max. ----
     Q(
       "q198_ks_split_drift",

@@ -968,7 +968,9 @@ object Stats {
     //      floor per bucket (q146 rule); the estimator a planner would
     //      consult before choosing the join strategy, validated in the
     //      same plan because an unvalidated estimator is how 100 TB
-    //      joins go 100× over budget. ----
+    //      joins go 100× over budget. The ratio uses the q199
+    //      two-step micro split (exact for any est while actual ≤
+    //      2⁶³/10⁶ — est is a corpus-scale join size). ----
     Q(
       "q195_join_size_estimate",
       """WITH ek AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS f
@@ -992,8 +994,9 @@ object Stats {
         |  FROM ek e JOIN ok o ON e.k = o.k)
         |SELECT est.est_rows, act.actual_rows,
         |  abs(est.est_rows - act.actual_rows) AS abs_err,
-        |  CAST(est.est_rows * 1000000 // act.actual_rows AS BIGINT)
-        |    AS est_ratio_micro
+        |  CAST(est.est_rows // act.actual_rows * 1000000
+        |    + est.est_rows % act.actual_rows * 1000000 // act.actual_rows
+        |    AS BIGINT) AS est_ratio_micro
         |FROM est, act""".stripMargin,
     ) { (s, d) =>
       val ek = graft.Caches.persist(Tables.events(s, d)
@@ -1017,8 +1020,9 @@ object Stats {
       est.crossJoin(broadcast(act))
         .select(col("est_rows"), col("actual_rows"),
           abs(col("est_rows") - col("actual_rows")).as("abs_err"),
-          expr("est_rows * 1000000 div actual_rows").cast("long")
-            .as("est_ratio_micro"))
+          expr("est_rows div actual_rows * 1000000 + " +
+            "est_rows % actual_rows * 1000000 div actual_rows")
+            .cast("long").as("est_ratio_micro"))
     },
 
     // ---- q196: Poisson-bootstrap confidence interval — the
@@ -1041,7 +1045,11 @@ object Stats {
     //      subqueries: on an empty corpus both engines then emit 0
     //      rows (a scalar subquery would emit a NULL row in DuckDB
     //      while the plan's crossJoin of an empty broadcast emits
-    //      none — the q160/q146 degenerate-input rule). ----
+    //      none — the q160/q146 degenerate-input rule). Replica and
+    //      point means use the two-step micro split (q199): the
+    //      numerators are corpus-scale token sums, so the plain
+    //      product form would overflow at ~9·10¹² weighted tokens —
+    //      well inside a 100 TB corpus. ----
     Q(
       "q196_bootstrap_ci",
       """WITH t AS (SELECT doc_id,
@@ -1059,12 +1067,14 @@ object Stats {
         |      ELSE 8 END AS wt
         |  FROM r),
         |m AS (SELECT b,
-        |    CAST(sum(wt * n_tok) * 1000000 // sum(wt) AS BIGINT)
-        |      AS mean_micro
+        |    CAST(sum(wt * n_tok) // sum(wt) * 1000000
+        |      + sum(wt * n_tok) % sum(wt) * 1000000 // sum(wt)
+        |      AS BIGINT) AS mean_micro
         |  FROM w GROUP BY b),
         |o AS (SELECT mean_micro,
         |    row_number() OVER (ORDER BY mean_micro, b) AS rn FROM m),
-        |pt AS (SELECT CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
+        |pt AS (SELECT CAST(sum(n_tok) // count(*) * 1000000
+        |    + sum(n_tok) % count(*) * 1000000 // count(*) AS BIGINT)
         |    AS point_micro FROM t)
         |SELECT pt.point_micro, lo.lo_micro, hi.hi_micro,
         |  CAST(32 AS BIGINT) AS n_replicas
@@ -1089,12 +1099,14 @@ object Stats {
           .when(col("u") < 999917, 6L).when(col("u") < 999990, 7L)
           .otherwise(8L))
       val m = graft.Caches.persist(w.groupBy("b")
-        .agg(expr("sum(wt * n_tok) * 1000000 div sum(wt)").cast("long")
+        .agg(expr("sum(wt * n_tok) div sum(wt) * 1000000 + " +
+          "sum(wt * n_tok) % sum(wt) * 1000000 div sum(wt)").cast("long")
           .as("mean_micro")))
       // 32-row replica domain: the unpartitioned window is metadata-sized
       val o = m.withColumn("rn",
         row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
-      val pt = t.agg(expr("sum(n_tok) * 1000000 div count(*)")
+      val pt = t.agg(expr("sum(n_tok) div count(*) * 1000000 + " +
+        "sum(n_tok) % count(*) * 1000000 div count(*)")
         .cast("long").as("point_micro"))
       pt.crossJoin(broadcast(
           o.filter(col("rn") === 1).select(col("mean_micro").as("lo_micro"))))

@@ -28,8 +28,9 @@ class StatsAuditSpec extends SparkSpec {
     assert(act == expanded,
       s"count-then-join ($act) must equal expand-then-count ($expanded)")
     assert(row.getAs[Long]("abs_err") == math.abs(est - act))
+    // BigInt product = the exact floor the two-step split must equal
     assert(row.getAs[Long]("est_ratio_micro") ==
-      Math.floorDiv(est * 1000000L, act))
+      ((BigInt(est) * 1000000) / BigInt(act)).toLong)
     // the estimator must be useful, not just well-formed: on the
     // near-uniform fixture keyspace the containment assumption holds
     // to well within 2× (measured ~1.03 at sf0.01)
@@ -43,7 +44,10 @@ class StatsAuditSpec extends SparkSpec {
       // split with limit -1: Spark's split / DuckDB's string_split keep
       // trailing empty fields; Scala's 1-arg split drops them
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
-    val point = Math.floorDiv(docs.map(_._2).sum * 1000000L, docs.length.toLong)
+    // BigInt product = the exact floor the two-step split must equal
+    def microMean(sum: Long, cnt: Long): Long =
+      ((BigInt(sum) * 1000000) / BigInt(cnt)).toLong
+    val point = microMean(docs.map(_._2).sum, docs.length.toLong)
     assert(row.getAs[Long]("point_micro") == point)
     def uniform(doc: Long, b: Int): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -61,7 +65,7 @@ class StatsAuditSpec extends SparkSpec {
         val w = weight(uniform(id, b)); (sw + w, swx + w * x)
       }
       assert(sw > 0, s"replica $b drew all-zero weights on a 60-doc fixture")
-      (Math.floorDiv(swx * 1000000L, sw), b)
+      (microMean(swx, sw), b)
     }.sorted
     assert(row.getAs[Long]("lo_micro") == means.head._1)
     assert(row.getAs[Long]("hi_micro") == means(30)._1)
