@@ -1170,5 +1170,74 @@ object Stats {
           (col("loo_mean_micro") - col("full_mean_micro")).cast("long"))
         .orderBy("source")
     },
+
+    // ---- q200: split-conformal calibration — the distribution-free
+    //      anomaly threshold (Vovk et al., "Algorithmic Learning in a
+    //      Random World"; Angelopoulos & Bates tutorial — public
+    //      literature): per event type, the point predictor is the
+    //      lower median, nonconformity is |value − median|, and the
+    //      90%-coverage threshold is the k-th smallest score with the
+    //      finite-sample correction k = ⌈(n+1)·0.9⌉ — the quantity
+    //      that makes "flag if score > threshold" a guaranteed
+    //      ≤10%-false-alarm rule with NO distributional assumption,
+    //      which is why production monitors use it over z-scores
+    //      (q23's parametric analog). Float-policy-clean: both
+    //      outputs are ORDER STATISTICS — selection plus one IEEE
+    //      subtraction per score, no float summation anywhere; ranks
+    //      use a deterministic (value, event_id) tie-break; k is pure
+    //      integer (⌈(n+1)·9/10⌉ = ((n+1)·9+9) div 10). Scale: two
+    //      type-keyed window ranks — exact and fine while each type's
+    //      partition sorts in memory; past that the documented route
+    //      is q86's mergeable quantile sketch for the median and an
+    //      exactness-regime selection for the threshold. Degenerate:
+    //      a type with k > n (n < 9) emits no row — conformal's
+    //      "threshold = ∞" — identically in both engines (rank join
+    //      finds no rn = k). ----
+    Q(
+      "q200_conformal_threshold",
+      """WITH e AS (SELECT event_type AS t, event_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT t, v, row_number()
+        |    OVER (PARTITION BY t ORDER BY v, event_id) AS rn FROM e),
+        |n AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |med AS (SELECT r.t, r.v AS med
+        |  FROM r JOIN n ON r.t = n.t AND r.rn = (n.n + 1) // 2),
+        |s AS (SELECT e.t, e.event_id, abs(e.v - med.med) AS sc
+        |  FROM e JOIN med ON e.t = med.t),
+        |sr AS (SELECT t, sc, row_number()
+        |    OVER (PARTITION BY t ORDER BY sc, event_id) AS rn FROM s),
+        |k AS (SELECT n.t, n.n,
+        |    CAST(((n.n + 1) * 9 + 9) // 10 AS BIGINT) AS k FROM n)
+        |SELECT k.t AS event_type, k.n, k.k, med.med AS median_value,
+        |  sr.sc AS threshold
+        |FROM k JOIN med ON k.t = med.t
+        |  JOIN sr ON sr.t = k.t AND sr.rn = k.k
+        |ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.Caches.persist(Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("t"), col("event_id"),
+          col("value").as("v")))
+      val byV = Window.partitionBy("t").orderBy(col("v"), col("event_id"))
+      val r = e.withColumn("rn", row_number().over(byV))
+      val n = e.groupBy("t").agg(count(lit(1)).as("n"))
+      val med = r.join(broadcast(n), "t")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("t"), col("v").as("med"))
+      val sc = e.join(broadcast(med), "t")
+        .select(col("t"), col("event_id"),
+          abs(col("v") - col("med")).as("sc"))
+      val bySc = Window.partitionBy("t").orderBy(col("sc"), col("event_id"))
+      val sr = sc.withColumn("rn", row_number().over(bySc))
+        .select(col("t").as("srt"), col("sc"), col("rn"))
+      val k = n.select(col("t"), col("n"),
+        expr("((n + 1) * 9 + 9) div 10").cast("long").as("k"))
+      sr.join(broadcast(k.join(med, "t")),
+          col("srt") === col("t") && col("rn") === col("k"))
+        .select(col("t").as("event_type"), col("n"), col("k"),
+          col("med").as("median_value"), col("sc").as("threshold"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -667,6 +667,18 @@ class PlanSpec extends SparkSpec {
       "the source fold must map-side combine")
   }
 
+  test("q200: one persisted event scan; medians/thresholds join as broadcast type-domain sides") {
+    val p = planOf(SparkEntry.queries("q200_conformal_threshold")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "the filtered (type, id, value) scan persists and feeds both the " +
+        "median rank and the score pass")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type medians and k are type-domain — they broadcast, the " +
+        "corpus-sized score table never re-shuffles for them")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q197: events fold to the day domain before the pairwise theta join") {
     val p = planOf(SparkEntry.queries("q197_trend_test")(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,

@@ -153,4 +153,32 @@ class StatsAuditSpec extends SparkSpec {
     // the fixture must actually discriminate: some source moves the mean
     assert(rows.exists(_.getAs[Long]("delta_micro") != 0L))
   }
+
+  test("q200: median, k, and conformal threshold match a driver-side order-statistic recompute") {
+    val rows = run("q200_conformal_threshold").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("k"), r.getAs[Double]("median_value"),
+        r.getAs[Double]("threshold"))).sortBy(_._1)
+    val byType = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty && rows.length == byType.size)
+    rows.foreach { case (t, n, k, med, thr) =>
+      val vs = byType(t).map { case (_, id, v) => (v, id) }.sorted
+      assert(n == vs.length.toLong)
+      assert(k == ((n + 1) * 9 + 9) / 10)
+      val expectMed = vs(((n + 1) / 2 - 1).toInt)._1
+      assert(med == expectMed, s"$t: lower median")
+      val scores = byType(t)
+        .map { case (_, id, v) => (math.abs(v - expectMed), id) }.sorted
+      assert(thr == scores((k - 1).toInt)._1,
+        s"$t: k-th smallest nonconformity (bit-exact IEEE subtraction)")
+      // the guarantee the threshold exists for: at most ~10% of the
+      // calibration scores exceed it
+      val above = scores.count(_._1 > thr)
+      assert(above <= (n + 9) / 10, s"$t: coverage violated on calibration set")
+    }
+  }
 }
