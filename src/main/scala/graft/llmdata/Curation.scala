@@ -364,5 +364,98 @@ object Curation {
           col("capped"))
         .orderBy("lang")
     },
+
+    // ---- q201: facility-location greedy selection — coverage-based
+    //      diverse subset choice (Nemhauser–Wolsey–Fisher 1978: greedy
+    //      on a monotone submodular objective is (1−1/e)-optimal —
+    //      public literature), the third leg of the selection family:
+    //      q149 k-center is DISTANCE-diverse, q179 MMR is
+    //      EMBEDDING-diverse, this is COVERAGE-diverse — pick the k
+    //      docs whose union of trigram shingles covers the most
+    //      vocabulary, the "seed a new domain mix with maximally
+    //      representative exemplars" primitive. Greedy is inherently
+    //      sequential in k, so k=3 steps are UNROLLED (the q142/q151
+    //      superstep discipline): each step is one anti-join of the
+    //      persisted (doc, shingle) table against the covered set +
+    //      one doc-keyed count + one TakeOrdered argmax (gain DESC,
+    //      doc_id tie-break). The covered set is ≤ k·max-doc-shingles
+    //      rows — broadcastable at any corpus size, which is what
+    //      makes the superstep scale: the corpus-sized side never
+    //      re-shuffles. Already-selected docs vanish from later steps
+    //      by construction (all their shingles are covered ⇒ zero
+    //      anti-join rows). coverage_micro is a ratio ≤ 1 (plain
+    //      form; vocab < 2⁶³/10⁶ documented envelope). ----
+    Q(
+      "q201_facility_location",
+      """WITH tw AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS w
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t
+        |      FROM documents)
+        |    WHERE len(t) >= 3)),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tw),
+        |c1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM tw GROUP BY 1),
+        |d1 AS (SELECT doc_id, gain FROM c1
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |cov1 AS (SELECT tw.w FROM tw JOIN d1 ON tw.doc_id = d1.doc_id),
+        |c2 AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM tw t LEFT JOIN cov1 c ON t.w = c.w
+        |  WHERE c.w IS NULL GROUP BY 1),
+        |d2 AS (SELECT doc_id, gain FROM c2
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |cov2 AS (SELECT w FROM cov1
+        |  UNION SELECT tw.w FROM tw JOIN d2 ON tw.doc_id = d2.doc_id),
+        |c3 AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM tw t LEFT JOIN cov2 c ON t.w = c.w
+        |  WHERE c.w IS NULL GROUP BY 1),
+        |d3 AS (SELECT doc_id, gain FROM c3
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |sel AS (SELECT CAST(1 AS BIGINT) AS rnk, doc_id, gain FROM d1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, gain FROM d2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), doc_id, gain FROM d3)
+        |SELECT rnk, doc_id, gain,
+        |  CAST(sum(gain) OVER (ORDER BY rnk
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_cum,
+        |  v.vocab,
+        |  CAST(sum(gain) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+        |    * 1000000 // v.vocab AS BIGINT) AS coverage_micro
+        |FROM sel, v ORDER BY rnk""".stripMargin,
+    ) { (s, d) =>
+      val tw = graft.Caches.persist(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+            .as("w"))
+        .distinct())
+      val v = tw.agg(countDistinct("w").cast("long").as("vocab"))
+      def argmax(c: org.apache.spark.sql.DataFrame) =
+        c.orderBy(col("gain").desc, col("doc_id")).limit(1)
+      val d1 = argmax(tw.groupBy("doc_id").agg(count(lit(1)).as("gain")))
+      val cov1 = graft.Caches.persist(
+        tw.join(broadcast(d1.select("doc_id")), "doc_id").select("w"))
+      val d2 = argmax(tw.join(broadcast(cov1), Seq("w"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain")))
+      val cov2 = graft.Caches.persist(cov1
+        .union(tw.join(broadcast(d2.select("doc_id")), "doc_id")
+          .select("w")).distinct())
+      val d3 = argmax(tw.join(broadcast(cov2), Seq("w"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain")))
+      val sel = d1.select(lit(1L).as("rnk"), col("doc_id"), col("gain"))
+        .unionAll(d2.select(lit(2L).as("rnk"), col("doc_id"), col("gain")))
+        .unionAll(d3.select(lit(3L).as("rnk"), col("doc_id"), col("gain")))
+      // 3-row selection domain: the unpartitioned window is metadata-sized
+      sel.withColumn("covered_cum",
+          sum("gain").over(Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .crossJoin(broadcast(v))
+        .withColumn("coverage_micro",
+          expr("covered_cum * 1000000 div vocab").cast("long"))
+        .orderBy("rnk")
+    },
   )
 }
