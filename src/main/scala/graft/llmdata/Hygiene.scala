@@ -653,5 +653,70 @@ object Hygiene {
           col("d_num"), col("at_value"),
           col("n_tr").as("n_train"), col("n_te").as("n_test"))
     },
+
+    // ---- q202: per-decile quantile drift between the q50 train/test
+    //      splits — q198's KS answers IF the split moved the length
+    //      distribution; this answers WHERE: the nine decile order
+    //      statistics of each side, paired, with their integer
+    //      differences (n_chars is integral, so the whole query is
+    //      exact integers end to end — no float quantile
+    //      interpolation, which engines disagree on; rank convention
+    //      k_d = (n−1)·d div 10 + 1 with a (value, doc_id) tie-broken
+    //      total order, stated rather than inherited from any
+    //      engine's percentile default). One side-keyed window rank;
+    //      the 18-row (side, decile, k) probe table is pure arithmetic
+    //      on the 2-row side counts and equi-joins the ranks — no
+    //      re-shuffle of the corpus for the probes. An empty side
+    //      emits no rows, identically in both engines. ----
+    Q(
+      "q202_quantile_drift",
+      s"""WITH b AS (SELECT n_chars AS v, doc_id,
+        |    $SqlBucket AS bucket FROM documents),
+        |s AS (SELECT CASE WHEN bucket < 8 THEN 'train' ELSE 'test' END
+        |      AS side, v, doc_id
+        |  FROM b WHERE bucket < 8 OR bucket = 9),
+        |r AS (SELECT side, v, row_number()
+        |    OVER (PARTITION BY side ORDER BY v, doc_id) AS rn FROM s),
+        |n AS (SELECT side, CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1),
+        |g AS (SELECT CAST(d AS BIGINT) AS decile FROM (VALUES
+        |    (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(d)),
+        |k AS (SELECT n.side, g.decile,
+        |    (n.n - 1) * g.decile // 10 + 1 AS k FROM n, g),
+        |q AS (SELECT k.side, k.decile, r.v
+        |  FROM k JOIN r ON r.side = k.side AND r.rn = k.k)
+        |SELECT tr.decile, CAST(tr.v AS BIGINT) AS q_train,
+        |  CAST(te.v AS BIGINT) AS q_test,
+        |  CAST(te.v - tr.v AS BIGINT) AS drift
+        |FROM (SELECT decile, v FROM q WHERE side = 'train') tr
+        |JOIN (SELECT decile, v FROM q WHERE side = 'test') te
+        |  USING (decile)
+        |ORDER BY decile""".stripMargin,
+    ) { (spk, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import spk.implicits._
+      val s = graft.Caches.persist(Tables.documents(spk, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < 8 || col("bucket") === 9)
+        .select(when(col("bucket") < 8, "train").otherwise("test")
+          .as("side"), col("n_chars").as("v"), col("doc_id")))
+      val r = s.withColumn("rn", row_number().over(
+        Window.partitionBy("side").orderBy(col("v"), col("doc_id"))))
+      val n = s.groupBy("side").agg(count(lit(1)).as("n"))
+      val g = (1L to 9L).toDF("decile")
+      val k = n.crossJoin(broadcast(g))
+        .select(col("side").as("kside"), col("decile"),
+          expr("(n - 1) * decile div 10 + 1").as("k"))
+      val q = r.join(broadcast(k),
+        col("side") === col("kside") && col("rn") === col("k"))
+        .select(col("kside").as("qside"), col("decile"), col("v"))
+      q.filter(col("qside") === "train")
+        .select(col("decile"), col("v").as("q_train"))
+        .join(q.filter(col("qside") === "test")
+          .select(col("decile"), col("v").as("q_test")), "decile")
+        .select(col("decile"), col("q_train"), col("q_test"),
+          (col("q_test") - col("q_train")).cast("long").as("drift"))
+        .orderBy("decile")
+    },
   )
 }

@@ -1686,5 +1686,126 @@ object EventOps {
         .select(col("mk_s"), col("n_days"), col("n_pairs"),
           col("slope").as("theil_sen_slope"))
     },
+
+    // ---- q203: Fano-factor burstiness per event type — the
+    //      overdispersion detector (variance/mean of the daily count;
+    //      =1 for a Poisson arrival process, >1 bursty, <1 regular),
+    //      completing the arrival-statistics family: q161 finds WHERE
+    //      the level shifts, q197 whether it drifts, this HOW bursty
+    //      it is. Day count n is the full calendar SPAN (zero days
+    //      count: they contribute x=0 to neither sum but inflate n —
+    //      exactly what makes a sparse bursty type read as bursty).
+    //      Moment sums are exact BIGINTs off the day-domain fold; the
+    //      Fano value itself follows the q119 float policy: exact
+    //      integer sums cast once to DOUBLE, one textual formula both
+    //      engines evaluate identically (every IEEE op exactly
+    //      rounded on identical inputs). Single-day types: n = 1 →
+    //      0/0 → NaN in both engines' double division. ----
+    Q(
+      "q203_fano_burstiness",
+      """WITH dd AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (SELECT t,
+        |    CAST(max(day) - min(day) AS BIGINT) + 1 AS n,
+        |    CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM dd GROUP BY 1)
+        |SELECT t AS event_type, n AS n_days, n_active, sx AS n_events,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE)) AS fano
+        |FROM agg ORDER BY event_type""".stripMargin,
+    ) { (s, d) =>
+      val dd = Tables.events(s, d)
+        .groupBy(col("event_type").as("t"),
+          col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      dd.groupBy("t")
+        .agg((datediff(max("day"), min("day")).cast("long") + 1L).as("n"),
+          count(lit(1)).as("n_active"),
+          sum("x").cast("long").as("sx"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+        .select(col("t").as("event_type"), col("n").as("n_days"),
+          col("n_active"), col("sx").as("n_events"),
+          ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / ((col("n") - 1).cast("double") * col("sx").cast("double")))
+            .as("fano"))
+        .orderBy("event_type")
+    },
+
+    // ---- q204: lag-1 autocorrelation of the daily event series —
+    //      the "is today like yesterday" number (serial dependence;
+    //      near 0 for memoryless arrivals, positive under regimes/
+    //      weekly structure), the fourth arrival-statistics primitive
+    //      after q161/q197/q203. The day series is ZERO-FILLED over
+    //      the full span first (a missing day is x=0, not a skipped
+    //      lag pair — without the fill, lag pairs silently jump gaps
+    //      and the statistic measures the storage layout, not the
+    //      process). Lag pairing is one self-join on di+1 over the
+    //      span-sized fold; moment sums exact BIGINTs; the Pearson
+    //      value follows q119: one textual double formula, sqrt is
+    //      IEEE-exactly-rounded so both engines agree bit-for-bit. ----
+    Q(
+      "q204_autocorrelation",
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM dd),
+        |days AS (SELECT unnest(range(0,
+        |    CAST(mm.d1 - mm.d0 AS BIGINT) + 1)) AS di FROM mm),
+        |o AS (SELECT CAST(day - mm.d0 AS BIGINT) AS di, x
+        |  FROM dd, mm),
+        |f AS (SELECT d.di, coalesce(o.x, 0) AS x
+        |  FROM days d LEFT JOIN o ON o.di = d.di),
+        |p AS (SELECT a.x AS x0, b.x AS x1
+        |  FROM f a JOIN f b ON b.di = a.di + 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x0) AS BIGINT) AS sx, CAST(sum(x1) AS BIGINT) AS sy,
+        |    CAST(sum(x0 * x0) AS BIGINT) AS sxx,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS syy,
+        |    CAST(sum(x0 * x1) AS BIGINT) AS sxy FROM p)
+        |SELECT n AS n_pairs,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf1
+        |FROM s""".stripMargin,
+    ) { (s, d) =>
+      val dd = graft.Caches.persist(Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x")))
+      val mm = dd.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = mm.select(explode(sequence(lit(0),
+        datediff(col("d1"), col("d0")))).as("di"))
+        .select(col("di").cast("long").as("di"))
+      val o = dd.crossJoin(broadcast(mm))
+        .select(datediff(col("day"), col("d0")).cast("long").as("di"),
+          col("x"))
+      // span-sized zero-filled series: everything below is day-domain
+      val f = graft.Caches.persist(days
+        .join(o, Seq("di"), "left")
+        .select(col("di"), coalesce(col("x"), lit(0L)).as("x")))
+      val p = f.as("a").join(f.as("b"),
+        col("b.di") === col("a.di") + 1)
+        .select(col("a.x").as("x0"), col("b.x").as("x1"))
+      p.agg(count(lit(1)).as("n"),
+          sum("x0").cast("long").as("sx"),
+          sum("x1").cast("long").as("sy"),
+          sum(col("x0") * col("x0")).cast("long").as("sxx"),
+          sum(col("x1") * col("x1")).cast("long").as("syy"),
+          sum(col("x0") * col("x1")).cast("long").as("sxy"))
+        .select(col("n").as("n_pairs"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("acf1"))
+    },
   )
 }

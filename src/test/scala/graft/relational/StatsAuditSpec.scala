@@ -154,6 +154,72 @@ class StatsAuditSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("delta_micro") != 0L))
   }
 
+  test("q202: decile order statistics match a driver-side sorted-selection recompute") {
+    val rows = run("q202_quantile_drift").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("q_train"),
+        r.getAs[Long]("q_test"), r.getAs[Long]("drift"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    def bucket(doc: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(doc.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (bucket(r.getLong(0)), r.getLong(1), r.getLong(0)))
+    def side(p: Long => Boolean) =
+      docs.collect { case (b, v, id) if p(b) => (v, id) }.sorted.map(_._1)
+    val (tr, te) = (side(_ < 8), side(_ == 9))
+    rows.foreach { case (d, qTr, qTe, drift) =>
+      val kTr = ((tr.length - 1) * d / 10).toInt // k−1, zero-based
+      val kTe = ((te.length - 1) * d / 10).toInt
+      assert(qTr == tr(kTr), s"decile $d train")
+      assert(qTe == te(kTe), s"decile $d test")
+      assert(drift == qTe - qTr)
+    }
+  }
+
+  test("q203/q204: burstiness and autocorrelation match driver-side moment recomputes") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type").as("t"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    // q203: per-type Fano over the calendar span (zero days implicit)
+    val fano = run("q203_fano_burstiness").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("fano")))
+    assert(fano.nonEmpty)
+    fano.foreach { case (t, n, sxTot, f) =>
+      val xs = daily.filter(_._1 == t)
+      val span = xs.map(_._2).max - xs.map(_._2).min + 1
+      val sx = xs.map(_._3).sum
+      val sxx = xs.map(v => v._3 * v._3).sum
+      assert(n == span && sxTot == sx)
+      val expect = (span.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) /
+        ((span - 1).toDouble * sx.toDouble)
+      assert(f == expect, s"$t: identical IEEE formula on exact sums")
+    }
+    // q204: lag-1 Pearson over the ZERO-FILLED global day series
+    val row = run("q204_autocorrelation").collect().head
+    val byDay = daily.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+    val series = (d0 to d1).map(byDay.getOrElse(_, 0L))
+    val pairs = series.zip(series.tail)
+    val n = pairs.length.toLong
+    assert(row.getAs[Long]("n_pairs") == n)
+    assert(n == d1 - d0, "zero-fill must make pairs = span − 1")
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val expect = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    assert(row.getAs[Double]("acf1") == expect,
+      "lag-1 Pearson bit-exact: same IEEE ops on identical integer sums")
+  }
+
   test("q200: median, k, and conformal threshold match a driver-side order-statistic recompute") {
     val rows = run("q200_conformal_threshold").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
