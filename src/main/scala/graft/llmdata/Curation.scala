@@ -334,10 +334,13 @@ object Curation {
         |FROM c, s ORDER BY lang""".stripMargin,
     ) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val a = Tables.documents(s, d)
+      // persisted: the language fold feeds the budget scalar, the
+      // prefix windows, AND the final allocation — one corpus
+      // tokenize, not three
+      val a = graft.Caches.persist(Tables.documents(s, d)
         .select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .groupBy("lang").agg(sum("n_tok").as("avail"))
+        .groupBy("lang").agg(sum("n_tok").as("avail")))
       val b = a.agg(expr("sum(avail) * 4 div 5").cast("long").as("budget"),
         count(lit(1)).as("n"))
       // language-domain windows: ≤|langs| rows, metadata-sized

@@ -879,13 +879,15 @@ object Stats {
           least(lit(1000000L), expr("(stop * 8000000) div nt"))
             .as("conf_micro"),
           when(col("lang") === "en", 1).otherwise(0).as("pos"))
-      val g = sc
+      // persisted: the 10-row bin fold feeds the ECE aggregate AND the
+      // output — without it the tokenize+join pipeline runs twice
+      val g = graft.Caches.persist(sc
         .groupBy(least(lit(9L), expr("conf_micro div 100000")).as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum("conf_micro").as("sum_conf"),
           sum("pos").as("n_pos"))
         .select(col("bin").cast("long"), col("n_docs"),
           expr("sum_conf div n_docs").cast("long").as("avg_conf_micro"),
-          expr("(n_pos * 1000000) div n_docs").cast("long").as("acc_micro"))
+          expr("(n_pos * 1000000) div n_docs").cast("long").as("acc_micro")))
       val e = g.agg(
         expr("sum(n_docs * abs(avg_conf_micro - acc_micro)) " +
           "div sum(n_docs)").cast("long").as("ece_micro"))
@@ -1070,7 +1072,7 @@ object Stats {
         |    CAST(sum(wt * n_tok) // sum(wt) * 1000000
         |      + sum(wt * n_tok) % sum(wt) * 1000000 // sum(wt)
         |      AS BIGINT) AS mean_micro
-        |  FROM w GROUP BY b),
+        |  FROM w GROUP BY b HAVING sum(wt) > 0),
         |o AS (SELECT mean_micro,
         |    row_number() OVER (ORDER BY mean_micro, b) AS rn FROM m),
         |pt AS (SELECT CAST(sum(n_tok) // count(*) * 1000000
@@ -1098,10 +1100,16 @@ object Stats {
           .when(col("u") < 996340, 4L).when(col("u") < 999406, 5L)
           .when(col("u") < 999917, 6L).when(col("u") < 999990, 7L)
           .otherwise(8L))
+      // HAVING sum(wt) > 0: on a 1-3 doc corpus a replica can draw
+      // all-zero weights (P = e^-n per replica); its NULL mean would
+      // rank NULLS FIRST in Spark but NULLS LAST in DuckDB — the
+      // ordering divergence is excluded rather than special-cased
       val m = graft.Caches.persist(w.groupBy("b")
         .agg(expr("sum(wt * n_tok) div sum(wt) * 1000000 + " +
           "sum(wt * n_tok) % sum(wt) * 1000000 div sum(wt)").cast("long")
-          .as("mean_micro")))
+          .as("mean_micro"),
+          sum("wt").as("swt"))
+        .filter(col("swt") > 0).select("b", "mean_micro"))
       // 32-row replica domain: the unpartitioned window is metadata-sized
       val o = m.withColumn("rn",
         row_number().over(Window.orderBy(col("mean_micro"), col("b"))))

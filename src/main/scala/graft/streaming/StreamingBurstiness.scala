@@ -18,11 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    map entry is dropped — state per type is 5 scalars plus at most
   *    `closeAfterDays + 1` open-day counts, bounded by the
   *    out-of-orderness horizon, never the stream;
-  *  - a row for an already-closed day cannot be folded (the moment
-  *    sums are not revisable), so it is COUNTED LOUDLY in
-  *    `late_dropped` — the same watermark contract as the curated
-  *    pipeline's Adjust clamp: late data is dropped visibly, never
-  *    silently absorbed into a wrong statistic.
+  *  - a row for a day whose count may already sit inside the folded
+  *    moments (between the observed minimum and the closure boundary)
+  *    cannot be folded (the sums are not revisable), so it is COUNTED
+  *    LOUDLY in `late_dropped` — the same watermark contract as the
+  *    curated pipeline's Adjust clamp: late data is dropped visibly,
+  *    never silently absorbed into a wrong statistic. A backfill that
+  *    PREDATES the observed minimum is provably unfolded and is
+  *    absorbed soundly (it widens the span, exactly as the batch
+  *    census would see it).
   *
   * Every snapshot is computed over closed + open days together, so
   * with a horizon wider than the fixture the final snapshot is
@@ -87,11 +91,16 @@ object StreamingBurstiness extends Serializable {
       // only days already folded into the scalars are irreversible. A
       // per-row moving boundary would make "late" depend on row order
       // within the batch (batching-variance), which the spec forbids.
+      // A day BEFORE the observed minimum is provably unfolded even
+      // when it sits below the boundary (it was never in the span), so
+      // a backfill that predates history is absorbed soundly; only
+      // days whose counts may already sit inside the scalars — in
+      // (minDay, boundary] — are irreversible and drop loudly.
       val foldedUpTo =
         if (prev.maxDay == Long.MinValue) Long.MinValue
         else prev.maxDay - closeAfterDays - 1
       rows.foreach { r =>
-        if (r.day <= foldedUpTo) late += 1L
+        if (r.day <= foldedUpTo && r.day >= prev.minDay) late += 1L
         else {
           open = open.updated(r.day, open.getOrElse(r.day, 0L) + 1L)
           if (r.day < mn) mn = r.day

@@ -170,17 +170,27 @@ object StreamingGovernance {
     *
     * State adds one set to the k-gate's: the distinct sensitive values
     * seen — bounded by the sensitive-value DOMAIN (for q140's order
-    * status: 3), not the stream; buffered rows stay ≤ the larger of
-    * the two thresholds' release point, reached at latest once k rows
-    * AND l values arrive. A group that never diversifies stays
-    * suppressed forever — the privacy rule, not a leak. */
+    * status: 3), not the stream. The BUFFER bound is conditional,
+    * unlike the k-gate's hard k−1: a group that has cleared k but
+    * never diversifies keeps buffering (releasing would publish the
+    * homogeneous value; dropping would silently un-suppress) — so an
+    * adversarially hot homogeneous group grows state linearly.
+    * `maxBuffered` is the loud backstop: exceeding it FAILS the query
+    * (availability lost, privacy never) instead of letting the state
+    * store grow until checkpointing dies; size it to the worst group
+    * an operator is willing to hold, e.g. 100·k. A group that never
+    * diversifies stays suppressed forever — the privacy rule, not a
+    * leak. */
   def gateDiverse(in: Dataset[SensRow], k: Int = 5, l: Int = 2,
-      stateTtl: Option[java.time.Duration] = None): Dataset[ReleasedDiverse] = {
+      stateTtl: Option[java.time.Duration] = None,
+      maxBuffered: Option[Int] = None): Dataset[ReleasedDiverse] = {
     import in.sparkSession.implicits._
     require(k >= 1, "k must be positive")
     require(l >= 1, "l must be positive")
     require(stateTtl.forall(d => !d.isNegative && !d.isZero),
       "stateTtl must be positive when set")
+    require(maxBuffered.forall(_ >= k),
+      "maxBuffered below k could never release anything")
     def fn(qi: String, rows: Iterator[SensRow],
         st: GroupState[DivState]): Iterator[ReleasedDiverse] = {
       if (st.hasTimedOut) { st.remove(); return Iterator.empty }
@@ -197,6 +207,13 @@ object StreamingGovernance {
           seen += r.row_id
           sens += r.sens
           buffered = BufRow(r.row_id, r.sens) :: buffered
+          maxBuffered.foreach { mb =>
+            if (buffered.size > mb) throw new IllegalStateException(
+              s"l-diversity buffer for QI group '$qi' exceeded " +
+                s"maxBuffered=$mb while waiting for $l distinct " +
+                "sensitive values - refusing to grow state further. " +
+                "Raise maxBuffered, lower l, or quarantine this group.")
+          }
           if (released > 0 || (buffered.size >= k && sens.size >= l)) {
             val lNow = sens.size.toLong
             buffered.reverse.foreach { b =>

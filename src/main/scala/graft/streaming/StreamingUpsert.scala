@@ -112,14 +112,23 @@ object StreamingUpsert {
       buckets.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*))
   }
 
-  /** Writes `manifest-(v+1)` via tmp + rename. The rename is the
-    * snapshot commit point; renaming onto an existing manifest fails
-    * ⇒ a racing writer dies loudly here, after producing only
-    * unreferenced generation dirs. A crashed attempt's leftover tmp
-    * is uncommitted garbage — deleted and rewritten (single-writer
-    * contract makes that safe). */
-  private def commitManifest(s: SparkSession, tableDir: String, v: Int,
-      buckets: Map[Long, String]): Unit = {
+  /** Writes `manifest-(v+1)` via tmp + atomic publish. The publish is
+    * the snapshot commit point and must be EXCLUSIVE — exactly one of
+    * two racing writers may own version v+1. A check-then-rename is
+    * not enough on local filesystems: POSIX rename(2) atomically
+    * REPLACES an existing target, so both racers would "succeed" and
+    * the loser's generation dirs (same `-g(v+1)` names) would tear the
+    * winner's snapshot. So:
+    *  - local (`file:`) scheme: publish via `Files.createLink` —
+    *    link(2) is atomic create-exclusive, the loser gets
+    *    `FileAlreadyExistsException`, never an overwrite;
+    *  - distributed schemes (HDFS contract): rename refuses an
+    *    existing destination, so exists-check + rename fails the loser
+    *    loudly there.
+    * A crashed attempt's leftover tmp is uncommitted garbage — deleted
+    * and rewritten on the next attempt. */
+  private[streaming] def commitManifest(s: SparkSession, tableDir: String,
+      v: Int, buckets: Map[Long, String]): Unit = {
     val fs = fsOf(s, tableDir)
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-${v + 1}.tmp")
@@ -129,12 +138,24 @@ object StreamingUpsert {
       .map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
     finally os.close()
     val mf = new org.apache.hadoop.fs.Path(dir, s"manifest-${v + 1}")
-    if (fs.exists(mf) || !fs.rename(tmp, mf))
+    val committed =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(mf).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(mf) && fs.rename(tmp, mf)
+    if (!committed)
       throw new IllegalStateException(
-        s"manifest commit failed: $mf already exists or rename refused — " +
-          "a second writer committed concurrently. Writers must be " +
-          "serialized; this attempt's generation dirs are unreferenced " +
-          "garbage, safe to delete.")
+        s"manifest commit failed: $mf already exists — a second writer " +
+          "committed concurrently. Writers must be serialized; this " +
+          "attempt's generation dirs are unreferenced garbage, safe to " +
+          "delete.")
   }
 
   /** Apply one micro-batch of changes. `changes` columns: `id` LONG,

@@ -70,7 +70,7 @@ class StreamingBurstinessSpec extends SparkSpec {
       "an in-order stream never loses a row to closure")
   }
 
-  test("a row for an already-folded day is counted loudly, never absorbed") {
+  test("a row for a possibly-folded day drops loudly; a pre-history backfill is absorbed") {
     val sp = spark
     import sp.implicits._
     val input = MemoryStream[Arrival](sp)
@@ -81,15 +81,32 @@ class StreamingBurstinessSpec extends SparkSpec {
       q.processAllAvailable()
       val before = sp.table("burst_late").as[Snapshot].collect()
         .maxBy(_.n_events)
-      input.addData(Arrival("a", 5L)) // day 10 folded (boundary 19): late
+      // day 10 already folded (boundary 19) and ≥ min: irreversible
+      input.addData(Arrival("a", 10L))
       q.processAllAvailable()
-      val after = sp.table("burst_late").as[Snapshot].collect()
+      val late = sp.table("burst_late").as[Snapshot].collect()
         .maxBy(s => (s.n_events, s.late_dropped))
       assert(before.late_dropped == 0L)
-      assert(after.late_dropped == 1L, "the late row must be visible")
-      assert(after.n_events == before.n_events &&
-        after.n_days == before.n_days && after.fano == before.fano,
+      assert(late.late_dropped == 1L, "the late row must be visible")
+      assert(late.n_events == before.n_events &&
+        late.n_days == before.n_days && late.fano == before.fano,
         "the late row must not corrupt the folded statistics")
+      // day 5 predates the observed minimum: provably unfolded —
+      // absorbed, widening the span exactly as the batch census would
+      input.addData(Arrival("a", 5L))
+      q.processAllAvailable()
+      val back = sp.table("burst_late").as[Snapshot].collect()
+        .maxBy(s => (s.n_events, s.late_dropped))
+      assert(back.late_dropped == 1L, "the backfill is not late")
+      assert(back.n_events == before.n_events + 1)
+      assert(back.n_days == 20L - 5L + 1L, "span widens to the backfill")
+      // a SECOND row for that day, in a later batch, IS late: its
+      // count has folded by now
+      input.addData(Arrival("a", 5L))
+      q.processAllAvailable()
+      val again = sp.table("burst_late").as[Snapshot].collect()
+        .maxBy(s => (s.n_events, s.late_dropped))
+      assert(again.late_dropped == 2L && again.n_events == back.n_events)
     } finally q.stop()
   }
 }

@@ -215,4 +215,34 @@ class StreamingGovernanceSpec extends SparkSpec {
         "expired open group m re-counts from zero as well (row 13 buffers)")
     } finally q.stop()
   }
+
+  test("maxBuffered backstop fails LOUDLY on a hot homogeneous group, never silently drops") {
+    val sp = spark
+    import sp.implicits._
+    import StreamingGovernance.SensRow
+    // k cleared, never diversifies: buffer would grow without bound
+    val hot = (1L to 10L).map(i => SensRow(i, "g", "same")).toDS()
+    val e = intercept[Exception] {
+      StreamingGovernance.gateDiverse(hot, k = 2, l = 2,
+        maxBuffered = Some(3)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c => c.getMessage != null
+        && c.getMessage.contains("maxBuffered")),
+      s"expected the loud backstop message, got: $e")
+    // a diversifying group under the same cap releases normally
+    val ok = ((1L to 3L).map(i => SensRow(i, "g", "same")) :+
+      SensRow(4L, "g", "other")).toDS()
+    val rel = StreamingGovernance.gateDiverse(ok, k = 2, l = 2,
+      maxBuffered = Some(10)).collect()
+    assert(rel.length == 4, "the cap must not change release semantics")
+    // a cap below k is a configuration error, refused at once
+    val bad = intercept[IllegalArgumentException] {
+      StreamingGovernance.gateDiverse(hot, k = 5, l = 2,
+        maxBuffered = Some(3))
+    }
+    assert(bad.getMessage.contains("never release"))
+  }
 }

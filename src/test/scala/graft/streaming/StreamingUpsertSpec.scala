@@ -124,6 +124,28 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(contents(dir) == Seq((0L, "a2"), (1L, "b"), (4L, "e")))
   }
 
+  test("a racing writer's commit loses LOUDLY — the published manifest is never overwritten") {
+    val dir = tmpTable()
+    StreamingUpsert.applyBatch(spark, dir, 4, chg(Seq((0L, 1L, "U", "a"))))
+    // simulate the race at the commit point itself: both writers read
+    // v=1; the other one publishes manifest-2 first …
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest-2"),
+      "0\tbucket-0-g1".getBytes("UTF-8"))
+    // … then THIS writer's publish of the same version must fail —
+    // POSIX rename would silently replace the file, the hardlink
+    // commit cannot
+    val e = intercept[IllegalStateException] {
+      StreamingUpsert.commitManifest(spark, dir, 1,
+        Map(0L -> "bucket-0-g2-loser"))
+    }
+    assert(e.getMessage.contains("second writer"))
+    // the winner's manifest content survives byte-for-byte
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/manifest-2")), "UTF-8")
+      == "0\tbucket-0-g1", "loser must not clobber the committed manifest")
+  }
+
   test("retention bounds generations per bucket to keepGenerations") {
     val dir = tmpTable()
     for (i <- 1 to 4)
