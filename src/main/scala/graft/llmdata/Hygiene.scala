@@ -619,8 +619,8 @@ object Hygiene {
         |m AS (SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM d),
         |am AS (SELECT CAST(min(d.v) AS BIGINT) AS at_value
         |  FROM d, m WHERE d.dnum = m.d_num)
-        |SELECT CAST(m.d_num * 1000000 // (n.n_tr * n.n_te) AS BIGINT)
-        |    AS ks_micro,
+        |SELECT CAST(m.d_num * 1000000 // nullif(n.n_tr * n.n_te, 0)
+        |    AS BIGINT) AS ks_micro,
         |  m.d_num, am.at_value, n.n_tr AS n_train, n.n_te AS n_test
         |FROM m, n, am""".stripMargin,
     ) { (s, d) =>
@@ -648,8 +648,8 @@ object Hygiene {
         .agg(min("v").cast("long").as("at_value"))
       m.crossJoin(broadcast(n)).crossJoin(broadcast(am))
         .select(
-          expr("d_num * 1000000 div (n_tr * n_te)").cast("long")
-            .as("ks_micro"),
+          expr("d_num * 1000000 div nullif(n_tr * n_te, 0)")
+            .cast("long").as("ks_micro"),
           col("d_num"), col("at_value"),
           col("n_tr").as("n_train"), col("n_te").as("n_test"))
     },

@@ -951,5 +951,165 @@ object TextAnalysis {
           (col("mass") - col("maxcum")).cast("long").as("oov_mass"))
         .orderBy("k_vocab")
     },
+
+    // ---- q205: classification report for the lang-ID — the standard
+    //      per-class eval table (precision / recall / F1 + overall
+    //      accuracy) of q33's profile-hit argmax against the labeled
+    //      `lang` column: the audit that tells a curation run WHICH
+    //      language the heuristic confuses before it routes 100 TB by
+    //      its output. One token scan re-derives the prediction
+    //      (q60's fusion discipline); the confusion table is ONE
+    //      (truth, pred) grouped pass — ≤ |classes|² rows — and every
+    //      downstream marginal (n_true, n_pred, tp, accuracy) is
+    //      arithmetic on that tiny table, never a second corpus pass.
+    //      All integer micro: F1 = 2·tp/(n_true+n_pred) directly, so
+    //      no nested ratio-of-ratios rounding; classes with n_pred=0
+    //      emit NULL precision in both engines (non-ANSI div-zero).
+    //      Report rows are the TRUE-class domain. ----
+    Q(
+      "q205_langid_report",
+      s"""WITH prof(plang, w) AS (VALUES $sqlProfileValues),
+        |toks AS (${Text.SqlTokens}),
+        |hits AS (SELECT doc_id, plang, count(*) AS h
+        |         FROM toks JOIN prof USING (w) GROUP BY 1, 2),
+        |allc AS (SELECT d.doc_id, p.plang
+        |         FROM (SELECT DISTINCT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT DISTINCT plang FROM prof) p),
+        |sc AS (SELECT a.doc_id, a.plang, coalesce(h.h, 0) AS hits
+        |       FROM allc a LEFT JOIN hits h
+        |         ON h.doc_id = a.doc_id AND h.plang = a.plang),
+        |pred AS (SELECT doc_id, plang AS pred FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hits DESC, plang) = 1),
+        |j AS (SELECT d.lang AS truth, p.pred
+        |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+        |pc AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |tt AS (SELECT truth AS c, CAST(sum(n) AS BIGINT) AS n_true
+        |  FROM pc GROUP BY 1),
+        |pt AS (SELECT pred AS c, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM pc GROUP BY 1),
+        |di AS (SELECT truth AS c, n AS tp FROM pc WHERE truth = pred),
+        |m AS (SELECT tt.c, tt.n_true,
+        |    CAST(coalesce(pt.n_pred, 0) AS BIGINT) AS n_pred,
+        |    CAST(coalesce(di.tp, 0) AS BIGINT) AS tp
+        |  FROM tt LEFT JOIN pt ON tt.c = pt.c
+        |    LEFT JOIN di ON tt.c = di.c),
+        |acc AS (SELECT CAST(coalesce(
+        |      sum(CASE WHEN truth = pred THEN n END), 0) * 1000000
+        |    // sum(n) AS BIGINT) AS accuracy_micro FROM pc)
+        |SELECT m.c AS lang, m.n_true, m.n_pred, m.tp,
+        |  CAST(m.tp * 1000000 // nullif(m.n_pred, 0) AS BIGINT)
+        |    AS precision_micro,
+        |  CAST(m.tp * 1000000 // m.n_true AS BIGINT) AS recall_micro,
+        |  CAST(2 * m.tp * 1000000 // (m.n_true + m.n_pred) AS BIGINT)
+        |    AS f1_micro,
+        |  acc.accuracy_micro
+        |FROM m, acc ORDER BY lang""".stripMargin,
+    ) { (s, d) =>
+      import s.implicits._
+      val prof = profiles.toDF("plang", "w")
+      val hits = Text.tokens(s, d)
+        .join(broadcast(prof), "w")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("h"))
+      val allc = Tables.documents(s, d).select("doc_id")
+        .crossJoin(broadcast(prof.select("plang").distinct()))
+      val sc = allc.join(hits, Seq("doc_id", "plang"), "left")
+        .select(col("doc_id"), col("plang"),
+          coalesce(col("h"), lit(0L)).as("hits"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("hits").desc, col("plang"))
+      val pred = sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred"))
+      val j = Tables.documents(s, d).select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(col("lang").as("truth"), col("pred"))
+      // persisted: the ≤|classes|² confusion table feeds every marginal
+      val pc = graft.Caches.persist(
+        j.groupBy("truth", "pred").agg(count(lit(1)).as("n")))
+      val tt = pc.groupBy(col("truth").as("c"))
+        .agg(sum("n").cast("long").as("n_true"))
+      val pt = pc.groupBy(col("pred").as("c"))
+        .agg(sum("n").cast("long").as("n_pred"))
+      val di = pc.filter(col("truth") === col("pred"))
+        .select(col("truth").as("c"), col("n").as("tp"))
+      val m = tt.join(pt, Seq("c"), "left").join(di, Seq("c"), "left")
+        .select(col("c"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).cast("long").as("n_pred"),
+          coalesce(col("tp"), lit(0L)).cast("long").as("tp"))
+      val acc = pc.agg(expr(
+        "coalesce(sum(CASE WHEN truth = pred THEN n END), 0) * 1000000" +
+          " div sum(n)").cast("long").as("accuracy_micro"))
+      m.crossJoin(broadcast(acc))
+        .select(col("c").as("lang"), col("n_true"), col("n_pred"),
+          col("tp"),
+          expr("tp * 1000000 div nullif(n_pred, 0)").cast("long")
+            .as("precision_micro"),
+          expr("tp * 1000000 div n_true").cast("long")
+            .as("recall_micro"),
+          expr("2 * tp * 1000000 div (n_true + n_pred)").cast("long")
+            .as("f1_micro"),
+          col("accuracy_micro"))
+        .orderBy("lang")
+    },
+
+    // ---- q206: quality-threshold yield curve — price the TTR floor
+    //      before applying it (the q160/q194 knob-pricing discipline
+    //      on the quality axis): per type-token-ratio decile, docs and
+    //      token mass, plus the cumulative kept docs / tokens / mass
+    //      share if the floor were set at that decile. One token scan
+    //      folds to per-doc (n_tok, n_distinct); the decile bucket is
+    //      pure integer (ttr micro div 100000, capped at 9); the
+    //      cumulative windows run DESC on the 10-row bucket domain.
+    //      The emitted curve is what a curation run consults to pick
+    //      the threshold that keeps its token budget. ----
+    Q(
+      "q206_quality_yield_curve",
+      s"""WITH toks AS (${Text.SqlTokens}),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS n_dis
+        |  FROM toks GROUP BY 1),
+        |sc AS (SELECT CASE WHEN n_dis * 1000000 // n_tok // 100000 > 9
+        |      THEN 9 ELSE n_dis * 1000000 // n_tok // 100000 END AS b,
+        |    n_tok FROM ag),
+        |g AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM sc GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g)
+        |SELECT CAST(g.b AS BIGINT) AS ttr_decile, g.n_docs, g.n_tokens,
+        |  CAST(sum(g.n_docs) OVER (ORDER BY g.b DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |  CAST(sum(g.n_tokens) OVER (ORDER BY g.b DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(g.n_tokens) OVER (ORDER BY g.b DESC
+        |      ROWS UNBOUNDED PRECEDING) * 1000000 // t.total AS BIGINT)
+        |    AS kept_mass_micro
+        |FROM g, t ORDER BY ttr_decile""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ag = Text.tokens(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct("w").as("n_dis"))
+      val sc = ag.select(
+        least(lit(9L), expr("n_dis * 1000000 div n_tok div 100000"))
+          .as("b"), col("n_tok"))
+      val g = graft.Caches.persist(sc.groupBy("b")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")))
+      val t = g.agg(sum("n_tokens").cast("long").as("total"))
+      // 10-row bucket domain: the unpartitioned windows are metadata-sized
+      val wd = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.crossJoin(broadcast(t))
+        .select(col("b").cast("long").as("ttr_decile"),
+          col("n_docs"), col("n_tokens").cast("long").as("n_tokens"),
+          sum("n_docs").over(wd).cast("long").as("cum_docs"),
+          sum("n_tokens").over(wd).cast("long").as("cum_tokens"),
+          (sum("n_tokens").over(wd) * lit(1000000L)).cast("long")
+            .as("__km"), col("total"))
+        .select(col("ttr_decile"), col("n_docs"), col("n_tokens"),
+          col("cum_docs"), col("cum_tokens"),
+          expr("__km div total").cast("long").as("kept_mass_micro"))
+        .orderBy("ttr_decile")
+    },
   )
 }

@@ -996,8 +996,9 @@ object Stats {
         |  FROM ek e JOIN ok o ON e.k = o.k)
         |SELECT est.est_rows, act.actual_rows,
         |  abs(est.est_rows - act.actual_rows) AS abs_err,
-        |  CAST(est.est_rows // act.actual_rows * 1000000
-        |    + est.est_rows % act.actual_rows * 1000000 // act.actual_rows
+        |  CAST(est.est_rows // nullif(act.actual_rows, 0) * 1000000
+        |    + est.est_rows % nullif(act.actual_rows, 0) * 1000000
+        |      // nullif(act.actual_rows, 0)
         |    AS BIGINT) AS est_ratio_micro
         |FROM est, act""".stripMargin,
     ) { (s, d) =>
@@ -1022,8 +1023,9 @@ object Stats {
       est.crossJoin(broadcast(act))
         .select(col("est_rows"), col("actual_rows"),
           abs(col("est_rows") - col("actual_rows")).as("abs_err"),
-          expr("est_rows div actual_rows * 1000000 + " +
-            "est_rows % actual_rows * 1000000 div actual_rows")
+          expr("est_rows div nullif(actual_rows, 0) * 1000000 + " +
+            "est_rows % nullif(actual_rows, 0) * 1000000 " +
+            "div nullif(actual_rows, 0)")
             .cast("long").as("est_ratio_micro"))
     },
 
@@ -1075,8 +1077,9 @@ object Stats {
         |  FROM w GROUP BY b HAVING sum(wt) > 0),
         |o AS (SELECT mean_micro,
         |    row_number() OVER (ORDER BY mean_micro, b) AS rn FROM m),
-        |pt AS (SELECT CAST(sum(n_tok) // count(*) * 1000000
-        |    + sum(n_tok) % count(*) * 1000000 // count(*) AS BIGINT)
+        |pt AS (SELECT CAST(sum(n_tok) // nullif(count(*), 0) * 1000000
+        |    + sum(n_tok) % nullif(count(*), 0) * 1000000
+        |      // nullif(count(*), 0) AS BIGINT)
         |    AS point_micro FROM t)
         |SELECT pt.point_micro, lo.lo_micro, hi.hi_micro,
         |  CAST(32 AS BIGINT) AS n_replicas
@@ -1113,9 +1116,10 @@ object Stats {
       // 32-row replica domain: the unpartitioned window is metadata-sized
       val o = m.withColumn("rn",
         row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
-      val pt = t.agg(expr("sum(n_tok) div count(*) * 1000000 + " +
-        "sum(n_tok) % count(*) * 1000000 div count(*)")
-        .cast("long").as("point_micro"))
+      val pt = t.agg(expr(
+        "sum(n_tok) div nullif(count(*), 0) * 1000000 + " +
+        "sum(n_tok) % nullif(count(*), 0) * 1000000 " +
+        "div nullif(count(*), 0)").cast("long").as("point_micro"))
       pt.crossJoin(broadcast(
           o.filter(col("rn") === 1).select(col("mean_micro").as("lo_micro"))))
         .crossJoin(broadcast(
@@ -1149,8 +1153,9 @@ object Stats {
         |x AS (SELECT g.source, g.n_g,
         |    t.s // t.n * 1000000 + t.s % t.n * 1000000 // t.n
         |      AS full_mean_micro,
-        |    (t.s - g.s_g) // (t.n - g.n_g) * 1000000
-        |      + (t.s - g.s_g) % (t.n - g.n_g) * 1000000 // (t.n - g.n_g)
+        |    (t.s - g.s_g) // nullif(t.n - g.n_g, 0) * 1000000
+        |      + (t.s - g.s_g) % nullif(t.n - g.n_g, 0) * 1000000
+        |        // nullif(t.n - g.n_g, 0)
         |      AS loo_mean_micro
         |  FROM g, t)
         |SELECT source, n_g,
@@ -1171,8 +1176,9 @@ object Stats {
         .select(col("source"), col("n_g"),
           expr("s div n * 1000000 + s % n * 1000000 div n")
             .cast("long").as("full_mean_micro"),
-          expr("(s - s_g) div (n - n_g) * 1000000 + " +
-            "(s - s_g) % (n - n_g) * 1000000 div (n - n_g)")
+          expr("(s - s_g) div nullif(n - n_g, 0) * 1000000 + " +
+            "(s - s_g) % nullif(n - n_g, 0) * 1000000 " +
+            "div nullif(n - n_g, 0)")
             .cast("long").as("loo_mean_micro"))
         .withColumn("delta_micro",
           (col("loo_mean_micro") - col("full_mean_micro")).cast("long"))
@@ -1246,6 +1252,67 @@ object Stats {
         .select(col("t").as("event_type"), col("n"), col("k"),
           col("med").as("median_value"), col("sc").as("threshold"))
         .orderBy("event_type")
+    },
+
+    // ---- q207: functional-dependency audit — the schema-inference /
+    //      data-quality primitive: for each candidate FD "k → v",
+    //      count the keys whose value set is not a singleton (the FD
+    //      violations), the worst key's distinct-value fan-out, and
+    //      the violating share. The audit a pipeline runs before it
+    //      TRUSTS a denormalization ("source determines lang, so I can
+    //      join on source alone") — an unaudited FD assumption is how
+    //      a 100 TB join silently drops or duplicates rows. Three
+    //      audits ride ONE unioned (fd, key)-keyed shuffle (open key
+    //      cardinality — no hot buckets); everything after is
+    //      arithmetic on the fd-domain fold. Violation share is a
+    //      ratio ≤ 1 (plain micro form; n_keys < 2⁶³/10⁶). ----
+    Q(
+      "q207_fd_audit",
+      """WITH f1 AS (SELECT 'documents: source->lang' AS fd,
+        |    source AS k, lang AS v FROM documents),
+        |f2 AS (SELECT 'events: user_id->event_type' AS fd,
+        |    CAST(user_id AS VARCHAR) AS k, event_type AS v FROM events),
+        |f3 AS (SELECT 'orders: o_custkey->o_orderpriority' AS fd,
+        |    CAST(o_custkey AS VARCHAR) AS k, o_orderpriority AS v
+        |  FROM orders),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM f3),
+        |g AS (SELECT fd, k, CAST(count(DISTINCT v) AS BIGINT) AS nv
+        |  FROM u GROUP BY 1, 2),
+        |a AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nv) AS BIGINT) AS max_fanout
+        |  FROM g GROUP BY 1)
+        |SELECT fd, n_keys, n_violating, max_fanout,
+        |  CAST(n_violating * 1000000 // n_keys AS BIGINT)
+        |    AS violation_share_micro
+        |FROM a ORDER BY fd""".stripMargin,
+    ) { (s, d) =>
+      def leg(df: org.apache.spark.sql.DataFrame, name: String,
+          k: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        df.select(lit(name).as("fd"), k.cast("string").as("k"),
+          v.as("v"))
+      val u = leg(Tables.documents(s, d), "documents: source->lang",
+          col("source"), col("lang"))
+        .unionAll(leg(Tables.events(s, d),
+          "events: user_id->event_type", col("user_id"),
+          col("event_type")))
+        .unionAll(leg(Tables.orders(s, d),
+          "orders: o_custkey->o_orderpriority", col("o_custkey"),
+          col("o_orderpriority")))
+      u.groupBy("fd", "k")
+        .agg(countDistinct("v").as("nv"))
+        .groupBy("fd")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_violating"),
+          max("nv").cast("long").as("max_fanout"))
+        .select(col("fd"), col("n_keys"), col("n_violating"),
+          col("max_fanout"),
+          expr("n_violating * 1000000 div n_keys").cast("long")
+            .as("violation_share_micro"))
+        .orderBy("fd")
     },
   )
 }

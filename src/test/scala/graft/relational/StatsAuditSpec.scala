@@ -220,6 +220,93 @@ class StatsAuditSpec extends SparkSpec {
       "lag-1 Pearson bit-exact: same IEEE ops on identical integer sums")
   }
 
+  test("q205: report ≡ driver-side aggregation of q33's predictions against labels") {
+    val rows = run("q205_langid_report").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_pred"), r.getAs[Long]("tp"),
+        Option(r.getAs[java.lang.Long]("precision_micro")).map(_.toLong),
+        r.getAs[Long]("recall_micro"), r.getAs[Long]("f1_micro"),
+        r.getAs[Long]("accuracy_micro"))).sortBy(_._1)
+    val preds = run("q33_lang_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val truth = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pairs = truth.map { case (id, t) => (t, preds(id)) }
+    val acc = pairs.count(p => p._1 == p._2).toLong * 1000000L / pairs.length
+    assert(rows.map(_._1).toSeq == pairs.map(_._1).distinct.sorted.toSeq)
+    rows.foreach { case (c, nT, nP, tp, prec, rec, f1, a) =>
+      val eT = pairs.count(_._1 == c).toLong
+      val eP = pairs.count(_._2 == c).toLong
+      val eTp = pairs.count(p => p._1 == c && p._2 == c).toLong
+      assert((nT, nP, tp) == ((eT, eP, eTp)), s"$c: counts")
+      assert(prec == (if (eP == 0) None else Some(eTp * 1000000L / eP)),
+        s"$c: precision (NULL when the class is never predicted)")
+      assert(rec == eTp * 1000000L / eT)
+      assert(f1 == 2 * eTp * 1000000L / (eT + eP))
+      assert(a == acc)
+    }
+    // the fixture must exercise the audit's point: some class is
+    // never predicted (NULL precision) while accuracy stays > 0
+    assert(rows.exists(_._5.isEmpty) && acc > 0L)
+  }
+
+  test("q206: yield curve ≡ driver-side TTR bucketing; cumulative masses conserve") {
+    val rows = run("q206_quality_yield_curve").collect()
+      .map(r => (r.getAs[Long]("ttr_decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_docs"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("kept_mass_micro")))
+      .sortBy(_._1)
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map { r =>
+        val t = r.getString(0).split(" ", -1)
+        (t.length.toLong, t.distinct.length.toLong)
+      }
+    val buckets = docs.map { case (n, d) =>
+      (math.min(9L, d * 1000000L / n / 100000L), n)
+    }
+    val byB = buckets.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val total = docs.map(_._1).sum
+    assert(rows.map(_._1).toSeq == byB.keys.toSeq.sorted)
+    rows.foreach { case (b, nD, nT, cD, cT, km) =>
+      val (eD, eT) = byB(b)
+      assert((nD, nT) == ((eD, eT)), s"bucket $b")
+      val kept = byB.filter(_._1 >= b).values
+      assert(cD == kept.map(_._1).sum && cT == kept.map(_._2).sum,
+        s"bucket $b: cumulative-from-best")
+      assert(km == cT * 1000000L / total)
+    }
+    assert(rows.map(_._3).sum == total, "buckets partition the token mass")
+  }
+
+  test("q207: FD audit ≡ driver-side distinct-value fan-out per key") {
+    val rows = run("q207_fd_audit").collect()
+      .map(r => r.getAs[String]("fd") -> (r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_violating"), r.getAs[Long]("max_fanout"),
+        r.getAs[Long]("violation_share_micro"))).toMap
+    def audit(pairs: Seq[(String, String)]): (Long, Long, Long, Long) = {
+      val g = pairs.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.length.toLong).toMap
+      val nk = g.size.toLong
+      val nv = g.values.count(_ > 1).toLong
+      (nk, nv, g.values.max, nv * 1000000L / nk)
+    }
+    val docs = Tables.documents(spark, sf).select("source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows("documents: source->lang") == audit(docs))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0).toString, r.getString(1))).toSeq
+    assert(rows("events: user_id->event_type") == audit(ev))
+    val ord = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0).toString, r.getString(1))).toSeq
+    assert(rows("orders: o_custkey->o_orderpriority") == audit(ord))
+    // the audit must find real violations on this fixture (all three
+    // candidate FDs are false there — shares within (0, 1])
+    assert(rows.values.forall(v => v._4 > 0L && v._4 <= 1000000L))
+    assert(rows.values.exists(_._3 > 1L), "some key must truly fan out")
+  }
+
   test("q200: median, k, and conformal threshold match a driver-side order-statistic recompute") {
     val rows = run("q200_conformal_threshold").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
