@@ -679,6 +679,57 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q201: greedy supersteps reuse ONE persisted shingle table; argmax is TakeOrdered") {
+    val p = planOf(SparkEntry.queries("q201_facility_location")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "the (doc, shingle) table must persist across all three greedy steps")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      "each step's argmax must plan as TakeOrdered, never a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q202: decile probes broadcast against the side-keyed rank — no corpus re-shuffle") {
+    val p = planOf(SparkEntry.queries("q202_quantile_drift")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 18-row (side, decile, k) probe table must broadcast")
+    // the 2-row × 9-row side-count × decile-grid cross is a broadcast
+    // nested loop by design (q15 pattern); only a true cartesian over
+    // non-broadcast sides would be a scale bug
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+
+  test("q203/q204: arrival stats fold to the day domain with map-side combine") {
+    for (q <- Seq("q203_fano_burstiness", "q204_autocorrelation")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 4,
+        s"$q: day fold and moment fold must both partial-aggregate")
+      assert(!p.contains("CartesianProduct"), s"$q")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: nothing corpus-sized survives the day fold")
+    }
+  }
+
+  test("q205: one confusion fold feeds every marginal; profile joins broadcast") {
+    val p = planOf(SparkEntry.queries("q205_langid_report")(spark, sf))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "the ≤|classes|² confusion table must persist — marginals are " +
+        "arithmetic on it, never second corpus passes")
+    assert(p.contains("BroadcastHashJoin"),
+      "the token-profile membership join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q206/q207: map-side combine before the single keyed exchange") {
+    for (q <- Seq("q206_quality_yield_curve", "q207_fd_audit")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: per-key counting must partial-aggregate")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"), s"$q")
+    }
+  }
+
   test("q197: events fold to the day domain before the pairwise theta join") {
     val p = planOf(SparkEntry.queries("q197_trend_test")(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
