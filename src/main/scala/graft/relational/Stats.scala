@@ -1314,5 +1314,113 @@ object Stats {
             .as("violation_share_micro"))
         .orderBy("fd")
     },
+
+    // ---- q208: capture–recapture population estimate (Chapman 1951's
+    //      bias-corrected Lincoln–Petersen — public literature): treat
+    //      two event streams as independent "captures" of the user
+    //      population and estimate the users NEITHER stream saw:
+    //      N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the click-capture size,
+    //      view-capture size, and their overlap. The "how many users /
+    //      documents / dup-pairs exist that ALL our detectors missed"
+    //      primitive — the estimator is exactly the one a coverage
+    //      audit runs when ground truth is unobtainable, with its
+    //      independence assumption stated, not hidden. One user-fold
+    //      pass computes both capture flags as conditional maxes, so
+    //      the three counts ride a single user-keyed shuffle. Exact
+    //      integers; the Chapman division floors once (ratio of
+    //      bounded counts; m+1 ≥ 1, never zero). ----
+    Q(
+      "q208_capture_recapture",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * c2) AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_observed FROM u)
+        |SELECT n1 AS n_capture1, n2 AS n_capture2, m AS n_both,
+        |  n_observed,
+        |  CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+        |    AS chapman_estimate,
+        |  CAST(CASE WHEN (n1 + 1) * (n2 + 1) // (m + 1) - 1 > n_observed
+        |    THEN (n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_observed
+        |    ELSE 0 END AS BIGINT) AS est_unseen
+        |FROM s""".stripMargin,
+    ) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c1"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("c2"))
+      u.agg(sum("c1").cast("long").as("n1"),
+          sum("c2").cast("long").as("n2"),
+          sum(col("c1") * col("c2")).cast("long").as("m"),
+          count(lit(1)).as("n_observed"))
+        .select(col("n1").as("n_capture1"), col("n2").as("n_capture2"),
+          col("m").as("n_both"), col("n_observed"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").cast("long")
+            .as("chapman_estimate"),
+          greatest(lit(0L),
+            expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1") -
+              col("n_observed")).cast("long").as("est_unseen"))
+    },
+
+    // ---- q209: Good–Turing unseen-mass estimate (Good 1953 — public
+    //      literature): the probability mass of vocabulary NEVER seen
+    //      is estimated by the mass of things seen exactly once,
+    //      P₀ ≈ N₁/N — the number that tells a corpus run whether its
+    //      vocabulary has converged (pairs with q134's growth curve
+    //      and q193's coverage curve: those measure what IS seen, this
+    //      prices what is NOT). Over the open-vocabulary token-TRIGRAM
+    //      domain (the q193 regime — the 31-type word vocab is closed,
+    //      where P₀ would be degenerately 0). Two folds, both with
+    //      map-side combine: trigram→count, then count→frequency-of-
+    //      frequencies (bounded by the max count, tiny). Exact
+    //      integers; micro shares are ratios ≤ 1 (plain form). ----
+    Q(
+      "q209_good_turing",
+      """WITH tri AS (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS w
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tri GROUP BY 1),
+        |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tf GROUP BY 1),
+        |s AS (SELECT CAST(sum(c * n_types) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_types) AS BIGINT) AS n_vocab,
+        |    CAST(coalesce(sum(CASE WHEN c = 1 THEN n_types END), 0)
+        |      AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(CASE WHEN c = 2 THEN n_types END), 0)
+        |      AS BIGINT) AS n2
+        |  FROM ff)
+        |SELECT n_tokens, n_vocab, n1 AS n_singletons, n2 AS n_doubletons,
+        |  CAST(n1 * 1000000 // n_tokens AS BIGINT) AS unseen_mass_micro,
+        |  CAST(n1 * 1000000 // n_vocab AS BIGINT) AS singleton_share_micro
+        |FROM s""".stripMargin,
+    ) { (s, d) =>
+      val tri = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("w"))
+      val ff = tri.groupBy("w").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n_types"))
+      ff.agg(sum(col("c") * col("n_types")).cast("long").as("n_tokens"),
+          sum("n_types").cast("long").as("n_vocab"),
+          coalesce(sum(when(col("c") === 1, col("n_types"))), lit(0L))
+            .cast("long").as("n1"),
+          coalesce(sum(when(col("c") === 2, col("n_types"))), lit(0L))
+            .cast("long").as("n2"))
+        .select(col("n_tokens"), col("n_vocab"),
+          col("n1").as("n_singletons"), col("n2").as("n_doubletons"),
+          expr("n1 * 1000000 div n_tokens").cast("long")
+            .as("unseen_mass_micro"),
+          expr("n1 * 1000000 div n_vocab").cast("long")
+            .as("singleton_share_micro"))
+    },
   )
 }

@@ -307,6 +307,46 @@ class StatsAuditSpec extends SparkSpec {
     assert(rows.values.exists(_._3 > 1L), "some key must truly fan out")
   }
 
+  test("q208: Chapman estimate matches driver-side capture counts; estimator identities hold") {
+    val row = run("q208_capture_recapture").collect().head
+    val byUser = Tables.events(spark, sf).select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n1 = byUser.values.count(_.contains("click")).toLong
+    val n2 = byUser.values.count(_.contains("view")).toLong
+    val m = byUser.values.count(s => s.contains("click") && s.contains("view")).toLong
+    val chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert(row.getAs[Long]("n_capture1") == n1)
+    assert(row.getAs[Long]("n_capture2") == n2)
+    assert(row.getAs[Long]("n_both") == m)
+    assert(row.getAs[Long]("n_observed") == byUser.size.toLong)
+    assert(row.getAs[Long]("chapman_estimate") == chapman)
+    assert(row.getAs[Long]("est_unseen") ==
+      math.max(0L, chapman - byUser.size))
+    // estimator sanity: N̂ can never fall below the larger capture
+    assert(chapman >= math.max(n1, n2))
+  }
+
+  test("q209: Good–Turing masses match a driver-side frequency-of-frequencies recompute") {
+    val row = run("q209_good_turing").collect().head
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ", -1)).filter(_.length >= 3)
+      .flatMap(_.sliding(3).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = counts.values.sum
+    val n1 = counts.values.count(_ == 1L).toLong
+    val n2 = counts.values.count(_ == 2L).toLong
+    assert(row.getAs[Long]("n_tokens") == nTok)
+    assert(row.getAs[Long]("n_vocab") == counts.size.toLong)
+    assert(row.getAs[Long]("n_singletons") == n1)
+    assert(row.getAs[Long]("n_doubletons") == n2)
+    assert(row.getAs[Long]("unseen_mass_micro") == n1 * 1000000L / nTok)
+    assert(row.getAs[Long]("singleton_share_micro") ==
+      n1 * 1000000L / counts.size)
+    // the trigram domain must actually be open-vocabulary here
+    assert(n1 > 0, "no singletons: the unseen-mass estimate is untested")
+  }
+
   test("q200: median, k, and conformal threshold match a driver-side order-statistic recompute") {
     val rows = run("q200_conformal_threshold").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
