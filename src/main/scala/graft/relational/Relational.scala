@@ -910,6 +910,29 @@ object Rfm {
     * encoding stays below 2^52, double-exact. */
   val CompositeShift: Long = 1L << 31
 
+  /** Sketch capacity is tied to the counted entity frame, not a fixed
+    * 2^16: with a fixed capacity the auto route would ALWAYS be lossy
+    * the moment it is chosen (it only fires above
+    * [[WindowEntityBudget]] = 4M > 2^16), silently diverging from the
+    * exact ntile semantics the window route (and q171's oracle) pins.
+    * Rule: smallest power of two ≥ n/[[SketchRankRatio]], clamped to
+    * [2^16, 2^20]. Compactor rank error is ≤ levels·(n/cap) with
+    * levels ≈ log2(n/cap)+1, so pinning n/cap ≤ 64 bounds the ABSOLUTE
+    * rank perturbation at ≤ 7·64 ≈ 450 rows regardless of n — a
+    * ≤ 450/n relative quintile-boundary error (≈ 10⁻⁴ at the 4M switch
+    * point, shrinking as n grows). Above the 2^20 memory ceiling
+    * (8 MB/sketch state, 3 sketches per agg task) the ratio grows
+    * again: error ≤ (log2(n/2^20)+1)·n/2^20 — still ~10⁻⁵ relative at
+    * 10⁹ entities. The oracle-gate exemption above the budget is by
+    * construction (the oracle frame never exceeds it); this bound is
+    * the documented price of the scale route. */
+  val SketchRankRatio: Long = 64L
+  private[relational] def autoCapacity(n: Long): Int = {
+    var c = 1 << 16
+    while (c < (1 << 20) && c.toLong * SketchRankRatio < n) c <<= 1
+    c
+  }
+
   /** Per-customer (cust, recency, frequency, monetary) triple — the
     * shared entity-grain input of both routes (q119 float policy:
     * exact DECIMAL sum, one double conversion). */
@@ -947,14 +970,17 @@ object Rfm {
     col("frequency").cast("double") * CompositeShift.toDouble +
       col("cust").cast("double")
 
-  /** Scale route: sketch-derived boundaries + broadcast comparison. */
-  def codesSketch(rfm: DataFrame, capacity: Int = 1 << 16): DataFrame = {
+  /** Scale route: sketch-derived boundaries + broadcast comparison.
+    * `capacity ≤ 0` (the default) scales with the counted frame via
+    * [[autoCapacity]]; an explicit positive value pins it (specs). */
+  def codesSketch(rfm: DataFrame, capacity: Int = 0): DataFrame = {
     val rfmP = graft.Caches.persist(rfm)
     val n = rfmP.count()
     if (n < 5) return codesWindow(rfmP) // fewer rows than buckets
+    val cap = if (capacity > 0) capacity else autoCapacity(n)
     val probes = splitRanks(n).map(b => (b - 0.5) / n)
     val sk = udaf(
-      new graft.functions.QuantileSketchAgg(capacity, probes),
+      new graft.functions.QuantileSketchAgg(cap, probes),
       org.apache.spark.sql.Encoders.scalaDouble)
     val bounds = rfmP.agg(
       sk(encR).as("rB"), sk(encF).as("fB"),

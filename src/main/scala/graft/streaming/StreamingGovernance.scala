@@ -207,13 +207,6 @@ object StreamingGovernance {
           seen += r.row_id
           sens += r.sens
           buffered = BufRow(r.row_id, r.sens) :: buffered
-          maxBuffered.foreach { mb =>
-            if (buffered.size > mb) throw new IllegalStateException(
-              s"l-diversity buffer for QI group '$qi' exceeded " +
-                s"maxBuffered=$mb while waiting for $l distinct " +
-                "sensitive values - refusing to grow state further. " +
-                "Raise maxBuffered, lower l, or quarantine this group.")
-          }
           if (released > 0 || (buffered.size >= k && sens.size >= l)) {
             val lNow = sens.size.toLong
             buffered.reverse.foreach { b =>
@@ -221,6 +214,17 @@ object StreamingGovernance {
               out += ReleasedDiverse(b.row_id, qi, released, lNow)
             }
             buffered = Nil
+          }
+          // backstop AFTER the release test: the row that breaches the
+          // cap may be the very one that satisfies (k, l) — releasing
+          // it empties the buffer, so failing first would lose
+          // availability one row earlier than the privacy rule requires
+          maxBuffered.foreach { mb =>
+            if (buffered.size > mb) throw new IllegalStateException(
+              s"l-diversity buffer for QI group '$qi' exceeded " +
+                s"maxBuffered=$mb while waiting for $l distinct " +
+                "sensitive values - refusing to grow state further. " +
+                "Raise maxBuffered, lower l, or quarantine this group.")
           }
         }
       }

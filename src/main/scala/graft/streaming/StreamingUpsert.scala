@@ -121,7 +121,16 @@ object StreamingUpsert {
     * winner's snapshot. So:
     *  - local (`file:`) scheme: publish via `Files.createLink` —
     *    link(2) is atomic create-exclusive, the loser gets
-    *    `FileAlreadyExistsException`, never an overwrite;
+    *    `FileAlreadyExistsException`, never an overwrite. Mounts
+    *    without hard-link support (overlayfs, some NFS) throw
+    *    `UnsupportedOperationException`/`FileSystemException` instead;
+    *    those fall back to the exists-check + rename protocol below —
+    *    weaker (a check/rename window exists on POSIX rename), but the
+    *    single-writer contract already makes a true race operator
+    *    error, and a loud fallback beats an opaque commit failure.
+    *    Note the NIO link bypasses Hadoop's ChecksumFileSystem: the
+    *    published manifest carries no `.crc` sidecar (harmless — the
+    *    manifest is re-read through the same raw path);
     *  - distributed schemes (HDFS contract): rename refuses an
     *    existing destination, so exists-check + rename fails the loser
     *    loudly there.
@@ -147,7 +156,14 @@ object StreamingUpsert {
           fs.delete(tmp, false)
           true
         } catch {
+          // NB: FileAlreadyExistsException extends FileSystemException —
+          // the loser-case match must come first
           case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            // mount lacks hard links: fall back to the distributed-
+            // scheme protocol (see scaladoc)
+            !fs.exists(mf) && fs.rename(tmp, mf)
         }
       } else !fs.exists(mf) && fs.rename(tmp, mf)
     if (!committed)

@@ -64,6 +64,24 @@ class RfmRouteSpec extends SparkSpec {
     assert(total == n, "census partitions the entity frame")
   }
 
+  test("sketch capacity scales with the entity frame past the route budget") {
+    // below the floor: exact regime (covers every oracle-sized frame)
+    assert(Rfm.autoCapacity(1000L) == (1 << 16))
+    assert(Rfm.autoCapacity(1L << 16) == (1 << 16))
+    // everywhere below the memory ceiling the n/cap ratio regime holds
+    // (the fixed-2^16 bug: at 100M entities the ratio was 1526, not 64)
+    for (n <- Seq(Rfm.WindowEntityBudget + 1, 10L * 1000 * 1000,
+        60L * 1000 * 1000)) {
+      val c = Rfm.autoCapacity(n)
+      assert(c.toLong * Rfm.SketchRankRatio >= n,
+        s"n/cap ratio regime must hold at n=$n (got cap=$c)")
+    }
+    assert(Rfm.autoCapacity(10L * 1000 * 1000) > (1 << 16),
+      "capacity must grow with the frame, not stay a fixed 2^16")
+    // memory ceiling holds at any n
+    assert(Rfm.autoCapacity(Long.MaxValue / 2) == (1 << 20))
+  }
+
   test("a monetary tie group straddling a boundary refuses loudly") {
     val sp = spark
     import sp.implicits._

@@ -245,4 +245,21 @@ class StreamingGovernanceSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("never release"))
   }
+
+  test("the row that breaches the cap but satisfies (k, l) releases, not fails") {
+    val sp = spark
+    import sp.implicits._
+    import StreamingGovernance.SensRow
+    // maxBuffered = k = 2: rows 1-2 homogeneous (cleared k, awaiting
+    // l), row 3 BREACHES the cap (buffer 3 > 2) and simultaneously
+    // brings the l-th distinct sensitive value. The backstop must run
+    // AFTER the release test — failing first would lose availability
+    // one row earlier than the privacy rule requires (round-8 advice).
+    val edge = Seq(SensRow(1L, "g", "same"), SensRow(2L, "g", "same"),
+      SensRow(3L, "g", "other")).toDS()
+    val rel = StreamingGovernance.gateDiverse(edge, k = 2, l = 2,
+      maxBuffered = Some(2)).collect()
+    assert(rel.length == 3,
+      "a group satisfying (k, l) on the cap-breaching row must release")
+  }
 }

@@ -75,14 +75,28 @@ for g in groups:
     total += rec["value"]
     print(f"chunk {g[0]}..({len(g)}): {rec['value']:.1f} s")
 
+# Per-run provenance: an incremental ONLY merge must not stamp entries
+# measured under an older protocol / a loaded box with the latest run's
+# settings (round-8 advice). Each run appends a record naming exactly
+# which queries it measured and under what conditions; the global
+# `protocol`/`load_start` describe only the LATEST run.
+this_run = {"queries": sorted(merged), "reps": REPS,
+            "load_start": load_start,
+            "protocol": "chunked fresh JVMs (heavy solo), min-of-reps"}
+runs = [this_run]
 if ONLY and os.path.exists(OUT):
     prev = json.load(open(OUT))
+    runs = prev.get("runs", [{"queries": sorted(prev["queries"]),
+                              "reps": prev.get("protocol", "?"),
+                              "load_start": prev.get("load_start"),
+                              "protocol": prev.get("protocol", "unknown"),
+                              "note": "pre-provenance record"}]) + runs
     prev["queries"].update(merged)
     merged = prev["queries"]
     total = sum(merged.values())
 out = {"metric": "total", "value": total, "unit": "sec",
        "queries": merged, "sf": SF, "load_start": load_start,
-       "protocol": f"chunked fresh JVMs (heavy solo), reps={REPS}, medians"}
+       "protocol": this_run["protocol"], "runs": runs}
 with open(OUT, "w") as f:
     json.dump(out, f)
 print(f"total {total:.1f} s over {len(merged)} queries -> {OUT}")
