@@ -590,13 +590,16 @@ object Hygiene {
     //      domain first (one grouped count, bounded by the longest
     //      doc); the cumulative window and everything after run on
     //      that collapsed domain — the q153 discipline. Exactness
-    //      envelope: cross-multiplied units need n_tr·n_te < 2⁶³
-    //      (~3·10⁹ docs per side) for d_num/argmax, and the tighter
-    //      n_tr·n_te < 2⁶³/10⁶ for the normalized ks_micro (its
-    //      numerator is already < its denominator, so the q199
-    //      two-step split cannot widen it); a KS test is statistically
-    //      saturated long before either bound, so the 100 TB route is
-    //      a bounded per-split sample feeding this same plan. Argmax
+    //      envelope — ASSERTED IN-PLAN (q145 pattern): cross-
+    //      multiplied units need n_tr·n_te < 2⁶³ (~3·10⁹ docs per
+    //      side) for d_num/argmax, and the tighter n_tr·n_te <
+    //      2⁶³/10⁶ for the normalized ks_micro (its numerator is
+    //      already < its denominator, so the q199 two-step split
+    //      cannot widen it); the guard tests the tighter bound on the
+    //      exact side counts (overflow-free via integer division) and
+    //      fails loudly past it. A KS test is statistically saturated
+    //      long before either bound, so the 100 TB route is a bounded
+    //      per-split sample feeding this same plan. Argmax
     //      tie-break: smallest length achieving the max. ----
     Q(
       "q198_ks_split_drift",
@@ -648,8 +651,14 @@ object Hygiene {
         .agg(min("v").cast("long").as("at_value"))
       m.crossJoin(broadcast(n)).crossJoin(broadcast(am))
         .select(
-          expr("d_num * 1000000 div nullif(n_tr * n_te, 0)")
-            .cast("long").as("ks_micro"),
+          graft.ScaleGuards.guarded(
+            graft.ScaleGuards.productWithin("n_tr", "n_te",
+              Long.MaxValue / 1000000L),
+            "q198: n_tr*n_te exceeds the cross-multiplied micro " +
+              "regime - d_num*10^6 would overflow 2^63; feed a " +
+              "bounded per-split sample through this same plan",
+            expr("d_num * 1000000 div nullif(n_tr * n_te, 0)")
+              .cast("long")).as("ks_micro"),
           col("d_num"), col("at_value"),
           col("n_tr").as("n_train"), col("n_te").as("n_test"))
     },

@@ -845,10 +845,13 @@ object TextAnalysis {
     //      window runs over the VOCABULARY domain, never the corpus
     //      (q153's low-cardinality exact route — the open-vocabulary
     //      scale path replaces the global window with q86/q98 sketch
-    //      boundaries). Magnitude bound: micro-scaling keeps the
-    //      numerator < 2^63 while Σ i·x_i < ~9·10^12 — i.e. up to
-    //      ~10^6 types over ~10^7 occurrences; beyond that drop to
-    //      milli-units (documented regime, q116's loud-gate spirit). ----
+    //      boundaries). Magnitude bound — ASSERTED IN-PLAN (q145
+    //      pattern): |2·Σi·x − (n+1)·Σx| ≤ 2·n·Σx, so micro-scaling
+    //      keeps the numerator < 2^63 while n·Σx ≤ (2^63−1)/(2·10^6)
+    //      ≈ 4.6·10^12 — e.g. 10^6 types over 4.6·10^6 occurrences/
+    //      type avg; the guard tests that product on the exact counts
+    //      (overflow-free via integer division) and fails loudly past
+    //      it — the upgrade route drops to milli-units. ----
     Q(
       "q181_token_gini",
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
@@ -874,8 +877,14 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"), sum("x").as("total"),
           sum(col("i") * col("x")).as("six"))
         .select(col("n"), col("total"),
-          expr("CAST((2 * six - (n + 1) * total) * 1000000 div " +
-            "(n * total) AS BIGINT)").as("gini_micro"))
+          graft.ScaleGuards.guarded(
+            graft.ScaleGuards.productWithin("n", "total",
+              Long.MaxValue / 2000000L),
+            "q181: n*total exceeds the micro magnitude regime - " +
+              "the Gini numerator *10^6 would overflow 2^63; drop to " +
+              "milli-units or q86/q98 sketch boundaries",
+            expr("CAST((2 * six - (n + 1) * total) * 1000000 div " +
+              "(n * total) AS BIGINT)")).as("gini_micro"))
     },
 
     // ---- q193: vocabulary coverage curve — the tokenizer-size

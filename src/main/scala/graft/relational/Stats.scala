@@ -577,10 +577,14 @@ object Stats {
     //      Σ pos_v · (negatives strictly below v) ride ONE cumulative
     //      window over that domain, ties take the standard half
     //      credit (2·conc + tied, halved inside the micro division).
-    //      BIGINT magnitude regime: the pair products stay exact
-    //      while n_pos·n_neg < 2^63/10^6 ≈ 9·10^12 (3·10^6 docs per
-    //      class); past that the three sums move to DECIMAL(38) and
-    //      the division to the q136 VARCHAR-cast route. ----
+    //      BIGINT magnitude regime — ASSERTED IN-PLAN (q145 pattern):
+    //      (2·conc + tied)·5·10^5 ≤ 3·n_pos·n_neg·5·10^5 stays below
+    //      2^63 while n_pos·n_neg ≤ (2^63−1)/(1.5·10^6) ≈ 6.1·10^12
+    //      (~2.5·10^6 docs per class); the guard tests exactly that on
+    //      the exact class counts (overflow-free via integer division)
+    //      and fails loudly past it instead of silently wrapping —
+    //      the upgrade route is DECIMAL(38) sums + the q136
+    //      VARCHAR-cast division. ----
     Q(
       "q182_auc_rank",
       """WITH s AS (SELECT n_chars AS v,
@@ -614,8 +618,15 @@ object Stats {
           sum(col("np") * col("cum_neg")).cast("long").as("conc"),
           sum(col("np") * col("nn")).cast("long").as("tied"))
         .select(col("n_pos"), col("n_neg"), col("conc"), col("tied"),
-          expr("(2 * conc + tied) * 500000 div (n_pos * n_neg)")
-            .cast("long").as("auc_micro"))
+          graft.ScaleGuards.guarded(
+            graft.ScaleGuards.productWithin("n_pos", "n_neg",
+              Long.MaxValue / 1500000L),
+            "q182: n_pos*n_neg exceeds the BIGINT micro regime - " +
+              "(2*conc + tied)*500000 would overflow 2^63; move the " +
+              "three sums to DECIMAL(38) and the division to the " +
+              "q136 VARCHAR-cast route",
+            expr("(2 * conc + tied) * 500000 div (n_pos * n_neg)")
+              .cast("long")).as("auc_micro"))
     },
 
     // ---- q183: gate agreement — Cohen's kappa + McNemar for two
@@ -1201,9 +1212,13 @@ object Stats {
     //      use a deterministic (value, event_id) tie-break; k is pure
     //      integer (⌈(n+1)·9/10⌉ = ((n+1)·9+9) div 10). Scale: two
     //      type-keyed window ranks — exact and fine while each type's
-    //      partition sorts in memory; past that the documented route
-    //      is q86's mergeable quantile sketch for the median and an
-    //      exactness-regime selection for the threshold. Degenerate:
+    //      partition sorts in one task (spill-backed, but a single
+    //      task regardless of cluster size); GUARDED IN-PLAN at 256M
+    //      rows/type (q145 pattern) — every over-budget type emits a
+    //      row (n ≥ 9 ⟹ rank k exists), so the guard cannot be
+    //      bypassed silently; past it the route is q86's mergeable
+    //      quantile sketch for the median and an exactness-regime
+    //      selection for the threshold. Degenerate:
     //      a type with k > n (n < 9) emits no row — conformal's
     //      "threshold = ∞" — identically in both engines (rank join
     //      finds no rn = k). ----
@@ -1245,8 +1260,17 @@ object Stats {
       val bySc = Window.partitionBy("t").orderBy(col("sc"), col("event_id"))
       val sr = sc.withColumn("rn", row_number().over(bySc))
         .select(col("t").as("srt"), col("sc"), col("rn"))
+      // 256M rows/type: the single-task window-sort envelope (see
+      // decision log) — a skewed type past it must take the sketch
+      // route, loudly, not a silent hours-long spill sort
+      val typeSortBudget = 256L * 1000 * 1000
       val k = n.select(col("t"), col("n"),
-        expr("((n + 1) * 9 + 9) div 10").cast("long").as("k"))
+        graft.ScaleGuards.guarded(col("n") <= typeSortBudget,
+          "q200: an event type exceeds the 256M-row window-sort " +
+            "budget - take the q86 sketch-median route for the " +
+            "median and an exactness-regime selection for the " +
+            "threshold",
+          expr("((n + 1) * 9 + 9) div 10").cast("long")).as("k"))
       sr.join(broadcast(k.join(med, "t")),
           col("srt") === col("t") && col("rn") === col("k"))
         .select(col("t").as("event_type"), col("n"), col("k"),
