@@ -65,7 +65,7 @@ object Dedup {
     * probe used to pay. */
   private final case class SetSim(
       sets: DataFrame, members: DataFrame, collapse: Boolean,
-      tokens: DataFrame, bitmap: Boolean) {
+      tokens: DataFrame, bitmap: Boolean, nBuckets: Int) {
     /** The frame the pairwise machinery runs over: every doc, or one
       * representative per distinct (blocking key, token set). */
     def work: DataFrame =
@@ -173,7 +173,15 @@ object Dedup {
         expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")
           .as(s"m$b"))
     else Nil
-    val prefixAggs = if (withPrefix)
+    // bitmap + prefix: each token's (bucket, bit) rides the toks
+    // struct AFTER (df, w) — sort order is decided by (df, w) alone
+    // (w is distinct within a doc, so no tie ever reads the extra
+    // fields) — giving prefix consumers the wid-bit of every prefix
+    // token for free (q160's canonical-row dedup needs it)
+    val prefixAggs = if (withPrefix && bitmap)
+      Seq(array_sort(collect_list(struct(col("df"), col("w"),
+        col("bucket"), col("bit")))).as("toks"))
+    else if (withPrefix)
       Seq(array_sort(collect_list(struct(col("df"), col("w")))).as("toks"))
     else Nil
     val mhAggs = (0 until nMinhash).map(i =>
@@ -198,7 +206,7 @@ object Dedup {
       .withColumn("gid",
         min("doc_id").over(Window.partitionBy(fpKey.map(col): _*)))
       .select("doc_id", "gid")
-    SetSim(sets, members, shouldCollapse(members), ts, bitmap)
+    SetSim(sets, members, shouldCollapse(members), ts, bitmap, nBuckets)
   }
 
   /** popcount of the AND of two bitmap arrays = |intersection|.
@@ -1029,7 +1037,32 @@ object Dedup {
     //      three bucket counts ride one conditional aggregate over
     //      the survivors. The oracle brute-forces the same counts
     //      (candidate generation is an optimization, never a
-    //      semantics change — same contract as q28). Lang-blocked
+    //      semantics change — same contract as q28).
+    //
+    //      CANONICAL-ROW dedup (bitmap regime): the 0.7 prefix admits
+    //      ~10× more candidate rows than q28's 0.95 one, and at sf1
+    //      ~13M pairs QUALIFY — so q28's dedup-the-survivors
+    //      dropDuplicates becomes the dominant shuffle (measured: the
+    //      survivor dedup cost ~3× the candidate join itself). A pair
+    //      surfaces once per common PREFIX token; carrying each
+    //      side's prefix BITMASK (same |V|/64-long layout as the
+    //      verify mask) plus the matched token's own (bucket, bit)
+    //      through the join makes "is this the pair's minimum-wid
+    //      common prefix token" a ROW-LOCAL predicate — a pure
+    //      function of the pair that exactly one surfaced row
+    //      satisfies. Counting only canonical rows replaces the
+    //      dropDuplicates shuffle with a map-side filter; measured
+    //      1.6× end-to-end at sf1 under the chunked fresh-JVM
+    //      min-of-3 protocol (24.1 s → 15.0 s — ~1.07× q28's sf1
+    //      time, i.e. the 0.7-threshold curve now costs what a
+    //      single-threshold pass does). Row-dependent
+    //      candidate pruning (e.g. PPJoin's positional filter) is
+    //      intentionally ABSENT: it may drop the canonical row while
+    //      a non-canonical one survives, silently losing the pair —
+    //      and measured slower here anyway (the tiny closed vocab
+    //      makes the positional bound vacuous for same-size docs).
+    //      The open-vocabulary regime (bitmap off) keeps the
+    //      verified + dropDuplicates shape. Lang-blocked
     //      like the whole q28 family. The thresholds LEFT JOIN the
     //      pair set (not a comma cross join) so a corpus with zero
     //      qualifying pairs still yields three zero-count rows —
@@ -1059,27 +1092,73 @@ object Dedup {
       val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,
         nMinhash = 0)
       // prefix sized for the loosest curve point: ⌈0.7·nw⌉ = (7·nw+9) div 10
-      val sets = f.work
+      val sized = f.work
         .withColumn("plen",
           (col("nw") - expr("(7 * nw + 9) div 10") + lit(1)).cast("int"))
-        .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
-        .select("doc_id", "lang", "nw", "pre")
-      val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
-        explode(col("pre")).as("pw"))
-      val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
-      val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
-      val cand = a.join(b,
-        col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
-          col("doc_id_a") < col("doc_id_b") &&
-          least(col("nw_a"), col("nw_b")) * 10 >=
-            greatest(col("nw_a"), col("nw_b")) * 7)
-        .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
-      val repPairs = f.verified(cand)
-        .withColumn("jaccard",
-          col("ni").cast("double") / (col("nw_a") + col("nw_b") - col("ni")))
-        .filter(col("jaccard") >= 0.7)
-        .select("a_id", "b_id", "jaccard")
-        .dropDuplicates("a_id", "b_id")
+        .withColumn("pres", expr("slice(toks, 1, plen)"))
+      val repPairs = if (f.bitmap) {
+        // fast path (decision log above): masks + prefix masks ride
+        // the join rows; verify AND pair-dedup are row-local
+        val sets = sized
+          .withColumn("pmask", expr(
+            s"""aggregate(pres, array_repeat(0L, ${f.nBuckets}),
+               |  (acc, t) -> transform(acc,
+               |    (x, i) -> IF(i = t.bucket, x | t.bit, x)))""".stripMargin))
+          .select(col("doc_id"), col("lang"), col("nw"), col("mask"),
+            col("pmask"), explode(col("pres")).as("pt"))
+          .select(col("doc_id"), col("lang"), col("nw"), col("mask"),
+            col("pmask"), col("pt.w").as("pw"),
+            col("pt.bucket").as("pb"), col("pt.bit").as("pbit"))
+        val a = sets.toDF(
+          "doc_id_a", "lang_a", "nw_a", "mask_a", "pmask_a",
+          "pw", "pb_a", "pbit_a")
+        val b = sets.toDF(
+          "doc_id_b", "lang_b", "nw_b", "mask_b", "pmask_b",
+          "pw_b", "pb_b", "pbit_b")
+        a.join(b,
+          col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
+            col("doc_id_a") < col("doc_id_b") &&
+            least(col("nw_a"), col("nw_b")) * 10 >=
+              greatest(col("nw_a"), col("nw_b")) * 7)
+          // the pair's common prefix tokens as wid bits
+          .withColumn("pc",
+            zip_with(col("pmask_a"), col("pmask_b"),
+              (x, y) => x.bitwiseAND(y)))
+          // canonical ⟺ no common bit strictly below this row's own
+          // (pb, pbit): all lower buckets empty AND no lower bit in
+          // this bucket ((pbit−1) is the lower mask even for the sign
+          // bit). pw ∈ both prefixes, so its own bit is always set.
+          .filter(
+            !expr("exists(slice(pc, 1, pb_a), x -> x != 0L)") &&
+              (expr("element_at(pc, pb_a + 1)")
+                .bitwiseAND(col("pbit_a") - 1) === 0))
+          .withColumn("ni", maskIntersect(col("mask_a"), col("mask_b")))
+          .withColumn("jaccard",
+            col("ni").cast("double") /
+              (col("nw_a") + col("nw_b") - col("ni")))
+          .filter(col("jaccard") >= 0.7)
+          .select(col("doc_id_a").as("a_id"),
+            col("doc_id_b").as("b_id"), col("jaccard"))
+      } else {
+        // open-vocabulary regime: q28's verified + survivor-dedup shape
+        val pre = sized.select(col("doc_id"), col("lang"), col("nw"),
+          explode(expr("transform(pres, t -> t.w)")).as("pw"))
+        val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
+        val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
+        val cand = a.join(b,
+          col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
+            col("doc_id_a") < col("doc_id_b") &&
+            least(col("nw_a"), col("nw_b")) * 10 >=
+              greatest(col("nw_a"), col("nw_b")) * 7)
+          .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
+        f.verified(cand)
+          .withColumn("jaccard",
+            col("ni").cast("double") /
+              (col("nw_a") + col("nw_b") - col("ni")))
+          .filter(col("jaccard") >= 0.7)
+          .select("a_id", "b_id", "jaccard")
+          .dropDuplicates("a_id", "b_id")
+      }
       val pairs =
         if (f.collapse) expandPairs(f.members, repPairs) else repPairs
       val counts = pairs.agg(
