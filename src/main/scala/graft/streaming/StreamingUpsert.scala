@@ -50,9 +50,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * 2) generation dirs per touched bucket and deletes older ones
   * best-effort AFTER the commit, bounding garbage to one extra table
   * copy while giving in-flight readers a full batch interval of
-  * grace. Old manifests are tiny and kept — [[readVersion]] time-
-  * travels to any version whose generations still exist and fails
-  * loudly (missing files) on vacuumed ones, the q137 contract.
+  * grace. Old manifests are tiny but a long-lived table accumulates
+  * one per apply — [[expireManifests]] is the drop-only GC that
+  * bounds them; [[readVersion]] time-travels to any KEPT version
+  * whose generations still exist and fails loudly (missing files) on
+  * vacuumed or expired ones, the q137 contract.
   */
 object StreamingUpsert {
 
@@ -240,6 +242,66 @@ object StreamingUpsert {
         catch { case _: java.io.IOException => () } // best-effort
       }
     }
+  }
+
+  /** Manifest GC stats: versions deleted, versions kept, names that
+    * were not parseable manifests and therefore NEVER touched. */
+  final case class ManifestRetention(
+      deleted: Seq[Int], kept: Seq[Int], skipped: Seq[String])
+
+  /** Drop-only manifest GC — bounds the one unbounded-growth surface
+    * this layout has (generation dirs are already bounded by
+    * `keepGenerations`, but every apply commits a new tiny manifest
+    * and a long-lived table accumulates them forever). Keeps the
+    * newest `keepVersions` manifests, deletes older ones; mirrors
+    * [[Maintenance.expireDatePartitions]]'s parse-or-skip discipline:
+    * only first-level files named exactly `manifest-<int>` are
+    * candidates — generation dirs, `.tmp` commit leftovers, stray
+    * files are reported in `skipped` and never deleted (a retention
+    * job must not destroy what it cannot interpret).
+    *
+    * Time-travel horizon: after a run, [[readVersion]] resolves only
+    * the kept versions — an expired version fails loudly
+    * (`FileNotFoundException` from the manifest open), never returns
+    * a partial snapshot. The CURRENT version is always kept
+    * (`keepVersions >= 1`), so readers and the next apply's
+    * [[state]] resolution are untouched no matter when this runs.
+    *
+    * Crash-safety: each delete is one single-file operation, oldest
+    * first — a partial run is itself a valid (just less-retentive)
+    * retention state, and the current snapshot stays readable
+    * throughout. Safe to run concurrently with the single writer:
+    * the writer only creates `manifest-(max+1)`, which GC never
+    * targets. Idempotent. */
+  def expireManifests(s: SparkSession, tableDir: String,
+      keepVersions: Int): ManifestRetention = {
+    require(keepVersions >= 1, "keepVersions must be positive")
+    val fs = fsOf(s, tableDir)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    // pre-first-write (or fully expired) table = empty retention state
+    if (!fs.exists(dir)) return ManifestRetention(Nil, Nil, Nil)
+    val skipped = Seq.newBuilder[String]
+    val versions = fs.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      // generation dirs / tmp files are not this job's concern;
+      // anything manifest-LOOKING that does not parse is `skipped`
+      if (!name.startsWith("manifest-")) None
+      else if (st.isDirectory) { skipped += name; None }
+      else scala.util.Try(name.stripPrefix("manifest-").toInt)
+        .toOption match {
+        case some @ Some(_) => some
+        case None => skipped += name; None
+      }
+    }.sorted
+    val (drop, keep) = versions.splitAt(
+      math.max(0, versions.length - keepVersions))
+    val deleted = drop.filter { v =>
+      // oldest first (sorted); single-file delete, loud on failure
+      val p = new org.apache.hadoop.fs.Path(dir, s"manifest-$v")
+      if (fs.delete(p, false)) true
+      else throw new java.io.IOException(s"manifest GC delete failed: $p")
+    }
+    ManifestRetention(deleted, keep, skipped.result().sorted)
   }
 
   /** Start continuous maintenance of the table from a change stream. */

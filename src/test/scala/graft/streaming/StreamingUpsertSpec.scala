@@ -161,6 +161,60 @@ class StreamingUpsertSpec extends SparkSpec {
       .select("payload").collect().map(_.getString(0)).toSeq == Seq("v3"))
   }
 
+  test("manifest GC keeps the newest versions, refuses expired ones loudly, never touches what it cannot parse") {
+    val dir = tmpTable()
+    for (i <- 1 to 5)
+      StreamingUpsert.applyBatch(spark, dir, 2,
+        chg(Seq((0L, i.toLong, "U", s"v$i"))), keepGenerations = 5)
+    // junk the GC must never interpret as a manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest-abc"),
+      "not a version".getBytes("UTF-8"))
+    val r = StreamingUpsert.expireManifests(spark, dir, keepVersions = 2)
+    assert(r.deleted == Seq(1, 2, 3) && r.kept == Seq(4, 5))
+    assert(r.skipped == Seq("manifest-abc"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/manifest-abc")),
+      "unparseable names are reported, never deleted")
+    // current + kept versions still resolve (generations retained)
+    assert(contents(dir) == Seq((0L, "v5")))
+    assert(StreamingUpsert.readVersion(spark, dir, 4).get
+      .select("payload").collect().map(_.getString(0)).toSeq == Seq("v4"))
+    // expired versions refuse loudly — never a partial snapshot
+    intercept[java.io.FileNotFoundException] {
+      StreamingUpsert.readVersion(spark, dir, 2)
+    }
+    // idempotent: a re-run is a no-op on the manifest set
+    val r2 = StreamingUpsert.expireManifests(spark, dir, keepVersions = 2)
+    assert(r2.deleted.isEmpty && r2.kept == Seq(4, 5))
+    // the writer is untouched by GC: the next apply commits v6
+    StreamingUpsert.applyBatch(spark, dir, 2, chg(Seq((0L, 9L, "U", "v6"))))
+    assert(contents(dir) == Seq((0L, "v6")))
+  }
+
+  test("a crash mid-GC leaves the current snapshot readable") {
+    val dir = tmpTable()
+    for (i <- 1 to 4)
+      StreamingUpsert.applyBatch(spark, dir, 2,
+        chg(Seq((0L, i.toLong, "U", s"v$i"))), keepGenerations = 4)
+    // a partial run = deletes proceed oldest-first and stop anywhere;
+    // simulate the smallest prefix (only manifest-1 deleted)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/manifest-1"))
+    assert(contents(dir) == Seq((0L, "v4")),
+      "current snapshot reads fine after a partial GC")
+    // and the resumed run completes from where it stopped
+    val r = StreamingUpsert.expireManifests(spark, dir, keepVersions = 1)
+    assert(r.deleted == Seq(2, 3) && r.kept == Seq(4))
+    assert(contents(dir) == Seq((0L, "v4")))
+  }
+
+  test("GC on a pre-first-write table is an empty retention state") {
+    val r = StreamingUpsert.expireManifests(spark,
+      tmpTable(), keepVersions = 3)
+    assert(r == StreamingUpsert.ManifestRetention(Nil, Nil, Nil))
+  }
+
   test("streamed changes maintain the same table the batch fold produces") {
     val sp = spark
     import sp.implicits._
