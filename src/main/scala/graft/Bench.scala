@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** 1-min system load (external contention sentinel): /proc/loadavg
     * where it exists, OperatingSystemMXBean elsewhere. */
-  private def loadAvg(): Double =
+  private[graft] def loadAvg(): Double =
     try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")),
