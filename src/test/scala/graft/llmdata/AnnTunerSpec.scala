@@ -84,4 +84,81 @@ class AnnTunerSpec extends graft.SparkSpec {
     assert(overlap * 10 >= truth.size * 75 / 10,
       s"held-out recall ${overlap.toDouble / truth.size} below 0.75")
   }
+
+  // ---- q210/q211: the CROSS-family grid (round-9) ----
+
+  private def familySweep(): Array[Row] =
+    SparkEntry.queries("q210_ann_family_tuner")(spark, sf).collect()
+
+  test("cross-family grid: both families present, both exactness anchors exact") {
+    val rows = familySweep()
+    assert(rows.length ==
+      Similarity.tunerGrid.length + Similarity.ivfProbeGrid.length)
+    // LSH anchor (8,8): every bucket probed ⇒ recall 1 by construction
+    val lshAnchor = rows.find(r => r.getString(0) == "lsh" &&
+      r.getInt(1) == 8 && r.getInt(2) == 8).get
+    assert(lshAnchor.getLong(3) == 3 * lshAnchor.getLong(4),
+      s"LSH exhaustive anchor must have recall 1.0, got $lshAnchor")
+    // IVF anchor (nlists, nprobe=nlists): every inverted list probed ⇒
+    // candidates ⊇ exact top-3 WHATEVER the trained centroids are —
+    // the q59/q108 exactness regime as the IVF family's anchor
+    val nlists = rows.filter(_.getString(0) == "ivf").map(_.getInt(1)).head
+    val ivfAnchor = rows.find(r => r.getString(0) == "ivf" &&
+      r.getInt(2) >= nlists).get
+    assert(ivfAnchor.getLong(3) == 3 * ivfAnchor.getLong(4),
+      s"IVF exhaustive anchor must have recall 1.0, got $ivfAnchor")
+    // the two exhaustive anchors score the same candidate set (all
+    // query–vector pairs), so their integer costs must agree exactly —
+    // the cross-family cost unit is the same or the argmin is rigged
+    assert(lshAnchor.getLong(5) == ivfAnchor.getLong(5),
+      "exhaustive anchors of both families must count identical cost")
+  }
+
+  test("cross-family chosen config: unique, meets target, cheapest across BOTH families") {
+    val rows = familySweep()
+    val chosen = rows.filter(_.getBoolean(7))
+    assert(chosen.length == 1,
+      "two feasible anchors guarantee exactly one cross-family choice")
+    val c = chosen.head
+    assert(c.getBoolean(6) && c.getLong(3) * 10 >= 24 * c.getLong(4))
+    val meeting = rows.filter(_.getBoolean(6))
+    assert(meeting.forall(_.getLong(5) >= c.getLong(5)),
+      "a cheaper meeting config existed in some family — must take it")
+  }
+
+  test("cross-family search applies the winner and generalizes to held-out queries") {
+    val c = familySweep().filter(_.getBoolean(7)).head
+    val got = SparkEntry.queries("q211_ann_family_search")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    // every result row carries the chosen family + config — the
+    // loser's leg must contribute NOTHING
+    assert(got.forall(r => r.getString(3) == c.getString(0) &&
+      r.getInt(4) == c.getInt(1) && r.getInt(5) == c.getInt(2)))
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.values.forall(
+      _.map(_.getInt(1)).sorted.sameElements(Seq(1, 2, 3))))
+    // held-out recall vs exact brute force, same gate as q177's
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    val v = graft.Tables.embeddings(sp, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q2 = v.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .toDF("q_id", "qv")
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_id"))
+    val truth = v.join(broadcast(q2), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, " +
+          "(a, e) -> a + e) / (sqrt(aggregate(transform(qv, x -> x * x)" +
+          ", 0D, (a, e) -> a + e)) * sqrt(aggregate(transform(v, " +
+          "x -> x * x), 0D, (a, e) -> a + e)))").as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = truth.count(gotPairs.contains)
+    assert(overlap * 10 >= truth.size * 75 / 10,
+      s"held-out recall ${overlap.toDouble / truth.size} below 0.75")
+  }
 }
