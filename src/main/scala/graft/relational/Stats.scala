@@ -1152,8 +1152,11 @@ object Stats {
     //      s div n · 10⁶ + (s mod n) · 10⁶ div n — exact floor(s·10⁶/n)
     //      without the s·10⁶ product, so a 100 TB character sum cannot
     //      overflow BIGINT (the envelope is n < 2⁶³/10⁶ docs, not
-    //      Σchars < 2⁶³/10⁶). Single-source degenerate: N−n_g = 0 →
-    //      NULL in both engines (non-ANSI div/mod by zero). ----
+    //      Σchars < 2⁶³/10⁶). Single-source degenerate: N−n_g = 0 —
+    //      the divisor is nullif-guarded on BOTH sides, so each
+    //      engine emits NULL explicitly (Spark 4 runs ANSI by
+    //      default: an unguarded zero divisor would THROW, not
+    //      null — the round-9 ANSI audit rule). ----
     Q(
       "q199_source_influence",
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
