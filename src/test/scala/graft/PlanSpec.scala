@@ -741,4 +741,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "no corpus-sized shuffle survives the day-domain fold")
   }
+
+  test("q210: both family legs are broadcast-probe equi-joins; corpus assignment persists") {
+    val p = planOf(SparkEntry.queries("q210_ann_family_tuner")(spark, sf))
+    // LSH leg joins the corpus to broadcast probe balls on the masked
+    // bucket; IVF leg joins the persisted list assignment to broadcast
+    // probes on the list id — a sort-merge in either would shuffle the
+    // corpus per config
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both families' probe tables must broadcast against corpus legs")
+    assert(!p.contains("CartesianProduct"),
+      "only the tiny cfg cross joins may be nested-loop")
+    assert(p.contains("InMemoryTableScan"),
+      "the list-assigned corpus frame must persist (feeds both legs " +
+        "and the exact-truth scan)")
+  }
+
+  test("q211: only the winning family's leg survives; probes broadcast") {
+    val p = planOf(SparkEntry.queries("q211_ann_family_search")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the winner's probe table must broadcast against the corpus leg")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
