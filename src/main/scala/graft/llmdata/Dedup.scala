@@ -1052,9 +1052,9 @@ object Dedup {
     //      function of the pair that exactly one surfaced row
     //      satisfies. Counting only canonical rows replaces the
     //      dropDuplicates shuffle with a map-side filter; measured
-    //      1.6× end-to-end at sf1 under the chunked fresh-JVM
-    //      min-of-3 protocol (24.1 s → 15.0 s — ~1.07× q28's sf1
-    //      time, i.e. the 0.7-threshold curve now costs what a
+    //      at sf1 under the chunked fresh-JVM min-of-3 protocol:
+    //      24.1 s → 15–19 s across idle runs (~1.1–1.3× q28's sf1
+    //      time, i.e. the 0.7-threshold curve now costs about what a
     //      single-threshold pass does). Row-dependent
     //      candidate pruning (e.g. PPJoin's positional filter) is
     //      intentionally ABSENT: it may drop the canonical row while
