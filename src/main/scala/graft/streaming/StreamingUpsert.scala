@@ -304,14 +304,26 @@ object StreamingUpsert {
     ManifestRetention(deleted, keep, skipped.result().sorted)
   }
 
-  /** Start continuous maintenance of the table from a change stream. */
+  /** Start continuous maintenance of the table from a change stream.
+    *
+    * `keepManifests`: when set, [[expireManifests]] runs after every
+    * committed micro-batch, so a long-lived streaming table bounds its
+    * own metadata instead of relying on an out-of-band job — the
+    * time-travel horizon is then the last `keepManifests` batches.
+    * Safe inside the apply loop: GC never targets the version the
+    * batch just committed (always newest) and a crash between commit
+    * and GC only defers deletes to the next batch. */
   def start(changes: DataFrame, tableDir: String, checkpointDir: String,
       numBuckets: Int = 64,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      keepManifests: Option[Int] = None)
       : StreamingQuery =
     changes.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
-        applyBatch(b.sparkSession, tableDir, numBuckets, b))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        applyBatch(b.sparkSession, tableDir, numBuckets, b)
+        keepManifests.foreach(k =>
+          expireManifests(b.sparkSession, tableDir, k))
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

@@ -215,6 +215,28 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(r == StreamingUpsert.ManifestRetention(Nil, Nil, Nil))
   }
 
+  test("keepManifests wires GC into the streaming loop — metadata stays bounded") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("upsertgc").toString
+    val input = MemoryStream[(Long, Long, String, String)](sp)
+    val q = StreamingUpsert.start(
+      input.toDF.toDF("id", "seq", "op", "payload"), dir, ckpt,
+      numBuckets = 2, keepManifests = Some(2),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    for (i <- 1 to 5) {
+      input.addData(Seq((0L, i.toLong, "U", s"v$i")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val manifests = new java.io.File(dir).listFiles().toSeq
+      .map(_.getName).filter(_.matches("manifest-\\d+")).sorted
+    assert(manifests == Seq("manifest-4", "manifest-5"),
+      s"GC must keep exactly the 2 newest manifests, got $manifests")
+    assert(contents(dir) == Seq((0L, "v5")))
+  }
+
   test("streamed changes maintain the same table the batch fold produces") {
     val sp = spark
     import sp.implicits._
