@@ -90,44 +90,57 @@ class AnnTunerSpec extends graft.SparkSpec {
   private def familySweep(): Array[Row] =
     SparkEntry.queries("q210_ann_family_tuner")(spark, sf).collect()
 
-  test("cross-family grid: both families present, both exactness anchors exact") {
+  test("cross-family grid: both families present, every exactness anchor exact") {
     val rows = familySweep()
-    assert(rows.length ==
-      Similarity.tunerGrid.length + Similarity.ivfProbeGrid.length)
+    assert(rows.length == Similarity.tunerGrid.length +
+      Similarity.ivfListGrid.map(Similarity.ivfProbesFor(_).length).sum)
     // LSH anchor (8,8): every bucket probed ⇒ recall 1 by construction
     val lshAnchor = rows.find(r => r.getString(0) == "lsh" &&
       r.getInt(1) == 8 && r.getInt(2) == 8).get
     assert(lshAnchor.getLong(3) == 3 * lshAnchor.getLong(4),
       s"LSH exhaustive anchor must have recall 1.0, got $lshAnchor")
-    // IVF anchor (nlists, nprobe=nlists): every inverted list probed ⇒
-    // candidates ⊇ exact top-3 WHATEVER the trained centroids are —
-    // the q59/q108 exactness regime as the IVF family's anchor
-    val nlists = rows.filter(_.getString(0) == "ivf").map(_.getInt(1)).head
-    val ivfAnchor = rows.find(r => r.getString(0) == "ivf" &&
-      r.getInt(2) >= nlists).get
-    assert(ivfAnchor.getLong(3) == 3 * ivfAnchor.getLong(4),
-      s"IVF exhaustive anchor must have recall 1.0, got $ivfAnchor")
-    // the two exhaustive anchors score the same candidate set (all
-    // query–vector pairs), so their integer costs must agree exactly —
-    // the cross-family cost unit is the same or the argmin is rigged
-    assert(lshAnchor.getLong(5) == ivfAnchor.getLong(5),
-      "exhaustive anchors of both families must count identical cost")
+    // IVF anchors (nlists, nprobe=nlists), ONE PER TRAINED QUANTIZER:
+    // every inverted list probed ⇒ candidates ⊇ exact top-3 WHATEVER
+    // that quantizer's training did — the q59/q108 exactness regime
+    val nlistsVals = rows.filter(_.getString(0) == "ivf")
+      .map(_.getInt(1)).distinct
+    assert(nlistsVals.length == Similarity.ivfListGrid.length,
+      "one trained quantizer per nlists grid value")
+    val ivfAnchors = nlistsVals.map(k =>
+      rows.find(r => r.getString(0) == "ivf" &&
+        r.getInt(1) == k && r.getInt(2) >= k).get)
+    ivfAnchors.foreach(a =>
+      assert(a.getLong(3) == 3 * a.getLong(4),
+        s"IVF exhaustive anchor must have recall 1.0, got $a"))
+    // ALL exhaustive anchors (both families, every quantizer) score
+    // the same candidate set — all query–vector pairs — so their
+    // integer costs must agree exactly: the cross-family cost unit is
+    // the same or the argmin is rigged
+    (lshAnchor +: ivfAnchors).foreach(a =>
+      assert(a.getLong(5) == lshAnchor.getLong(5),
+        "every exhaustive anchor must count identical cost"))
   }
 
-  test("cross-family chosen config: unique, meets target, cheapest across BOTH families") {
+  test("cross-family chosen config: unique, meets target on tuning AND validation, cheapest such") {
     val rows = familySweep()
-    val chosen = rows.filter(_.getBoolean(7))
+    val chosen = rows.filter(_.getBoolean(10))
     assert(chosen.length == 1,
-      "two feasible anchors guarantee exactly one cross-family choice")
+      "the feasible anchors guarantee exactly one cross-family choice")
     val c = chosen.head
-    assert(c.getBoolean(6) && c.getLong(3) * 10 >= 24 * c.getLong(4))
-    val meeting = rows.filter(_.getBoolean(6))
+    // chosen must clear the target on the tuning sample AND the
+    // disjoint validation sample — the winner's-curse armor: the
+    // argmin over 26 configs picks the luckiest measurement, so an
+    // unvalidated choice systematically under-delivers held-out
+    assert(c.getBoolean(8) && c.getLong(3) * 10 >= 24 * c.getLong(4))
+    assert(c.getBoolean(9) && c.getLong(6) * 10 >= 24 * c.getLong(7),
+      "chosen config must ALSO meet the target on the validation sample")
+    val meeting = rows.filter(r => r.getBoolean(8) && r.getBoolean(9))
     assert(meeting.forall(_.getLong(5) >= c.getLong(5)),
-      "a cheaper meeting config existed in some family — must take it")
+      "a cheaper double-meeting config existed — must take it")
   }
 
   test("cross-family search applies the winner and generalizes to held-out queries") {
-    val c = familySweep().filter(_.getBoolean(7)).head
+    val c = familySweep().filter(_.getBoolean(10)).head
     val got = SparkEntry.queries("q211_ann_family_search")(spark, sf)
       .collect()
     assert(got.nonEmpty)
