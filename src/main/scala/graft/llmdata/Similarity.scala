@@ -524,13 +524,23 @@ object Similarity {
     * ranked grid with one cross-family argmin.
     *
     * Config encoding: (family, p1, p2) = ('lsh', planes, radius) from
-    * [[tunerGrid]] or ('ivf', nlists, nprobe) from [[ivfProbeGrid]]
-    * over the q52-trained 16-list quantizer. Both families keep their
-    * exactness anchors — LSH (8,8) probes every bucket, IVF (16,16)
-    * probes every list — so recall 1.0 is feasible in BOTH families by
-    * construction and the argmin never falls through. `n_cand` counts
-    * scored (query, vector) pairs, which is the same unit of work in
-    * both families (one dot product each), so costs compare honestly.
+    * [[tunerGrid]] or ('ivf', nlists, nprobe) with nlists from
+    * [[ivfListGrid]] (one separately trained quantizer each) and
+    * nprobe from [[ivfProbesFor]]. Both families keep their exactness
+    * anchors — LSH (8,8) probes every bucket, each quantizer's
+    * nprobe=nlists row probes every list — so recall 1.0 is feasible
+    * everywhere by construction and the (validated) argmin never
+    * falls through. `n_cand` counts scored (query, vector) pairs,
+    * which is the same unit of work in both families (one dot product
+    * each), so costs compare honestly.
+    *
+    * Winner's-curse armor: the argmin over the 26-config grid is
+    * upward-biased on its own sample (the cheapest "meeting" config
+    * is the one whose measured recall got luckiest — at sf0.001 the
+    * unvalidated pick scored 0.81 tuning / 0.68 held-out). A config
+    * is choosable only if it meets the target on the tuning sample
+    * AND a disjoint validation sample; the anchors meet on any
+    * sample, so feasibility survives validation.
     *
     * Scale shape: ground truth is brute force bounded to the query
     * sample (q174's declared price); the LSH leg replicates the corpus
