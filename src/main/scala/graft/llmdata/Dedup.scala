@@ -209,13 +209,16 @@ object Dedup {
     SetSim(sets, members, shouldCollapse(members), ts, bitmap, nBuckets)
   }
 
-  /** popcount of the AND of two bitmap arrays = |intersection|.
+  /** popcount of the AND of two bitmap arrays = |intersection| —
+    * native codegen'd kernel; the HOF rendering (aggregate over
+    * zip_with) is CodegenFallback and was the dominant per-candidate
+    * cost of the verify (see [[graft.functions.MaskIntersect]]).
     * `private[llmdata]`: [[IncrementalLsh]]'s per-ingest bitmap verify
     * shares the kernel. */
-  private[llmdata] def maskIntersect(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+  private[llmdata] def maskIntersect(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(graft.functions.MaskIntersect(expression(a), expression(b)))
+  }
 
   /** All unordered same-`key` pairs via a salted self-join: the left
     * side keeps its salt, the right is replicated to every salt, so a
@@ -1051,11 +1054,13 @@ object Dedup {
     //      common prefix token" a ROW-LOCAL predicate — a pure
     //      function of the pair that exactly one surfaced row
     //      satisfies. Counting only canonical rows replaces the
-    //      dropDuplicates shuffle with a map-side filter; measured
-    //      at sf1 under the chunked fresh-JVM min-of-3 protocol:
-    //      24.1 s → 15–19 s across idle runs (~1.1–1.3× q28's sf1
-    //      time, i.e. the 0.7-threshold curve now costs about what a
-    //      single-threshold pass does). Row-dependent
+    //      dropDuplicates shuffle with a map-side filter. With the
+    //      canonical test and the verify popcount as native codegen'd
+    //      kernels (NoCommonBitBelow / MaskIntersect — the HOF
+    //      renderings were CodegenFallback and their boxed per-long
+    //      lambda calls initially ATE the win at sf0.1), measured
+    //      under the chunked fresh-JVM min-of-3 protocol: sf1 24.1 s
+    //      → 3.4 s, sf0.1 2.8 s → 2.1 s. Row-dependent
     //      candidate pruning (e.g. PPJoin's positional filter) is
     //      intentionally ABSENT: it may drop the canonical row while
     //      a non-canonical one survives, silently losing the pair —
@@ -1120,18 +1125,22 @@ object Dedup {
             col("doc_id_a") < col("doc_id_b") &&
             least(col("nw_a"), col("nw_b")) * 10 >=
               greatest(col("nw_a"), col("nw_b")) * 7)
-          // the pair's common prefix tokens as wid bits
-          .withColumn("pc",
-            zip_with(col("pmask_a"), col("pmask_b"),
-              (x, y) => x.bitwiseAND(y)))
-          // canonical ⟺ no common bit strictly below this row's own
-          // (pb, pbit): all lower buckets empty AND no lower bit in
-          // this bucket ((pbit−1) is the lower mask even for the sign
+          // canonical ⟺ the pair's common-prefix bitmap (pmask_a AND
+          // pmask_b) has no bit strictly below this row's own (pb,
+          // pbit): all lower buckets empty AND no lower bit in this
+          // bucket ((pbit−1) is the lower mask even for the sign
           // bit). pw ∈ both prefixes, so its own bit is always set.
-          .filter(
-            !expr("exists(slice(pc, 1, pb_a), x -> x != 0L)") &&
-              (expr("element_at(pc, pb_a + 1)")
-                .bitwiseAND(col("pbit_a") - 1) === 0))
+          // Native early-exit kernel — the HOF rendering (zip_with +
+          // exists + element_at) was CodegenFallback and cost ~3
+          // boxed calls per long per CANDIDATE row, which at sf0.1
+          // outweighed the dedup shuffle it replaced (11.4 s vs the
+          // old path's 2.9 s); see [[graft.functions.NoCommonBitBelow]].
+          .filter({
+            import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+            column(graft.functions.NoCommonBitBelow(
+              expression(col("pmask_a")), expression(col("pmask_b")),
+              expression(col("pb_a")), expression(col("pbit_a"))))
+          })
           .withColumn("ni", maskIntersect(col("mask_a"), col("mask_b")))
           .withColumn("jaccard",
             col("ni").cast("double") /

@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native bitmap kernels behind the set-similarity verify
+  * (MaskIntersect) and the q160 canonical-pair test (NoCommonBitBelow)
+  * must agree value-for-value with the HOF renderings they replaced —
+  * the renderings ARE the specification (and what the DuckDB oracles
+  * re-derive from raw tokens). */
+class MaskOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
+  private def masks(n: Int, buckets: Int) = {
+    import spark.implicits._
+    // deterministic pseudo-random masks, some sparse, some dense
+    Seq.tabulate(n)(i =>
+      (i.toLong,
+        Array.tabulate(buckets)(j =>
+          if ((i + j) % 3 == 0) 0L
+          else java.lang.Long.rotateLeft(0x9E3779B97F4A7C15L * (i * 31 + j + 1), i + j)),
+        Array.tabulate(buckets)(j =>
+          if ((i * 7 + j) % 4 == 0) 0L
+          else java.lang.Long.rotateLeft(0xC2B2AE3D27D4EB4FL * (i * 17 + j + 1), i * 2 + j))))
+      .toDF("id", "a", "b")
+  }
+
+  test("mask_intersect equals the HOF popcount fold on every row") {
+    val df = masks(200, 7)
+    val r = df.select(
+      column(MaskIntersect(expression(col("a")), expression(col("b"))))
+        .as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+  }
+
+  test("mask_intersect null semantics match zip_with padding") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1L, 2L)), Array(3L)),          // length mismatch
+      (None: Option[Array[Long]], Array(1L)))    // null array
+      .toDF("a", "b")
+    val r = df.select(
+      column(MaskIntersect(expression(col("a")), expression(col("b"))))
+        .as("fast")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("no_common_bit_below equals the HOF rendering for every (bucket, bit) position") {
+    val df = masks(100, 5)
+    // every bucket × a few bit positions, including the sign bit.
+    // NB the below-mask is precomputed (bit − 1 wraps correctly in
+    // Scala): the in-plan `col - 1` rendering the kernel replaced was
+    // a LATENT ANSI OVERFLOW at bit = 1L<<63 — writing this spec
+    // found it; the kernel's Java subtraction wraps to exactly the
+    // all-bits-below-the-sign-bit mask
+    val cases = for (k <- 0 until 5; s <- Seq(0, 1, 13, 63)) yield (k, s)
+    cases.foreach { case (k, s) =>
+      val bit = 1L << s
+      val below = bit - 1L
+      val r = df
+        .withColumn("pc", zip_with(col("a"), col("b"),
+          (x, y) => x.bitwiseAND(y)))
+        .select(
+          column(NoCommonBitBelow(expression(col("a")),
+            expression(col("b")), expression(lit(k)),
+            expression(lit(bit)))).as("fast"),
+          (!expr(s"exists(slice(pc, 1, $k), x -> x != 0L)") &&
+            (expr(s"element_at(pc, $k + 1)")
+              .bitwiseAND(lit(below)) === 0)).as("hof"))
+        .collect()
+      r.foreach(row => assert(row.getBoolean(0) == row.getBoolean(1),
+        s"divergence at bucket=$k bit=1L<<$s"))
+    }
+  }
+
+  test("no_common_bit_below is defensive on malformed inputs") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
+    def run(k: Int) = df.select(
+      column(NoCommonBitBelow(expression(col("a")), expression(col("b")),
+        expression(lit(k)), expression(lit(1L)))).as("x")).head()
+    assert(run(2).isNullAt(0), "out-of-range bucket must null, not throw")
+    assert(run(-1).isNullAt(0))
+    assert(!run(0).isNullAt(0))
+  }
+}
