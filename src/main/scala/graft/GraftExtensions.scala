@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.spikeScoreFn)
     e.injectFunction(GraftExtensions.vecDotFn)
+    e.injectFunction(GraftExtensions.maskIntersectFn)
     e.injectFunction(GraftExtensions.rollingFpFn)
     e.injectFunction(GraftExtensions.levBoundedFn)
     GraftExtensions.aggregatorFns.foreach(e.injectFunction)
@@ -66,6 +67,19 @@ object GraftExtensions {
         Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
       case other => throw new IllegalArgumentException(
         s"vec_dot expects 2 arguments, got ${other.length}")
+    },
+  )
+
+  val maskIntersectFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mask_intersect"),
+    new ExpressionInfo(
+      classOf[graft.functions.MaskIntersect].getName, "mask_intersect"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => graft.functions.MaskIntersect(
+        Cast(a, ArrayType(org.apache.spark.sql.types.LongType)),
+        Cast(b, ArrayType(org.apache.spark.sql.types.LongType)))
+      case other => throw new IllegalArgumentException(
+        s"mask_intersect expects 2 arguments, got ${other.length}")
     },
   )
 
@@ -171,7 +185,8 @@ object GraftExtensions {
     * extensions config. Idempotent (re-registration replaces with the
     * same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    (Seq(spikeScoreFn, vecDotFn, rollingFpFn, levBoundedFn) ++
+    (Seq(spikeScoreFn, vecDotFn, maskIntersectFn, rollingFpFn,
+        levBoundedFn) ++
         aggregatorFns).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -37,6 +37,16 @@ class MaskOpsSpec extends SparkSpec {
     r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
   }
 
+  test("mask_intersect is registered as a SQL function on both session routes; integral literals coerce") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT mask_intersect(array(CAST(6 AS BIGINT), CAST(12 AS BIGINT))," +
+        " array(CAST(3 AS BIGINT), CAST(10 AS BIGINT))) AS n," +
+        " mask_intersect(array(6, 12), array(3, 10)) AS coerced").head()
+    // 6&3 = 2 (1 bit), 12&10 = 8 (1 bit)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+  }
+
   test("mask_intersect null semantics match zip_with padding") {
     import spark.implicits._
     val df = Seq(
