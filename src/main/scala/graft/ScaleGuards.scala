@@ -22,10 +22,16 @@ object ScaleGuards {
     * free: b ≤ bound div a ⟺ a·b ≤ bound for a > 0 (integer floor
     * division), zero short-circuits. Stays in integer arithmetic —
     * a double-division rewrite would be 1-ulp-wrong exactly at the
-    * boundary this exists to police. */
+    * boundary this exists to police.
+    *
+    * NULL inputs PASS: a global aggregate over zero rows yields NULL
+    * counts, and an empty corpus is trivially within every magnitude
+    * regime — without the coalesce, `assert_true(NULL)` would RAISE
+    * the overflow message on a 0-row input where the query (and its
+    * oracle) must emit its NULL degenerate row instead. */
   def productWithin(a: String, b: String, bound: Long): Column = {
     require(bound > 0, "bound must be positive")
-    expr(s"$a = 0 OR $b = 0 OR $b <= ${bound}L div $a")
+    expr(s"coalesce($a = 0 OR $b = 0 OR $b <= ${bound}L div $a, true)")
   }
 
   /** The q145 guard shape: `value` passes through when `cond` holds,

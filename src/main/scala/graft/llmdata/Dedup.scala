@@ -1101,7 +1101,17 @@ object Dedup {
         .withColumn("plen",
           (col("nw") - expr("(7 * nw + 9) div 10") + lit(1)).cast("int"))
         .withColumn("pres", expr("slice(toks, 1, plen)"))
-      val repPairs = if (f.bitmap) {
+      // mask-width seam for the fast path (the q117/VocabBitmapBudget
+      // discipline): the canonical-row shape ships BOTH masks (2 ×
+      // nBuckets longs) on every exploded prefix row through the
+      // candidate shuffle, so its payload grows with vocabulary while
+      // the dropDuplicates shape's stays slim ids. 64 buckets (vocab
+      // ≤ 4096, ≤1 KB of masks per row) keeps the payload comparable
+      // to the text row it replaced; past it, the pre-change
+      // verified + dropDuplicates shape below handles the bitmap
+      // regime too (SetSim.verified dispatches per regime).
+      val fastPathMaskBudget = 64
+      val repPairs = if (f.bitmap && f.nBuckets <= fastPathMaskBudget) {
         // fast path (decision log above): masks + prefix masks ride
         // the join rows; verify AND pair-dedup are row-local
         val sets = sized

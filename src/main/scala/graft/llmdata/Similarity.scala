@@ -501,8 +501,14 @@ object Similarity {
     * candidates provably ⊇ the exact top-k whatever the training did
     * — the q59/q108 regime, symmetric to LSH's (8,8). */
   private[llmdata] val ivfListGrid: Seq[Int] = Seq(8, 16, 32)
-  private[llmdata] def ivfProbesFor(k: Int): Seq[Int] =
-    Iterator.iterate(1)(_ * 2).takeWhile(_ <= k).toSeq
+  private[llmdata] def ivfProbesFor(k: Int): Seq[Int] = {
+    // nlists itself is ALWAYS the last row — it is the quantizer's
+    // exactness anchor, and when a small training sample collapses an
+    // effective nlists to a non-power-of-two, the powers alone would
+    // silently drop it (no anchor = no feasibility guarantee)
+    val powers = Iterator.iterate(1)(_ * 2).takeWhile(_ < k).toSeq
+    powers :+ k
+  }
 
   /** Oracle SQL stashes for q210/q211 — the q52 mechanism: the trained
     * int8 centroid literals are only known after a run, so the entries
@@ -941,7 +947,12 @@ object Similarity {
     // and the empty family's leg short-circuits to an empty plan
     val bestRow = ranked.filter(col("chosen"))
       .select(col("family"), col("p1").cast("int"), col("p2").cast("int"))
-      .collect().head
+      .collect().headOption.getOrElse(throw new IllegalStateException(
+        "q211: no config meets the 0.8 recall target on both samples " +
+          "- the exhaustive anchors guarantee feasibility whenever " +
+          "exact truth has 3 neighbors per query, so this corpus has " +
+          "fewer than 4 nonzero embeddings (recall@3 is undefined); " +
+          "nothing to tune"))
     val (bFam, bP1, bP2) =
       (bestRow.getString(0), bestRow.getInt(1), bestRow.getInt(2))
     val q2 = tunerQueryFrame(listed, quants,
@@ -2108,16 +2119,20 @@ object Similarity {
     //      within sign-LSH and IVF has its own knobs (q52/q59/q108),
     //      but nothing compared the families, so a user still guessed
     //      which index to BUILD. One priced grid: 11 LSH configs
-    //      (planes × radius) ∪ 5 IVF configs (16 trained lists ×
-    //      nprobe), recall and candidate cost measured on the SAME
-    //      100-query sample against the same exact truth, one
-    //      cross-family argmin (cheapest meeting recall ≥ 0.8 in
-    //      integer arithmetic). Both families carry their exactness
-    //      anchors — LSH (8,8) probes every bucket, IVF (16,16) every
-    //      list — so the choice is always feasible in both and the
-    //      probe machinery of each is hash-gated end-to-end. Oracle:
-    //      the trained centroids travel as int8 literals (the q52
-    //      stash), so the entry is rows-only until a run trains them. ----
+    //      (planes × radius) ∪ 15 IVF configs over THREE separately
+    //      trained quantizers (nlists ∈ {8,16,32} × nprobe), recall
+    //      and candidate cost measured on the SAME 100-query tuning
+    //      sample against the same exact truth; a config is choosable
+    //      only if it ALSO meets the target on a disjoint validation
+    //      sample (winner's-curse armor — see familyTunerParts), and
+    //      the choice is the cheapest double-meeting config in
+    //      integer arithmetic. Both families carry exactness anchors
+    //      — LSH (8,8) probes every bucket, each quantizer's
+    //      nprobe=nlists row every list — so the validated choice is
+    //      always feasible and every quantizer's probe machinery is
+    //      hash-gated end-to-end. Oracle: the trained centroids
+    //      travel as int8 literals (the q52 stash), so the entry is
+    //      rows-only until a run trains them. ----
     {
       val run = (s: SparkSession, d: String) => annFamilyTuner(s, d)
       q210OracleStash.get() match {

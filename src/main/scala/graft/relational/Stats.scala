@@ -603,7 +603,7 @@ object Stats {
         |  CAST(sum(np * cum_neg) AS BIGINT) AS conc,
         |  CAST(sum(np * nn) AS BIGINT) AS tied,
         |  CAST((2 * sum(np * cum_neg) + sum(np * nn)) * 500000
-        |    // (sum(np) * sum(nn)) AS BIGINT) AS auc_micro
+        |    // nullif(sum(np) * sum(nn), 0) AS BIGINT) AS auc_micro
         |FROM c""".stripMargin,
     ) { (s, d) =>
       val hist = Tables.documents(s, d)
@@ -625,7 +625,12 @@ object Stats {
               "(2*conc + tied)*500000 would overflow 2^63; move the " +
               "three sums to DECIMAL(38) and the division to the " +
               "q136 VARCHAR-cast route",
-            expr("(2 * conc + tied) * 500000 div (n_pos * n_neg)")
+            // single-class corpus: n_pos*n_neg = 0 passes the guard
+            // (zero short-circuit) but must emit NULL like the
+            // oracle, not an ANSI DIVIDE_BY_ZERO - the round-9 rule:
+            // zero-capable divisors carry nullif on BOTH sides
+            expr("(2 * conc + tied) * 500000 " +
+              "div nullif(n_pos * n_neg, 0)")
               .cast("long")).as("auc_micro"))
     },
 
@@ -1253,8 +1258,25 @@ object Stats {
           col("value").as("v")))
       val byV = Window.partitionBy("t").orderBy(col("v"), col("event_id"))
       val r = e.withColumn("rn", row_number().over(byV))
-      val n = e.groupBy("t").agg(count(lit(1)).as("n"))
-      val med = r.join(broadcast(n), "t")
+      // 256M rows/type: the single-task window-sort envelope (see
+      // decision log) — a skewed type past it must take the sketch
+      // route, loudly, not a silent hours-long spill sort. The guard
+      // is applied to the per-type COUNT frame that every downstream
+      // leg derives from (its broadcast stage materializes before
+      // either window-sort stage runs), NOT inside the final k column
+      // — there it was plan-order dependent: the med leg's equally
+      // sized window sort shared the broadcast subtree and could run
+      // to completion before a guard attached only to k ever fired.
+      val typeSortBudget = 256L * 1000 * 1000
+      val n = broadcast(e.groupBy("t").agg(count(lit(1)).as("n0"))
+        .select(col("t"),
+          graft.ScaleGuards.guarded(col("n0") <= typeSortBudget,
+            "q200: an event type exceeds the 256M-row window-sort " +
+              "budget - take the q86 sketch-median route for the " +
+              "median and an exactness-regime selection for the " +
+              "threshold",
+            col("n0")).as("n")))
+      val med = r.join(n, "t")
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("t"), col("v").as("med"))
       val sc = e.join(broadcast(med), "t")
@@ -1263,17 +1285,8 @@ object Stats {
       val bySc = Window.partitionBy("t").orderBy(col("sc"), col("event_id"))
       val sr = sc.withColumn("rn", row_number().over(bySc))
         .select(col("t").as("srt"), col("sc"), col("rn"))
-      // 256M rows/type: the single-task window-sort envelope (see
-      // decision log) — a skewed type past it must take the sketch
-      // route, loudly, not a silent hours-long spill sort
-      val typeSortBudget = 256L * 1000 * 1000
       val k = n.select(col("t"), col("n"),
-        graft.ScaleGuards.guarded(col("n") <= typeSortBudget,
-          "q200: an event type exceeds the 256M-row window-sort " +
-            "budget - take the q86 sketch-median route for the " +
-            "median and an exactness-regime selection for the " +
-            "threshold",
-          expr("((n + 1) * 9 + 9) div 10").cast("long")).as("k"))
+        expr("((n + 1) * 9 + 9) div 10").cast("long").as("k"))
       sr.join(broadcast(k.join(med, "t")),
           col("srt") === col("t") && col("rn") === col("k"))
         .select(col("t").as("event_type"), col("n"), col("k"),

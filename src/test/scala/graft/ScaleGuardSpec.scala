@@ -45,6 +45,21 @@ class ScaleGuardSpec extends SparkSpec {
     assert(zs, "a zero side is always within any positive bound")
   }
 
+  test("NULL counts pass the guard — an empty corpus emits its NULL row, never the overflow error") {
+    val sp = spark
+    import sp.implicits._
+    // a global aggregate over zero rows yields NULL counts; without
+    // the coalesce, assert_true(NULL) raised the overflow message on
+    // a 0-row input where the query (and its DuckDB oracle) must emit
+    // the NULL degenerate row (round-9 review finding)
+    val r = Seq((Option.empty[Long], Option.empty[Long]))
+      .toDF("x", "y")
+      .select(ScaleGuards.guarded(
+        ScaleGuards.productWithin("x", "y", 1000L),
+        "must not fire on NULL", lit(1L)).as("v")).collect()
+    assert(r(0).getLong(0) == 1L)
+  }
+
   test("q182's AUC guard: 2.5M docs/class passes, 10^7 per class fails loudly") {
     val sp = spark
     import sp.implicits._

@@ -87,6 +87,18 @@ class AnnTunerSpec extends graft.SparkSpec {
 
   // ---- q210/q211: the CROSS-family grid (round-9) ----
 
+  test("ivfProbesFor always ends at nlists — the anchor survives non-power-of-two effective list counts") {
+    // a small training sample can collapse an effective nlists to a
+    // non-power-of-two; the powers alone would then silently drop the
+    // nprobe=nlists exactness anchor (round-9 review finding)
+    for (k <- Seq(1, 2, 3, 5, 8, 20, 32)) {
+      val probes = Similarity.ivfProbesFor(k)
+      assert(probes.last == k, s"nlists=$k must anchor at nprobe=$k")
+      assert(probes == probes.distinct && probes == probes.sorted,
+        s"probe grid for $k must be strictly increasing: $probes")
+    }
+  }
+
   private def familySweep(): Array[Row] =
     SparkEntry.queries("q210_ann_family_tuner")(spark, sf).collect()
 

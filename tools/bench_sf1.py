@@ -88,7 +88,7 @@ runs = [this_run]
 if ONLY and os.path.exists(OUT):
     prev = json.load(open(OUT))
     runs = prev.get("runs", [{"queries": sorted(prev["queries"]),
-                              "reps": prev.get("protocol", "?"),
+                              "reps": prev.get("reps", "?"),
                               "load_start": prev.get("load_start"),
                               "protocol": prev.get("protocol", "unknown"),
                               "note": "pre-provenance record"}]) + runs
