@@ -155,3 +155,65 @@ object NoCommonBitBelow {
       (a.getLong(bucket) & b.getLong(bucket) & (bit - 1L)) == 0L)
   }
 }
+
+/** Canonical-triple id of the q121 pHash pair dedup:
+  * `ph_canonical_triple(x) -> int` where x = phA XOR phB over
+  * `chunks` six-bit chunks — the lexicographically smallest triple
+  * (i < j < k) of UNTOUCHED chunks (six-bit groups of x that are
+  * zero), encoded i·100 + j·10 + k to match the keyed combos. A
+  * qualifying pair (hamming ≤ 7 over 10 chunks) has ≥ 3 untouched
+  * chunks by pigeonhole, so the id is defined on every surviving row;
+  * fewer than 3 zero chunks → null (the caller filters hamming
+  * first).
+  *
+  * A kernel rather than plan arithmetic for the same reason as
+  * [[NoCommonBitBelow]], plus one more: the chained
+  * isolate-lowest-bit rendering (`zm & -zm` ladders through three
+  * withColumns) gets INLINED by CollapseProject into an exponentially
+  * duplicated expression tree — measured as a 5.6 s → 114 s stage
+  * blowup at sf1 (generated code past JIT limits falls the whole
+  * join stage back to interpreted). */
+final case class PhCanonicalTriple(child: Expression, chunks: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType && chunks > 0 && chunks <= 10)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ph_canonical_triple expects (bigint) and 1..10 chunks, got " +
+        s"(${child.dataType.simpleString}), chunks=$chunks")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // <3 zero chunks → null
+  override def prettyName: String = "ph_canonical_triple"
+
+  override protected def nullSafeEval(x: Any): Any =
+    PhCanonicalTriple.tripleId(x.asInstanceOf[Long], chunks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""java.lang.Integer ${ev.value}$$r =
+         |  graft.functions.PhCanonicalTriple.tripleId($x, $chunks);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r.intValue(); }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PhCanonicalTriple {
+  /** Static kernel shared by interpreted and generated paths. */
+  def tripleId(x: Long, chunks: Int): java.lang.Integer = {
+    var first = -1; var second = -1; var third = -1
+    var b = 0
+    while (b < chunks && third < 0) {
+      if (((x >>> (6 * b)) & 63L) == 0L) {
+        if (first < 0) first = b
+        else if (second < 0) second = b
+        else third = b
+      }
+      b += 1
+    }
+    if (third < 0) null
+    else java.lang.Integer.valueOf(first * 100 + second * 10 + third)
+  }
+}

@@ -419,13 +419,38 @@ object Multimodal {
             s"+ ${chunk("k")}))")))
         .select(col("doc_id"), col("ph"),
           col("cand.tid").as("tid"), col("cand.ck").as("ck"))
+      // CANONICAL-TRIPLE dedup (the q160 canonical-row pattern): a
+      // qualifying pair meets once per shared untouched triple — an
+      // exact duplicate meets on all C(10,3) = 120 — and the old
+      // distinct shuffled that multiplicity. The pair's untouched-
+      // chunk set is a pure function of x = aph^bph (chunk b
+      // untouched ⟺ six-bit group b of x is zero), so "is this row
+      // the pair's LOWEST shared triple" is row-local: the native
+      // PhCanonicalTriple kernel returns the lexicographically
+      // smallest untouched triple's id in one pass (a PLAN-ARITHMETIC
+      // rendering of the same ladder inlined exponentially under
+      // CollapseProject and fell the stage out of codegen — 5.6 s →
+      // 114 s at sf1; see the kernel scaladoc). hamming ≤ 7 FIRST:
+      // pigeonhole then guarantees ≥ 3 zero chunks, so the id is
+      // defined on every surviving row. Measured parity at sf1
+      // (5.5 s vs the distinct's 5.6 — this synthetic corpus is
+      // nearly dup-free, so multiplicity is small); the win is the
+      // SHAPE: on a dup-heavy corpus (web crawls run ~30 % exact
+      // dups, each meeting on all 120 triples) the distinct's
+      // shuffle volume is multiplicity-scaled while this filter
+      // stays map-side.
+      val canonical = {
+        import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+        column(graft.functions.PhCanonicalTriple(
+          expression(expr("aph ^ bph")), chunks = 10))
+      }
       keyed.toDF("a_id", "aph", "tid", "ck")
         .join(keyed.toDF("b_id", "bph", "tid", "ck"), Seq("tid", "ck"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("hamming", expr("CAST(bit_count(aph ^ bph) AS INT)"))
         .filter(col("hamming") <= 7)
+        .filter(col("tid") === canonical)
         .select("a_id", "b_id", "hamming")
-        .distinct()
         .orderBy("a_id", "b_id")
     },
   )

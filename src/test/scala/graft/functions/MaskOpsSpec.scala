@@ -87,6 +87,28 @@ class MaskOpsSpec extends SparkSpec {
     }
   }
 
+  test("ph_canonical_triple: lowest untouched triple vs a Scala reference; null under 3 zero chunks") {
+    def reference(x: Long): Option[Int] = {
+      val zeros = (0 until 10).filter(b => ((x >>> (6 * b)) & 63L) == 0L)
+      if (zeros.length < 3) None
+      else Some(zeros(0) * 100 + zeros(1) * 10 + zeros(2))
+    }
+    val rng = new scala.util.Random(42)
+    val xs = Seq(0L, 63L, 63L << 54) ++
+      // sparse xors (the hamming<=7 regime: few bits set)
+      Seq.fill(300)((0 until rng.nextInt(8)).map(_ =>
+        1L << rng.nextInt(60)).foldLeft(0L)(_ | _)) ++
+      // dense xors (null regime)
+      Seq.fill(50)(rng.nextLong() & ((1L << 60) - 1))
+    xs.foreach { x =>
+      assert(Option(PhCanonicalTriple.tripleId(x, 10))
+        .map(_.intValue()) == reference(x), s"x=$x")
+    }
+    // the keyed-combos encoding contract: tid = i*100 + j*10 + k with
+    // i<j<k over chunks 0..9 — the all-untouched pair anchors at 012
+    assert(PhCanonicalTriple.tripleId(0L, 10) == 12)
+  }
+
   test("no_common_bit_below is defensive on malformed inputs") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
