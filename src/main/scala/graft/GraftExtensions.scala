@@ -75,9 +75,21 @@ object GraftExtensions {
     new ExpressionInfo(
       classOf[graft.functions.MaskIntersect].getName, "mask_intersect"),
     (args: Seq[Expression]) => args match {
-      case Seq(a, b) => graft.functions.MaskIntersect(
-        Cast(a, ArrayType(org.apache.spark.sql.types.LongType)),
-        Cast(b, ArrayType(org.apache.spark.sql.types.LongType)))
+      case Seq(a, b) =>
+        // widen INTEGRAL arrays to array<bigint>, but DON'T cast
+        // arbitrary types: a blanket Cast would turn e.g.
+        // mask_intersect(array('x'), m) into a runtime ANSI cast error
+        // instead of MaskIntersect's analysis-time TypeCheckFailure
+        // (the lev_bounded lesson, round-9 advice). Non-integral
+        // arrays reach checkInputDataTypes as-is.
+        import org.apache.spark.sql.types._
+        def widen(e: Expression): Expression = e.dataType match {
+          case ArrayType(ByteType | ShortType | IntegerType | LongType, _) |
+               NullType =>
+            Cast(e, ArrayType(LongType))
+          case _ => e
+        }
+        graft.functions.MaskIntersect(widen(a), widen(b))
       case other => throw new IllegalArgumentException(
         s"mask_intersect expects 2 arguments, got ${other.length}")
     },

@@ -149,6 +149,13 @@ object StreamingUpsert {
       .map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
     finally os.close()
     val mf = new org.apache.hadoop.fs.Path(dir, s"manifest-${v + 1}")
+    // When the link publish fails for a reason OTHER than "loser of the
+    // race", the fallback may also fail — in that case the thrown error
+    // must carry the ORIGINAL exception as its cause, or an unrelated
+    // I/O problem (AccessDenied, disk-full — both surface as
+    // FileSystemException subtypes, same as the no-hard-links case)
+    // gets misdiagnosed as a concurrent second writer.
+    var linkFailure: Throwable = null
     val committed =
       if (fs.getUri.getScheme == "file") {
         try {
@@ -161,19 +168,31 @@ object StreamingUpsert {
           // NB: FileAlreadyExistsException extends FileSystemException —
           // the loser-case match must come first
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            // mount lacks hard links: fall back to the distributed-
-            // scheme protocol (see scaladoc)
+          case e @ (_: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException) =>
+            // mount lacks hard links (EPERM/EXDEV render as
+            // FileSystemException, indistinguishable by type from a
+            // genuine permissions/disk failure): fall back to the
+            // distributed-scheme protocol (see scaladoc), remembering
+            // the original failure for the error's cause
+            linkFailure = e
             !fs.exists(mf) && fs.rename(tmp, mf)
         }
       } else !fs.exists(mf) && fs.rename(tmp, mf)
-    if (!committed)
+    if (!committed) {
+      val detail =
+        if (linkFailure == null)
+          s"$mf already exists — a second writer committed concurrently."
+        else
+          s"link-publish of $mf threw (cause below) and the exists+rename " +
+            "fallback also failed — either a second writer committed " +
+            "concurrently, or the cause names a real I/O problem " +
+            "(permissions, disk full, read-only mount)."
       throw new IllegalStateException(
-        s"manifest commit failed: $mf already exists — a second writer " +
-          "committed concurrently. Writers must be serialized; this " +
-          "attempt's generation dirs are unreferenced garbage, safe to " +
-          "delete.")
+        s"manifest commit failed: $detail Writers must be serialized; " +
+          "this attempt's generation dirs are unreferenced garbage, safe " +
+          "to delete.", linkFailure)
+    }
   }
 
   /** Apply one micro-batch of changes. `changes` columns: `id` LONG,

@@ -45,6 +45,15 @@ class MaskOpsSpec extends SparkSpec {
         " mask_intersect(array(6, 12), array(3, 10)) AS coerced").head()
     // 6&3 = 2 (1 bit), 12&10 = 8 (1 bit)
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    // a non-integral array must FAIL AT ANALYSIS through the kernel's
+    // own type check — the round-9 blanket Cast made it a runtime ANSI
+    // cast error instead (round-9 advice)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mask_intersect(array('x'), array(1, 2))").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("mask_intersect") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"),
+      s"expected the kernel's analysis-time type failure, got: $e")
   }
 
   test("mask_intersect null semantics match zip_with padding") {
