@@ -50,8 +50,16 @@ object Similarity {
     * sample, never the corpus. Only k centroid rows (k×64 doubles) ever
     * reach the driver — an aggregate result, same class as a scalar
     * subquery, not a corpus collect. */
+  /** Count of [[trainCentroids]] invocations — the observable the
+    * tune-once/serve-many contract is pinned on: a warm-stash q211 run
+    * must leave this unchanged (AnnChoiceSpec), or training snuck back
+    * into the serve path. */
+  private[llmdata] val trainCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[llmdata] def trainCentroids(vn: DataFrame, k: Int, iters: Int,
       dim: Int): Seq[Seq[Double]] = {
+    trainCalls.incrementAndGet()
     def normalize(c: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n > 0) c.map(_ / n) else c
@@ -570,20 +578,55 @@ object Similarity {
   private def centScore(p: Column): Column =
     dot(p.getField("_1"), col("qi")) / sqrt(p.getField("_2"))
 
-  private def familyTunerParts(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Seq[IvfQuant]) = {
-    import s.implicits._
-    val dim = 64 // embeddings table contract (TESTDATA.md)
-    // one corpus frame feeds BOTH families: double view, norm, sign
-    // bucket, int8 view (zero vectors dropped — cosine undefined)
-    val e0 = graft.Caches.persist(Tables.embeddings(s, d)
+  /** The corpus frame BOTH families probe — double view, norm, sign
+    * bucket, int8 view (zero vectors dropped — cosine undefined).
+    * Shared by the tuner ([[familyTunerParts]]) and the stash-serving
+    * search ([[serveChoice]]): the two must score candidates from the
+    * same columns or tune-then-serve would not equal tune-and-serve. */
+  private def corpusFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .filter(col("mx") > 0)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("b8", signBucket(col("v")))
       .withColumn("qi",
-        transform(col("v"), x => quantizeInt8(x, col("mx")).cast("double"))))
+        transform(col("v"), x => quantizeInt8(x, col("mx")).cast("double")))
+
+  /** One quantizer's inverted-list assignment column (`cid_<idx>`):
+    * argmax = first max = smallest cid on exact ties — the oracle's
+    * ORDER BY score DESC, cid. One definition for the tuner's fold and
+    * the serve path, so a stashed choice probes the very lists a fresh
+    * sweep would have assigned. */
+  private def withListAssignment(df: DataFrame, qt: IvfQuant): DataFrame =
+    df.withColumn("sims", transform(qt.lit, p => centScore(p)))
+      .withColumn(s"cid_${qt.idx}",
+        (array_position(col("sims"), array_max(col("sims"))) - 1)
+          .cast("int"))
+      .drop("sims")
+
+  /** Cheap corpus drift fingerprint for the ANN choice artifact:
+    * (row count, order-free XOR of per-row xxhash64 digests) over the
+    * RAW embeddings table — the q118 parity-audit shape (one
+    * partial-aggregated pass, no sort, no overflow: XOR instead of an
+    * ANSI-loud SUM). Any changed/added/dropped row flips it surely;
+    * k-row drifts escape w.p. 2^-64 — non-adversarial, same regime as
+    * q118. */
+  private[llmdata] def corpusFingerprint(s: SparkSession, d: String)
+      : (Long, Long) = {
+    val r = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))
+          .as("x"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def familyTunerParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[IvfQuant]) = {
+    import s.implicits._
+    val dim = 64 // embeddings table contract (TESTDATA.md)
+    val e0 = graft.Caches.persist(corpusFrame(s, d))
     // q52's trainer on q52's knobs, once per nlists value: nlists is
     // the structural knob, so each grid value is its own quantizer.
     // Bounded deterministic sample; normalized view only on the sample
@@ -601,14 +644,8 @@ object Similarity {
     val quants = trained.foldLeft(Seq.empty[IvfQuant])((acc, t) =>
       if (acc.exists(_.nlists == t.nlists)) acc else acc :+ t)
     // list assignments once per vector, one column per quantizer
-    // (argmax = first max = smallest cid on exact ties — the oracle's
-    // ORDER BY score DESC, cid)
-    val listed = graft.Caches.persist(quants.foldLeft(e0)((df, qt) =>
-      df.withColumn("sims", transform(qt.lit, p => centScore(p)))
-        .withColumn(s"cid_${qt.idx}",
-          (array_position(col("sims"), array_max(col("sims"))) - 1)
-            .cast("int"))
-        .drop("sims")))
+    val listed = graft.Caches.persist(
+      quants.foldLeft(e0)(withListAssignment))
     // TWO disjoint query samples: tune on vec_id < 100, VALIDATE each
     // meeting config on 120–219 — the argmin over a 26-config grid is
     // upward-biased on its own sample (winner's curse: the cheapest
@@ -875,7 +912,29 @@ object Similarity {
        |    AND c.p1 = a.p1 AND c.p2 = a.p2)""".stripMargin
   }
 
-  /** q210 run body (shared with the registry entry and the spec). */
+  /** The validated cross-family choice off the ranked grid — ONE row
+    * collected (the q179/q52 bounded-collect class). Throws the
+    * feasibility error when no config clears both samples. */
+  private def chosenConfig(ranked: DataFrame): (String, Int, Int) = {
+    val bestRow = ranked.filter(col("chosen"))
+      .select(col("family"), col("p1").cast("int"), col("p2").cast("int"))
+      .collect().headOption.getOrElse(throw new IllegalStateException(
+        "ann tuner: no config meets the 0.8 recall target on both " +
+          "samples - the exhaustive anchors guarantee feasibility " +
+          "whenever exact truth has 3 neighbors per query, so this " +
+          "corpus has fewer than 4 nonzero embeddings (recall@3 is " +
+          "undefined); nothing to tune"))
+    (bestRow.getString(0), bestRow.getInt(1), bestRow.getInt(2))
+  }
+
+  /** q210 run body (shared with the registry entry and the spec).
+    * Besides returning the ranked grid, the tuner PERSISTS its
+    * validated choice to the corpus's default stash
+    * ([[AnnChoice.defaultDir]]) — tune-once/serve-many: q211 (and
+    * [[annFamilySearchFrom]]) probe from the artifact instead of
+    * re-deriving the sweep. Skip-if-fresh keeps repeated runs
+    * append-free; best-effort keeps a locked stash from failing the
+    * sweep itself (the choice is still in the returned grid). */
   private[llmdata] def annFamilyTuner(s: SparkSession, d: String)
       : DataFrame = {
     val (_, ranked, quants) = familyTunerParts(s, d)
@@ -885,6 +944,15 @@ object Similarity {
         |  sum_overlap, n_queries, n_cand, val_overlap, n_val,
         |  meets_target, val_meets, chosen
         |FROM ranked ORDER BY family, p1, p2""".stripMargin))
+    val fp = corpusFingerprint(s, d)
+    val dir = AnnChoice.defaultDir(d, fp)
+    if (!AnnChoice.read(s, dir).exists(_.matches(fp)))
+      // an infeasible corpus (<4 nonzero embeddings) simply persists
+      // nothing — the grid output still shows every row unchosen
+      scala.util.Try(chosenConfig(ranked)).foreach { case (f, p1, p2) =>
+        AnnChoice.persistBestEffort(s, dir,
+          AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants))
+      }
     ranked.select(col("family"), col("p1").cast("int").as("p1"),
         col("p2").cast("int").as("p2"), col("sum_overlap"),
         col("n_queries"), col("n_cand"), col("val_overlap"),
@@ -893,14 +961,10 @@ object Similarity {
       .orderBy("family", "p1", "p2")
   }
 
-  /** q211 run body: the cross-family winner APPLIED to the held-out
-    * query set (vec_id 100–119, disjoint from the tuning sample). The
-    * non-chosen family's leg is parameterized by an EMPTY broadcast
-    * config set — it joins to nothing and is pruned at run time, so a
-    * user pays only the winning index's probe cost. */
-  private[llmdata] def annFamilySearch(s: SparkSession, d: String)
-      : DataFrame = {
-    val (listed, ranked, quants) = familyTunerParts(s, d)
+  /** Application SQL of the q211 oracle (appended to the sweep
+    * prefix): the chosen row drives both legs' config sets, applied to
+    * the held-out query set (vec_id 100–119). */
+  private def familySearchSql(quants: Seq[IvfQuant]): String = {
     val probiCandi2 = quants.map { qt =>
       s"""probi2_${qt.idx} AS (SELECT w.p1, w.p2, s.vec_id AS q_id,
          |    s.e AS qe, s.cid
@@ -917,7 +981,7 @@ object Similarity {
     val candi2Union = quants
       .map(qt => s"SELECT * FROM candi2_${qt.idx}")
       .mkString(" UNION ALL ")
-    q211OracleStash.set(Some(familySweepSql(quants) +
+    familySweepSql(quants) +
       s""",
          |best AS (SELECT family, p1, p2 FROM ranked WHERE chosen),
          |q2 AS (SELECT vec_id AS q_id, e AS qv, b8 AS qb8 FROM v
@@ -941,26 +1005,39 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, n_id) AS rn
          |  FROM cand2)
-         |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin))
-    // the chosen row drives BOTH legs' config sets; collected once —
-    // a 1-row aggregate result (the q179/q52 bounded-collect class),
-    // and the empty family's leg short-circuits to an empty plan
-    val bestRow = ranked.filter(col("chosen"))
-      .select(col("family"), col("p1").cast("int"), col("p2").cast("int"))
-      .collect().headOption.getOrElse(throw new IllegalStateException(
-        "q211: no config meets the 0.8 recall target on both samples " +
-          "- the exhaustive anchors guarantee feasibility whenever " +
-          "exact truth has 3 neighbors per query, so this corpus has " +
-          "fewer than 4 nonzero embeddings (recall@3 is undefined); " +
-          "nothing to tune"))
-    val (bFam, bP1, bP2) =
-      (bestRow.getString(0), bestRow.getInt(1), bestRow.getInt(2))
-    val q2 = tunerQueryFrame(listed, quants,
+         |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** PROBE-ONLY application of a validated choice to the held-out
+    * query set (vec_id 100–119, disjoint from the tuning sample): no
+    * training, no sweep, no ground truth — the production serve path.
+    * The corpus is scanned once into [[corpusFrame]] plus (IVF only)
+    * the ONE winning quantizer's list assignment; the loser family's
+    * leg is parameterized by an EMPTY config set — it joins to nothing
+    * and is pruned at run time, so a user pays only the winning
+    * index's probe cost. Candidate generation and ranking are the very
+    * expressions the tuner's application leg used ([[familyCandidates]]
+    * / [[withListAssignment]]), so serving a stashed choice is
+    * bit-identical to serving a fresh sweep's. */
+  private def serveChoice(s: SparkSession, d: String, family: String,
+      p1: Int, p2: Int, quants: Seq[IvfQuant]): DataFrame = {
+    val e0 = corpusFrame(s, d)
+    val (corpus, usedQuants, lshCfgs, ivfCfgs) =
+      if (family == "lsh")
+        (e0, Seq.empty[IvfQuant], Seq((p1, p2)), Seq.empty[(Int, Int)])
+      else {
+        val qt = quants.find(_.nlists == p1).getOrElse(
+          throw new IllegalStateException(
+            s"ann choice artifact chose ivf nlists=$p1 but carries no " +
+              "such quantizer — the artifact is internally inconsistent; " +
+              "re-run the tuner"))
+        (withListAssignment(e0, qt), Seq(qt), Seq.empty[(Int, Int)],
+          Seq((qt.idx, p2)))
+      }
+    val listed = graft.Caches.persist(corpus)
+    val q2 = tunerQueryFrame(listed, usedQuants,
       col("vec_id") >= 100 && col("vec_id") < 120)
-    val cand2 = familyCandidates(q2, listed, quants,
-      lshCfgs = if (bFam == "lsh") Seq((bP1, bP2)) else Nil,
-      ivfCfgs = if (bFam == "ivf")
-        Seq((quants.find(_.nlists == bP1).get.idx, bP2)) else Nil)
+    val cand2 = familyCandidates(q2, listed, usedQuants, lshCfgs, ivfCfgs)
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("n_id"))
     cand2.withColumn("rn", row_number().over(rankW))
@@ -969,6 +1046,81 @@ object Similarity {
         col("n_id"), col("family"), col("p1").cast("int").as("p1"),
         col("p2").cast("int").as("p2"))
       .orderBy("q_id", "rank")
+  }
+
+  /** q211 run body — tune-once/serve-many. Reads the corpus's default
+    * choice stash ([[AnnChoice.defaultDir]], keyed by format version +
+    * path + fingerprint so a regenerated corpus or changed sweep maps
+    * to a FRESH dir — the auto path can never read stale): a hit
+    * serves probe-only ([[serveChoice]]); a miss runs the sweep ONCE,
+    * persists its validated choice, and serves — self-contained cold
+    * start, warm every run after. Through round 9 this body re-derived
+    * the entire sweep (3 trained quantizers, 26 configs, validation)
+    * on EVERY execution — the registry's most expensive query at both
+    * scale factors; the stash turns it into a probe. */
+  private[llmdata] def annFamilySearch(s: SparkSession, d: String)
+      : DataFrame = {
+    val fp = corpusFingerprint(s, d)
+    val dir = AnnChoice.defaultDir(d, fp)
+    val art = AnnChoice.read(s, dir).filter(_.matches(fp)).getOrElse {
+      val (_, ranked, quants) = familyTunerParts(s, d)
+      val (f, p1, p2) = chosenConfig(ranked)
+      val a = AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants)
+      AnnChoice.persistBestEffort(s, dir, a)
+      a
+    }
+    // the oracle replays the whole sweep from the artifact's centroid
+    // literals — training is deterministic, so stashed quants are the
+    // quants a fresh sweep would train
+    q211OracleStash.set(Some(familySearchSql(art.quants)))
+    serveChoice(s, d, art.family, art.p1, art.p2, art.quants)
+  }
+
+  /** Tune-once production entry: run the cross-family sweep against
+    * `d`, persist the validated choice (plus every trained quantizer
+    * and the corpus fingerprint) to `stashDir` through the AppendLog
+    * manifest protocol, and return the ranked grid. Unlike the
+    * registry path this REQUIRES the persist to land — a locked stash
+    * fails loudly (concurrent tuners must serialize). */
+  def annFamilyTunePersist(s: SparkSession, d: String, stashDir: String)
+      : DataFrame = {
+    val (_, ranked, quants) = familyTunerParts(s, d)
+    val fp = corpusFingerprint(s, d)
+    val (f, p1, p2) = chosenConfig(ranked)
+    AnnChoice.persist(s, stashDir,
+      AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants))
+    ranked.select(col("family"), col("p1").cast("int").as("p1"),
+        col("p2").cast("int").as("p2"), col("sum_overlap"),
+        col("n_queries"), col("n_cand"), col("val_overlap"),
+        col("n_val"), col("meets_target"), col("val_meets"),
+        col("chosen"))
+      .orderBy("family", "p1", "p2")
+  }
+
+  /** Serve-many production entry: probe `d`'s held-out queries with
+    * the choice persisted at `stashDir`. REFUSES loudly when the stash
+    * is absent (tune first) or when the corpus fingerprint no longer
+    * matches the one the choice was tuned on — the q136 drift-audit
+    * direction: silently applying an index config tuned on a drifted
+    * corpus under-recalls with no error anywhere. */
+  def annFamilySearchFrom(s: SparkSession, d: String, stashDir: String)
+      : DataFrame = {
+    val fp = corpusFingerprint(s, d)
+    AnnChoice.read(s, stashDir) match {
+      case None => throw new IllegalStateException(
+        s"no ANN choice artifact at $stashDir — run " +
+          "annFamilyTunePersist against this corpus first " +
+          "(tune-once/serve-many)")
+      case Some(a) if !a.matches(fp) => throw new IllegalStateException(
+        s"stale ANN choice artifact at $stashDir: tuned on corpus " +
+          s"fingerprint (count=${a.fpCount}, xor=${a.fpXor}) but this " +
+          s"corpus fingerprints (count=${fp._1}, xor=${fp._2}) — the " +
+          "corpus drifted since tuning, and a config tuned on the old " +
+          "distribution may silently under-recall. Re-run " +
+          "annFamilyTunePersist (the artifact appends; readers take " +
+          "the latest).")
+      case Some(a) => serveChoice(s, d, a.family, a.p1, a.p2, a.quants)
+    }
   }
 
   // `def`, not `val`: the q52 entry upgrades from rows-only to a full

@@ -757,10 +757,22 @@ class PlanSpec extends SparkSpec {
         "and the exact-truth scan)")
   }
 
-  test("q211: only the winning family's leg survives; probes broadcast") {
+  test("q211: only the winning family's leg survives; probes broadcast; no sweep in the serve plan") {
     val p = planOf(SparkEntry.queries("q211_ann_family_search")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
       "the winner's probe table must broadcast against the corpus leg")
     assert(!p.contains("CartesianProduct"))
+    // tune-once/serve-many (round-10): the serve plan reads the
+    // persisted choice, so AT MOST the winning quantizer's assignment
+    // and ranked-list columns may appear — a second quantizer's cid_<i>
+    // in the plan means the sweep's 3-quantizer corpus frame leaked
+    // back into the serve path (training itself is eager/driver-side;
+    // AnnChoiceSpec pins zero trainCentroids calls on a warm stash)
+    def distinctIdx(prefix: String) =
+      s"$prefix(\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(distinctIdx("cid_").size <= 1,
+      "serve plan must assign at most the winning quantizer's lists")
+    assert(distinctIdx("rankedLists_").size <= 1,
+      "serve plan must rank at most the winning quantizer's lists")
   }
 }
