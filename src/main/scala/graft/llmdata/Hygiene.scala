@@ -31,7 +31,7 @@ object Hygiene {
 
   /** q50's deterministic split bucket: md5(doc_id) is stable across
     * runs/engines/cluster sizes — never rand(). */
-  private def bucket: Column =
+  private[llmdata] def bucket: Column =
     conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("long") % 10
 
@@ -599,7 +599,10 @@ object Hygiene {
     //      exact side counts (overflow-free via integer division) and
     //      fails loudly past it. A KS test is statistically saturated
     //      long before either bound, so the 100 TB route is a bounded
-    //      per-split sample feeding this same plan. Argmax
+    //      per-split sample feeding this same plan — ROUTE-SWITCHED
+    //      since round 10 (see [[KsDrift]]): auto takes the exact
+    //      route inside the regime and the deterministic stride sample
+    //      past it, the q171/Rfm discipline. Argmax
     //      tie-break: smallest length achieving the max. ----
     Q(
       "q198_ks_split_drift",
@@ -626,42 +629,7 @@ object Hygiene {
         |    AS BIGINT) AS ks_micro,
         |  m.d_num, am.at_value, n.n_tr AS n_train, n.n_te AS n_test
         |FROM m, n, am""".stripMargin,
-    ) { (s, d) =>
-      val b = Tables.documents(s, d)
-        .select(col("n_chars").as("v"), bucket.as("bucket"))
-      val f = graft.Caches.persist(
-        b.filter(col("bucket") < 8 || col("bucket") === 9)
-          .groupBy("v")
-          .agg(count(when(col("bucket") < 8, 1)).as("f_tr"),
-            count(when(col("bucket") === 9, 1)).as("f_te")))
-      val n = f.agg(
-        coalesce(sum("f_tr"), lit(0L)).cast("long").as("n_tr"),
-        coalesce(sum("f_te"), lit(0L)).cast("long").as("n_te"))
-      // length-domain cumulative: the unpartitioned window runs on the
-      // collapsed value domain, never the corpus
-      val c = f.select(col("v"),
-        sum("f_tr").over(Window.orderBy("v")).cast("long").as("c_tr"),
-        sum("f_te").over(Window.orderBy("v")).cast("long").as("c_te"))
-      val dd = graft.Caches.persist(c.crossJoin(broadcast(n))
-        .select(col("v"),
-          abs(col("c_tr") * col("n_te") - col("c_te") * col("n_tr"))
-            .as("dnum")))
-      val m = dd.agg(max("dnum").cast("long").as("d_num"))
-      val am = dd.join(broadcast(m), col("dnum") === col("d_num"))
-        .agg(min("v").cast("long").as("at_value"))
-      m.crossJoin(broadcast(n)).crossJoin(broadcast(am))
-        .select(
-          graft.ScaleGuards.guarded(
-            graft.ScaleGuards.productWithin("n_tr", "n_te",
-              Long.MaxValue / 1000000L),
-            "q198: n_tr*n_te exceeds the cross-multiplied micro " +
-              "regime - d_num*10^6 would overflow 2^63; feed a " +
-              "bounded per-split sample through this same plan",
-            expr("d_num * 1000000 div nullif(n_tr * n_te, 0)")
-              .cast("long")).as("ks_micro"),
-          col("d_num"), col("at_value"),
-          col("n_tr").as("n_train"), col("n_te").as("n_test"))
-    },
+    ) { (s, d) => KsDrift.drift(Tables.documents(s, d)) },
 
     // ---- q202: per-decile quantile drift between the q50 train/test
     //      splits — q198's KS answers IF the split moved the length
@@ -728,4 +696,132 @@ object Hygiene {
         .orderBy("decile")
     },
   )
+}
+
+/** KS split-drift with a scale-aware route switch — the round-10
+  * closure of the round-9 verdict item "implement, don't just guard,
+  * the q198 envelope": past the cross-multiplied micro regime
+  * (n_tr·n_te > 2⁶³/10⁶, ~3·10⁹ docs per side) the query now SWITCHES
+  * to the documented bounded per-split sample instead of stopping at
+  * the loud guard (which stays, for the exact route's own protection —
+  * the q171/[[graft.relational.Rfm]] discipline).
+  *
+  * Two routes through ONE fold ([[ksFold]] — grouped length-domain
+  * counts → cumulative window on the collapsed domain → integer
+  * cross-multiplied argmax):
+  *
+  *  - '''exact''': every split row. Identical to the round-9 plan.
+  *  - '''sample''': a DETERMINISTIC per-split stride sample
+  *    (`pmod(doc_id, stride) = 0`, stride = ⌈n_side/budget⌉ — never
+  *    `rand()`, so runs/engines/retries agree) of ≤ ~[[SampleBudget]]
+  *    rows per side feeds the same fold. With the default 2²⁰ budget
+  *    the sampled product is ~2⁴⁰ ≪ 2⁶³/10⁶, so the guard passes by
+  *    construction. The output's n_train/n_test report the SAMPLE
+  *    sizes — the record says what was measured, never pretends the
+  *    sample was the corpus. Statistical price (public literature,
+  *    DKW inequality): a 2²⁰-row-per-side two-sample KS resolves
+  *    distribution distance to ~±0.002 at 99% confidence — drift
+  *    detection, which is the query's purpose, saturates far below
+  *    the switch point.
+  *
+  * Equality contract (KsRouteSpec): with budget ≥ both side counts the
+  * stride degenerates to 1 and the sample route IS the exact route —
+  * pinned row-identical; the sub-budget sample is pinned deterministic
+  * and direction-correct on a synthetic shifted split.
+  *
+  * Switch: "auto" counts the two sides (one aggregate over the
+  * persisted split rows — a 1-row driver scalar) and takes the exact
+  * route while n_tr·n_te fits the micro regime (overflow-free integer
+  * test), the sample route past it. */
+object KsDrift {
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-split row budget of the sample route. */
+  val SampleBudget: Long = 1L << 20
+
+  /** The cross-multiplied micro regime both the guard and the auto
+    * switch test: n_tr·n_te ≤ 2⁶³/10⁶. */
+  val MicroBound: Long = Long.MaxValue / 1000000L
+
+  /** Split rows: (doc_id, v = n_chars, is_tr) for the train (buckets
+    * 0–7) and test (bucket 9) splits — q50's md5 bucketing. */
+  def splitRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars").as("v"),
+        Hygiene.bucket.as("bucket"))
+      .filter(col("bucket") < 8 || col("bucket") === 9)
+      .select(col("doc_id"), col("v"), (col("bucket") < 8).as("is_tr"))
+
+  /** The KS fold both routes share: length-domain grouped counts, the
+    * cumulative window on the collapsed domain (the q153 discipline —
+    * bounded by the longest doc, never the corpus), and the integer
+    * cross-multiplied statistic with its in-plan regime guard. */
+  def ksFold(rows: DataFrame): DataFrame = {
+    val f = graft.Caches.persist(rows.groupBy("v")
+      .agg(count(when(col("is_tr"), 1)).as("f_tr"),
+        count(when(!col("is_tr"), 1)).as("f_te")))
+    val n = f.agg(
+      coalesce(sum("f_tr"), lit(0L)).cast("long").as("n_tr"),
+      coalesce(sum("f_te"), lit(0L)).cast("long").as("n_te"))
+    val c = f.select(col("v"),
+      sum("f_tr").over(Window.orderBy("v")).cast("long").as("c_tr"),
+      sum("f_te").over(Window.orderBy("v")).cast("long").as("c_te"))
+    val dd = graft.Caches.persist(c.crossJoin(broadcast(n))
+      .select(col("v"),
+        abs(col("c_tr") * col("n_te") - col("c_te") * col("n_tr"))
+          .as("dnum")))
+    val m = dd.agg(max("dnum").cast("long").as("d_num"))
+    val am = dd.join(broadcast(m), col("dnum") === col("d_num"))
+      .agg(min("v").cast("long").as("at_value"))
+    m.crossJoin(broadcast(n)).crossJoin(broadcast(am))
+      .select(
+        graft.ScaleGuards.guarded(
+          graft.ScaleGuards.productWithin("n_tr", "n_te", MicroBound),
+          "q198: n_tr*n_te exceeds the cross-multiplied micro " +
+            "regime - d_num*10^6 would overflow 2^63; the sample " +
+            "route (KsDrift.drift route=auto switches for you) feeds " +
+            "a bounded per-split sample through this same plan",
+          expr("d_num * 1000000 div nullif(n_tr * n_te, 0)")
+            .cast("long")).as("ks_micro"),
+        col("d_num"), col("at_value"),
+        col("n_tr").as("n_train"), col("n_te").as("n_test"))
+  }
+
+  /** Deterministic per-split stride sample: ≤ ~`budget` rows per side,
+    * stride = ⌈n_side/budget⌉ over doc_id (id-stride — the
+    * trainCentroids sampling discipline; doc ids carry no length
+    * information, so the stride is unbiased for the v distribution).
+    * A budget at or above both side counts degenerates to stride 1 =
+    * the identity (the route-equality regime). */
+  def sampled(rows: DataFrame, budget: Long = SampleBudget): DataFrame = {
+    require(budget > 0, "sample budget must be positive")
+    val cnt = rows.groupBy("is_tr").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    def strideOf(n: Long): Long = math.max(1L, (n + budget - 1L) / budget)
+    val (sTr, sTe) =
+      (strideOf(cnt.getOrElse(true, 0L)), strideOf(cnt.getOrElse(false, 0L)))
+    rows.filter(
+      (col("is_tr") && pmod(col("doc_id"), lit(sTr)) === 0) ||
+        (!col("is_tr") && pmod(col("doc_id"), lit(sTe)) === 0))
+  }
+
+  /** q198's entry point: route ∈ auto | exact | sample. */
+  def drift(docs: DataFrame, route: String = "auto"): DataFrame = {
+    val rows = graft.Caches.persist(splitRows(docs))
+    val chosen = route match {
+      case "exact" | "sample" => route
+      case "auto" =>
+        val r = rows.agg(
+          coalesce(sum(when(col("is_tr"), 1L)), lit(0L)).as("n_tr"),
+          coalesce(sum(when(!col("is_tr"), 1L)), lit(0L)).as("n_te"))
+          .head()
+        val (nTr, nTe) = (r.getLong(0), r.getLong(1))
+        // overflow-free a·b ≤ bound (the ScaleGuards.productWithin
+        // identity, driver-side)
+        val within = nTr == 0L || nTe == 0L || nTe <= MicroBound / nTr
+        if (within) "exact" else "sample"
+      case other =>
+        throw new IllegalArgumentException(s"unknown KS route: $other")
+    }
+    if (chosen == "exact") ksFold(rows) else ksFold(sampled(rows))
+  }
 }
