@@ -23,10 +23,12 @@ import graft.{Q, Tables}
   *
   * At 100 TB the catalog is entity-cardinality (≪ records) and
   * broadcasts; the block join's hazard is HOT BLOCKS (a token prefix
-  * shared by half the catalog). The production mitigations — cap or
-  * drop blocks above a size budget, or salt the hot keys (q29's
-  * device) — are not needed here because the blocking domain is
-  * bounded, but the seam is the same block-size audit q117 runs.
+  * shared by half the catalog). Since round 10 the mitigation is
+  * WIRED, not just audited: q170's per-block pair budget feeds
+  * [[Linkage.blockedCandidates]], which salts any block past
+  * [[Linkage.PairBudget]] (dirty side sharded, catalog side
+  * replicated — the Dedup.saltedPairs device) and degenerates to the
+  * plain join everywhere else; q144 routes through it.
   *
   * The dirty feed is derived deterministically from `part` (word swap /
   * char drop at head and tail / suffix append, keyed on the record id)
@@ -38,6 +40,59 @@ import graft.{Q, Tables}
   * visible).
   */
 object Linkage {
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-(block, salt) pair budget of the candidate join — q170's
+    * measured per-block pair count, wired into q144 (round-10: the
+    * audit now FEEDS the join instead of just describing it). 2²²
+    * pairs ≈ one task's comfortable verify workload (the q38
+    * targetPerBlock discipline applied to candidate pairs). */
+  val PairBudget: Long = 1L << 22
+
+  /** Blocking join with the hot-block budget enforced: blocks whose
+    * dirty×catalog pair count exceeds `pairBudget` are SPLIT — the
+    * dirty side salts into fd = ⌈nd / max(1, budget div nc)⌉ shards
+    * (pmod on the record id, [[Dedup]].saltedPairs' device) and the
+    * catalog side replicates to every shard — so a pathological block
+    * (a token prefix shared by half the catalog) spreads over fd
+    * shuffle keys instead of hot-spotting one task. Within-budget
+    * blocks get fd = 1: the salt column is constant and the join
+    * degenerates to the plain blocking join — no overhead where the
+    * audit says none is needed.
+    *
+    * Per-key pair bound: ⌈nd/fd⌉·nc ≤ (budget div nc)·nc ≤ budget
+    * whenever nc ≤ budget (pmod spreads a block's record ids
+    * near-uniformly; the spec pins the bound exactly on sequential
+    * ids). A single block whose CATALOG side alone exceeds the budget
+    * bounds at nc — one dirty row must meet all nc entities somewhere,
+    * so nc is that block's irreducible per-key floor (splitting the
+    * catalog side too would shrink tasks but not the row's total
+    * work).
+    *
+    * The salt-factor frame is block-domain (bounded: distinct token
+    * 3-prefixes) and broadcasts; each dirty/catalog row meets its
+    * block's factor map-side. A (record, entity) pair sharing k blocks
+    * still meets exactly k times (the dirty row's salt is a function
+    * of (blk, record_id)) — downstream `distinct()` semantics are
+    * unchanged from the plain join. */
+  private[llmdata] def blockedCandidates(db: DataFrame, cb: DataFrame,
+      pairBudget: Long): DataFrame = {
+    require(pairBudget > 0, "pair budget must be positive")
+    // q170's per-block audit sizes, feeding the join they audit
+    val dsz = db.groupBy("blk").agg(count(lit(1)).as("nd"))
+    val csz = cb.groupBy("blk").agg(count(lit(1)).as("nc"))
+    val factors = broadcast(dsz.join(csz, "blk")
+      .select(col("blk"),
+        expr(s"(nd + greatest(1L, ${pairBudget}L div nc) - 1) div " +
+          s"greatest(1L, ${pairBudget}L div nc)").as("fd")))
+    val dbs = db.join(factors, "blk")
+      .withColumn("salt", pmod(col("record_id"), col("fd")))
+      .drop("fd")
+    val cbs = cb.join(factors, "blk")
+      .withColumn("salt", explode(sequence(lit(0L), col("fd") - 1L)))
+      .drop("fd")
+    dbs.join(cbs, Seq("blk", "salt"))
+  }
 
   val qs: Seq[Q] = Seq(
     // ---- q144: catalog entity resolution — blocked fuzzy best-match
@@ -99,7 +154,7 @@ object Linkage {
         .distinct()
       val w = Window.partitionBy("record_id")
         .orderBy(col("dist"), col("entity_id"))
-      db.join(broadcast(cb), Seq("blk"))
+      blockedCandidates(db, cb, PairBudget)
         .select("record_id", "dname", "true_name", "entity_id", "name")
         .distinct()
         .withColumn("dist", levenshtein(col("dname"), col("name")))
