@@ -17,7 +17,7 @@ queries and MERGES their timings into an existing outJson (keeping the
 other entries) - the incremental path for benching newly added queries
 without re-running the whole registry.
 """
-import json, subprocess, sys, os
+import json, subprocess, sys, os, time
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_SF1.json"
@@ -48,16 +48,55 @@ groups = [[n] for n in sorted(SOLO & set(all_q))] + \
 
 # idle gate ONCE at script start: between chunks the 1-min loadavg is
 # dominated by the PREVIOUS chunk's decayed spike (stale metric, the
-# CPUs are actually free the moment its JVM exits), so the per-chunk
-# sentinel threshold is relaxed to true oversubscription (load > ncpu)
-# and the honest contention check is this start-of-run sample.
+# CPUs are actually free the moment its JVM exits), so the loadavg
+# sentinel stays a start-of-run check only.
 load_start = os.getloadavg()[0]
 if load_start > 2.0:
     print(f"WARNING: starting with load {load_start:.1f} > 2 - "
           "timings will be contended; drain the box first")
 
-merged, total = {}, 0.0
+
+def cpu_busy_frac(interval=1.0):
+    """Instantaneous whole-box busy fraction from /proc/stat - the
+    per-chunk idle signal loadavg cannot be (see above)."""
+    def snap():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v), v[3] + v[4]  # total, idle+iowait
+    t0, i0 = snap()
+    time.sleep(interval)
+    t1, i1 = snap()
+    return 0.0 if t1 == t0 else 1.0 - (i1 - i0) / (t1 - t0)
+
+
+# Per-chunk idle gate (round-10, closing the round-9 q121 finding: one
+# chunk ran warm — provenance said load_start 4.44 — and its 6.09 s
+# entry overstated a 5.5 s query). Nothing of OURS runs between chunks,
+# so any busy CPU now is external contention: wait for it to drain
+# (bounded), and if it never does, REFUSE the chunk — an old entry or a
+# hole is honest, a warm number is not.
+BUSY_MAX = float(os.environ.get("SF1_BUSY_MAX", "0.15"))
+BUSY_TRIES = int(os.environ.get("SF1_BUSY_TRIES", "18"))
+
+merged, total, chunk_prov = {}, 0.0, []
 for g in groups:
+    busy = cpu_busy_frac()
+    tries = 0
+    while busy > BUSY_MAX and tries < BUSY_TRIES:
+        print(f"  box busy ({busy:.2f} > {BUSY_MAX}) before chunk "
+              f"{g[0]} - waiting for drain ({tries + 1}/{BUSY_TRIES})")
+        time.sleep(10)
+        busy = cpu_busy_frac()
+        tries += 1
+    if busy > BUSY_MAX:
+        print(f"chunk REFUSED (box busy {busy:.2f} after "
+              f"{BUSY_TRIES} waits): {g[0]}..({len(g)}) - existing "
+              "entries for these queries are kept, warm ones are not "
+              "recorded")
+        chunk_prov.append({"head": g[0], "n": len(g),
+                           "busy_frac": round(busy, 3),
+                           "refused": True})
+        continue
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_REPS=REPS,
                SPARK_GRAFT_ONLY=",".join(g),
                SPARK_GRAFT_LOAD_MAX=str(os.cpu_count() + 1),
@@ -74,7 +113,11 @@ for g in groups:
     rec = json.loads(line[-1])
     merged.update(rec["queries"])
     total += rec["value"]
-    print(f"chunk {g[0]}..({len(g)}): {rec['value']:.1f} s")
+    chunk_prov.append({"head": g[0], "n": len(g),
+                       "busy_frac": round(busy, 3),
+                       "sec": round(rec["value"], 2)})
+    print(f"chunk {g[0]}..({len(g)}): {rec['value']:.1f} s "
+          f"(pre-chunk busy {busy:.2f})")
 
 # Per-run provenance: an incremental ONLY merge must not stamp entries
 # measured under an older protocol / a loaded box with the latest run's
@@ -83,7 +126,10 @@ for g in groups:
 # `protocol`/`load_start` describe only the LATEST run.
 this_run = {"queries": sorted(merged), "reps": REPS,
             "load_start": load_start,
-            "protocol": "chunked fresh JVMs (heavy solo), min-of-reps"}
+            "chunks": chunk_prov,
+            "protocol": "chunked fresh JVMs (heavy solo), min-of-reps, "
+                        "per-chunk idle gate (busy_frac <= "
+                        f"{BUSY_MAX}, refuse-when-warm)"}
 runs = [this_run]
 if ONLY and os.path.exists(OUT):
     prev = json.load(open(OUT))
