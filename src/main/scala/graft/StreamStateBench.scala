@@ -75,12 +75,46 @@ object StreamStateBench {
       (0L until n.toLong).map(i => (i, text(i)))
         .grouped((n + nBatches - 1) / nBatches).toSeq
 
+    // SPARK_GRAFT_PROJECTION_ONLY: time just the stateless minhash+band
+    // projection (batch mode, no state, no sink) over the same docs —
+    // the decomposition that says whether the twin's cost is the
+    // signature hashing or the stateful machinery
+    if (sys.env.contains("SPARK_GRAFT_PROJECTION_ONLY")) {
+      // repartition: a local Seq is a 1-slice LocalRelation, which
+      // would measure single-core hashing; a real source (Kafka, files)
+      // arrives partitioned, so the bench emulates that
+      val docs = spark.createDataset(batches.flatten)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING))
+        .toDF("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingDedup.bands(docs).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = secs.min
+      println(s"""{"metric":"stream_dedup_projection_rows_per_sec",""" +
+        s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
+        s""""seconds":${math.round(sec * 1000) / 1000.0},"reps":$reps}""")
+      spark.stop()
+      return
+    }
+
     val runs = (1 to reps).map { rep =>
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"ssb-ckpt-$rep-").toString
       val in = MemoryStream[(Long, String)](spark)
+      // repartition before the projection: MemoryStream delivers each
+      // addData block as ONE partition, which would serialize the
+      // signature hashing on a single core — a production source
+      // (Kafka topic partitions, file splits) arrives partitioned, so
+      // the bench emulates that; the exchange is part of the measured
+      // price, as it would be behind a 1-partition topic too
       val cands = graft.streaming.StreamingDedup.candidatesForDocs(
-        in.toDF().toDF("doc_id", "text"))
+        in.toDF().toDF("doc_id", "text")
+          .repartition(spark.sparkContext.defaultParallelism))
       val q = cands.writeStream
         .format("memory").queryName(s"ssb_out_$rep")
         .outputMode("append")

@@ -114,11 +114,31 @@ object StreamingDedup {
   /** Minhash signatures + band keys for a (doc_id, text) frame —
     * batch or streaming; stateless, shuffle-free projections only.
     *
-    * The per-token md5 runs inside a higher-order `transform`
-    * (interpreted, not codegen) — acceptable here because the
-    * streaming path is per-arriving-row, not a corpus scan; the batch
-    * corpus pass stays on q29's aggregation rendering. */
+    * Since round 10 the signature rides the native codegen'd
+    * [[graft.functions.MinhashBands]] kernel: the previous per-token
+    * md5 inside a higher-order `transform` was CodegenFallback (one
+    * boxed lambda call per token × permutation) and StreamStateBench
+    * measured it as 88% of the twin's per-row cost. Signature and
+    * band definitions are BIT-IDENTICAL to q29's (MinhashBandsSpec
+    * pins kernel ≡ HOF element-for-element), so the batch/stream and
+    * candidates-parity contracts are unchanged. */
   def bands(docs: DataFrame): Dataset[DocBand] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val sb = column(graft.functions.MinhashBands(
+      expression(array_distinct(split(col("text"), " ")))))
+    docs
+      .select(col("doc_id"), sb.as("sb"))
+      .select(col("doc_id"),
+        slice(col("sb"), 1, NPerm).as("sig"),
+        explode(slice(col("sb"), NPerm + 1, 2)).as("band"))
+      .as[DocBand]
+  }
+
+  /** The pre-kernel HOF rendering, kept as the parity REFERENCE the
+    * spec checks the kernel against (one definition of "correct" that
+    * is independent of the kernel's code). Not used on any hot path. */
+  private[graft] def bandsReference(docs: DataFrame): Dataset[DocBand] = {
     import docs.sparkSession.implicits._
     val sigs = (0 until NPerm).map(i =>
       array_min(transform(col("ts"), w => md5(concat(w, lit("#" + i)))))
