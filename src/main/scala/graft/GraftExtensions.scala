@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.spikeScoreFn)
     e.injectFunction(GraftExtensions.vecDotFn)
     e.injectFunction(GraftExtensions.maskIntersectFn)
+    e.injectFunction(GraftExtensions.minhashBandsFn)
     e.injectFunction(GraftExtensions.rollingFpFn)
     e.injectFunction(GraftExtensions.levBoundedFn)
     GraftExtensions.aggregatorFns.foreach(e.injectFunction)
@@ -92,6 +93,22 @@ object GraftExtensions {
         graft.functions.MaskIntersect(widen(a), widen(b))
       case other => throw new IllegalArgumentException(
         s"mask_intersect expects 2 arguments, got ${other.length}")
+    },
+  )
+
+  val minhashBandsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(
+      classOf[graft.functions.MinhashBands].getName, "minhash_bands"),
+    (args: Seq[Expression]) => args match {
+      case Seq(ts) =>
+        // no coercion: a non-array<string> argument reaches
+        // checkInputDataTypes as-is and fails AT ANALYSIS (the
+        // lev_bounded / mask_intersect discipline — never a runtime
+        // ANSI cast error)
+        graft.functions.MinhashBands(ts)
+      case other => throw new IllegalArgumentException(
+        s"minhash_bands expects 1 argument, got ${other.length}")
     },
   )
 
@@ -197,8 +214,8 @@ object GraftExtensions {
     * extensions config. Idempotent (re-registration replaces with the
     * same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    (Seq(spikeScoreFn, vecDotFn, maskIntersectFn, rollingFpFn,
-        levBoundedFn) ++
+    (Seq(spikeScoreFn, vecDotFn, maskIntersectFn, minhashBandsFn,
+        rollingFpFn, levBoundedFn) ++
         aggregatorFns).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -86,4 +86,16 @@ class MinhashBandsSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("minhash_bands") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("minhash_bands is registered as a SQL function; wrong types fail at analysis") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_bands(array('a', 'b')) AS mb").head().getSeq[String](0)
+    assert(r.length == 10 && r == kernelRow(Seq("a", "b")))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_bands(array(1, 2))").head()
+    }
+    assert(e.getMessage.contains("minhash_bands") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
