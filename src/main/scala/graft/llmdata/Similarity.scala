@@ -583,7 +583,7 @@ object Similarity {
     * Shared by the tuner ([[familyTunerParts]]) and the stash-serving
     * search ([[serveChoice]]): the two must score candidates from the
     * same columns or tune-then-serve would not equal tune-and-serve. */
-  private def corpusFrame(s: SparkSession, d: String): DataFrame =
+  private[llmdata] def corpusFrame(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
@@ -598,7 +598,7 @@ object Similarity {
     * ORDER BY score DESC, cid. One definition for the tuner's fold and
     * the serve path, so a stashed choice probes the very lists a fresh
     * sweep would have assigned. */
-  private def withListAssignment(df: DataFrame, qt: IvfQuant): DataFrame =
+  private[llmdata] def withListAssignment(df: DataFrame, qt: IvfQuant): DataFrame =
     df.withColumn("sims", transform(qt.lit, p => centScore(p)))
       .withColumn(s"cid_${qt.idx}",
         (array_position(col("sims"), array_max(col("sims"))) - 1)
@@ -1019,7 +1019,7 @@ object Similarity {
     * expressions the tuner's application leg used ([[familyCandidates]]
     * / [[withListAssignment]]), so serving a stashed choice is
     * bit-identical to serving a fresh sweep's. */
-  private def serveChoice(s: SparkSession, d: String, family: String,
+  private[llmdata] def serveChoice(s: SparkSession, d: String, family: String,
       p1: Int, p2: Int, quants: Seq[IvfQuant]): DataFrame = {
     val e0 = corpusFrame(s, d)
     val (corpus, usedQuants, lshCfgs, ivfCfgs) =

@@ -1,0 +1,96 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+/** Gates for the persisted inverted-list ANN index (round-10): serving
+  * from the materialized lists must be ROW-IDENTICAL to the
+  * fresh-assignment serve for both families, ingest must be
+  * batch-count-invariant, and the two integrity gates (coverage,
+  * choice consistency) must refuse loudly — an index silently missing
+  * vectors is a recall hole no caller can see. */
+class AnnIndexSpec extends graft.SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("ann-index-spec-").toString
+
+  private def raw() = graft.Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"))
+
+  // one real tune (persisted to its own stash) supplies real quants +
+  // the real validated choice; individual tests force families off it
+  private lazy val stash: String = {
+    val dir = tempDir()
+    Similarity.annFamilyTunePersist(spark, sf, dir)
+    dir
+  }
+  private lazy val art: AnnChoice.Artifact = AnnChoice.read(spark, stash).get
+
+  test("index-served search is row-identical to the fresh-assignment serve (tuned choice)") {
+    val idx = tempDir()
+    AnnIndex.ingest(spark, idx, raw(), art)
+    val served = AnnIndex.search(spark, sf, stash, idx).collect()
+    val fresh = Similarity.annFamilySearchFrom(spark, sf, stash).collect()
+    assert(served.nonEmpty && served.toSeq == fresh.toSeq)
+  }
+
+  test("parity holds for BOTH families, forced off the same quantizers") {
+    for ((fam, p1, p2) <- Seq(("lsh", 8, 1),
+        ("ivf", art.quants.head.nlists,
+          math.max(1, art.quants.head.nlists / 2)))) {
+      val forced = art.copy(family = fam, p1 = p1, p2 = p2)
+      val idx = tempDir()
+      AnnIndex.ingest(spark, idx, raw(), forced)
+      val stash2 = tempDir()
+      AnnChoice.persist(spark, stash2, forced)
+      val served = AnnIndex.search(spark, sf, stash2, idx).collect()
+      val fresh = Similarity.serveChoice(spark, sf, fam, p1, p2,
+        forced.quants).collect()
+      assert(served.toSeq == fresh.toSeq,
+        s"index-served $fam must equal the fresh-assignment serve")
+    }
+  }
+
+  test("ingest is batch-count invariant: two id-range batches serve the 1-shot rows") {
+    val one = tempDir()
+    AnnIndex.ingest(spark, one, raw(), art)
+    val two = tempDir()
+    val maxId = raw().agg(max("vec_id")).head().getLong(0)
+    AnnIndex.ingest(spark, two, raw().filter(col("vec_id") <= maxId / 2), art)
+    AnnIndex.ingest(spark, two, raw().filter(col("vec_id") > maxId / 2), art)
+    assert(AnnIndex.search(spark, sf, stash, two).collect().toSeq ==
+      AnnIndex.search(spark, sf, stash, one).collect().toSeq)
+  }
+
+  test("coverage gate: an index missing part of the corpus refuses loudly") {
+    val idx = tempDir()
+    AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") % 2 === 0), art)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.search(spark, sf, stash, idx)
+    }
+    assert(e.getMessage.contains("does not cover"),
+      s"a recall hole must be an error, got: $e")
+  }
+
+  test("choice-consistency gate: batches assigned under different artifacts refuse") {
+    val idx = tempDir()
+    val maxId = raw().agg(max("vec_id")).head().getLong(0)
+    AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") <= maxId / 2), art)
+    AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") > maxId / 2),
+      art.copy(fpXor = art.fpXor ^ 1L)) // a retuned artifact
+    val e = intercept[IllegalStateException] {
+      AnnIndex.search(spark, sf, stash, idx)
+    }
+    assert(e.getMessage.contains("different choice artifact"), s"got: $e")
+  }
+
+  test("probe plan: the probe table broadcasts against the lists; no corpus shuffle on the index side") {
+    val idx = tempDir()
+    AnnIndex.ingest(spark, idx, raw(), art)
+    val plan = AnnIndex.search(spark, sf, stash, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probes (queries x nprobe lists) must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
