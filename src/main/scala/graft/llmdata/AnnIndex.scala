@@ -63,7 +63,17 @@ object AnnIndex {
 
   private def readMarker(s: SparkSession, path: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = fsOf(s, path).open(p)
+    val in =
+      try fsOf(s, path).open(p)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"ann index batch is missing its marker ($path) — the " +
+              "coverage/choice gates cannot run without it. Was this " +
+              "table compacted with the generic AppendLog.compact " +
+              "instead of AnnIndex.compact (which carries the markers " +
+              "through)?", e)
+      }
     val text =
       try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
@@ -71,6 +81,31 @@ object AnnIndex {
     val parts = text.trim.split("\t")
     (parts(0).toLong, parts(1).toLong)
   }
+
+  /** Compaction that CARRIES THE MARKERS: rewrites all committed
+    * (vec_id, list_id) batches into one dir whose `_fp` is the merged
+    * coverage fingerprint (counts sum, xors fold — the same algebra
+    * the serve gate uses) and whose `_choice` is the single asserted
+    * artifact fingerprint. The generic [[graft.sources.AppendLog]]
+    * `compact` would drop the sidecars and every later serve would
+    * refuse with the missing-marker error above — this is the
+    * index-aware twin, same lock/manifest semantics. */
+  def compact(s: SparkSession, indexDir: String): Unit =
+    graft.sources.AppendLog.compactWith(s, indexDir) { (committed, name) =>
+      val fps = committed.map(b => readMarker(s, s"$indexDir/$b/_fp"))
+      val cov = (fps.map(_._1).sum, fps.map(_._2).reduce(_ ^ _))
+      val choices = committed
+        .map(b => readMarker(s, s"$indexDir/$b/_choice")).distinct
+      if (choices.length > 1) throw new IllegalStateException(
+        s"ann index at $indexDir mixes batches assigned under " +
+          s"${choices.length} different choice artifacts — compaction " +
+          "would launder the inconsistency into one batch; rebuild " +
+          "instead")
+      s.read.parquet(committed.map(b => s"$indexDir/$b"): _*)
+        .write.parquet(s"$indexDir/$name")
+      writeMarker(s, s"$indexDir/$name/_fp", cov)
+      writeMarker(s, s"$indexDir/$name/_choice", choices.head)
+    }
 
   /** The batch's raw fingerprint — same definition as
     * [[Similarity.corpusFingerprint]], over an arbitrary embeddings

@@ -84,6 +84,29 @@ class AnnIndexSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("different choice artifact"), s"got: $e")
   }
 
+  test("compaction carries the markers: one batch dir, same rows, gates intact") {
+    val idx = tempDir()
+    val maxId = raw().agg(max("vec_id")).head().getLong(0)
+    AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") <= maxId / 2), art)
+    AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") > maxId / 2), art)
+    val before = AnnIndex.search(spark, sf, stash, idx).collect()
+    AnnIndex.compact(spark, idx)
+    val (_, dirs) = graft.sources.AppendLog.state(spark, idx)
+    assert(dirs.length == 1, "compaction must leave one committed dir")
+    assert(AnnIndex.search(spark, sf, stash, idx).collect().toSeq ==
+      before.toSeq, "compaction must not change served rows")
+    // the generic AppendLog.compact would drop the markers — the serve
+    // must then fail LOUDLY with the recovery hint, not a raw
+    // FileNotFound (simulate by deleting a marker)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(idx, dirs.head, "_fp"))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.search(spark, sf, stash, idx)
+    }
+    assert(e.getMessage.contains("missing its marker") &&
+      e.getMessage.contains("AnnIndex.compact"), s"got: $e")
+  }
+
   test("probe plan: the probe table broadcasts against the lists; no corpus shuffle on the index side") {
     val idx = tempDir()
     AnnIndex.ingest(spark, idx, raw(), art)
