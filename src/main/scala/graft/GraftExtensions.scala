@@ -88,6 +88,11 @@ object GraftExtensions {
           case ArrayType(ByteType | ShortType | IntegerType | LongType, _) |
                NullType =>
             Cast(e, ArrayType(LongType))
+          // empty/all-null array literals type as array<void> — they
+          // coerced under the old blanket Cast and must keep working
+          // (round-10 advice): an empty mask is a legitimate zero mask
+          case ArrayType(NullType, _) =>
+            Cast(e, ArrayType(LongType))
           case _ => e
         }
         graft.functions.MaskIntersect(widen(a), widen(b))

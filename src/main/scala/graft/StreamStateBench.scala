@@ -151,22 +151,39 @@ object StreamStateBench {
         s""""provider":"$provider","reps":$reps,""" +
         s""""load_before":$loadBefore,"contended":$contended}"""
     println(json)
-    if (n >= 200000) {
-      try {
-        val path = java.nio.file.Paths.get(
-          "/root/repo/STREAMBENCH_STATE.json")
-        val prev =
-          if (java.nio.file.Files.exists(path))
-            new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-          else ""
-        // keep one line per provider, newest wins
-        val kept = prev.linesIterator
-          .filterNot(_.contains(s""""provider":"$provider"""")).toSeq
-        java.nio.file.Files.write(path,
-          (kept :+ json).mkString("", "\n", "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: Throwable => () }
-    }
+    if (n >= 200000)
+      StreamStateBench.record(json,
+        k => k.contains(s""""provider":"$provider"""") &&
+          k.contains(""""metric":"stream_dedup_rows_per_sec""""))
     spark.stop()
+  }
+
+  /** Append one record line to STREAMBENCH_STATE.json, replacing prior
+    * lines `supersedes` matches. Path resolves against
+    * `SPARK_GRAFT_RECORD_DIR`, else the working directory (round-10
+    * advice: the old absolute /root/repo path silently dropped records
+    * on any other checkout), and a failed persist WARNS instead of
+    * vanishing. */
+  private[graft] def record(json: String,
+      supersedes: String => Boolean): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_RECORD_DIR",
+      sys.props("user.dir"))
+    try {
+      val path = java.nio.file.Paths.get(dir, "STREAMBENCH_STATE.json")
+      val prev =
+        if (java.nio.file.Files.exists(path))
+          new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        else ""
+      // keep unrelated lines, newest record of this key wins
+      val kept = prev.linesIterator.filterNot(supersedes).toSeq
+      java.nio.file.Files.write(path,
+        (kept :+ json).mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(
+        s"[stream-state-bench] WARNING: could not persist the record " +
+          s"to $dir/STREAMBENCH_STATE.json (${e.getMessage}) - the " +
+          "printed JSON line above is the only copy")
+    }
   }
 }

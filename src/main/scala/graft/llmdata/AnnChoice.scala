@@ -41,15 +41,29 @@ import org.apache.spark.sql.types._
   */
 object AnnChoice {
   /** Stamped into [[defaultDir]]'s key: bump when the sweep's
-    * semantics change (grid, recall target, validation protocol, or
-    * the training fold), so an artifact produced by older tuner code
-    * can never serve a registry whose oracle replays the NEW sweep. */
-  val FormatVersion = 1
+    * semantics OR the artifact format change (grid, recall target,
+    * validation protocol, training fold, carried fields), so an
+    * artifact produced by older tuner code can never serve a registry
+    * whose oracle replays the NEW sweep. v2 (round 11): + `ref`, the
+    * tune-time per-list reference stats behind
+    * [[Similarity.refreshIfDrifted]]'s re-certification. */
+  val FormatVersion = 2
 
-  /** One persisted tuning: corpus fingerprint, validated choice, and
-    * every trained quantizer of the sweep. */
+  /** Tune-time reference: the EXACT int8 coordinate sum `s` and count
+    * `n` of the vectors assigned to list `cid`, dimension `dim`, under
+    * the most sensitive carried quantizer — the "epoch 0" side of the
+    * q136 drift statistic, so re-certification has an exact-zero
+    * baseline (a corpus that merely grew same-distribution reproduces
+    * the same means bit-for-bit). */
+  final case class RefStat(cid: Int, dim: Int, s: Long, n: Long)
+
+  /** One persisted tuning: corpus fingerprint, validated choice,
+    * every trained quantizer of the sweep, and the tune-time
+    * reference stats ([[RefStat]]; empty ⇒ not re-certifiable — a
+    * drifted fingerprint always re-tunes). */
   final case class Artifact(fpCount: Long, fpXor: Long, family: String,
-      p1: Int, p2: Int, quants: Seq[Similarity.IvfQuant]) {
+      p1: Int, p2: Int, quants: Seq[Similarity.IvfQuant],
+      ref: Seq[RefStat] = Seq.empty) {
     def matches(fp: (Long, Long)): Boolean =
       fpCount == fp._1 && fpXor == fp._2
   }
@@ -68,23 +82,71 @@ object AnnChoice {
           containsNull = false), nullable = false),
       StructField("ncs", ArrayType(DoubleType, containsNull = false),
         nullable = false))), containsNull = false), nullable = false),
+    StructField("ref", ArrayType(StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+      containsNull = false), nullable = false),
     StructField("seq", IntegerType, nullable = false)))
+
+  /** Root of every DEFAULT stash (choice artifacts here, the
+    * [[AnnIndex]] lists one level down). Round-10 advice (medium): the
+    * old shared world-writable `tmpdir/graft-ann-choice` let any local
+    * user precompute the MD5 key and plant a matching-but-adversarial
+    * artifact the auto path would serve without error, and shared-box
+    * users collided on one dir/lock. Now: an env-overridable root
+    * (`GRAFT_STASH_ROOT` — point it at durable storage when tmp
+    * cleaners would evict tune-once artifacts), else a PER-USER tmpdir
+    * subtree created owner-only (rwx------); a root owned by someone
+    * else fails the permission reset loudly instead of silently
+    * serving their files. */
+  private[llmdata] def stashRoot(): String = {
+    val root = sys.env.getOrElse("GRAFT_STASH_ROOT", {
+      val user = System.getProperty("user.name", "anon")
+      s"${sys.props("java.io.tmpdir")}/graft-stash-$user"
+    })
+    val p = java.nio.file.Paths.get(root)
+    try {
+      val perms = java.nio.file.attribute.PosixFilePermissions
+        .fromString("rwx------")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.createDirectories(p,
+          java.nio.file.attribute.PosixFilePermissions
+            .asFileAttribute(perms))
+      // owner-only even when the root pre-existed or the umask widened
+      // it; a foreign-owned root throws AccessDenied here — loud
+      java.nio.file.Files.setPosixFilePermissions(p, perms)
+    } catch {
+      case _: UnsupportedOperationException => () // non-POSIX FS
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.setPosixFilePermissions(p,
+          java.nio.file.attribute.PosixFilePermissions
+            .fromString("rwx------"))
+    }
+    root
+  }
 
   /** The default stash location for a corpus directory: keyed by
     * format version + canonical path + fingerprint, so a regenerated
     * corpus (or retuned semantics) maps to a FRESH dir and the
     * auto-serving registry path can never read a stale artifact — the
     * explicit-dir API ([[Similarity.annFamilySearchFrom]]) is where
-    * staleness is possible and is refused loudly. */
-  def defaultDir(d: String, fp: (Long, Long)): String = {
+    * staleness is possible and is refused loudly. Lives under the
+    * per-user owner-only [[stashRoot]]. */
+  def defaultDir(d: String, fp: (Long, Long)): String =
+    s"${stashRoot()}/ann-choice/${corpusKey(d, fp)}"
+
+  /** The format-version + canonical-path + fingerprint digest both
+    * default stashes key their dirs by. */
+  private[llmdata] def corpusKey(d: String, fp: (Long, Long)): String = {
     val real =
       try new java.io.File(d).getCanonicalPath
       catch { case _: java.io.IOException => d }
     val key = s"v$FormatVersion|$real|${fp._1}|${fp._2}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
-    val hex = md.map(b => f"$b%02x").mkString
-    s"${sys.props("java.io.tmpdir")}/graft-ann-choice/$hex"
+    md.map(b => f"$b%02x").mkString
   }
 
   /** Appends one tuning through the AppendLog manifest protocol.
@@ -93,6 +155,7 @@ object AnnChoice {
     graft.sources.AppendLog.append(s, stashDir) { (v, _, batchName) =>
       val row = Row(a.fpCount, a.fpXor, a.family, a.p1, a.p2,
         a.quants.map(qt => Row(qt.idx, qt.nlists, qt.qcents, qt.ncs)),
+        a.ref.map(r => Row(r.cid, r.dim, r.s, r.n)),
         v + 1)
       val rows = new java.util.ArrayList[Row](); rows.add(row)
       s.createDataFrame(rows, Schema)
@@ -130,8 +193,15 @@ object AnnChoice {
             .map(_.toVector).toVector,
           q.getAs[scala.collection.Seq[Double]](3).toVector)
       }.toSeq
+      // pre-v2 stashes carry no ref column: readable (serve is
+      // unaffected) but not re-certifiable — refreshIfDrifted re-tunes
+      val ref =
+        if (!r.schema.fieldNames.contains("ref")) Seq.empty[RefStat]
+        else r.getAs[scala.collection.Seq[Row]]("ref").map(x =>
+          RefStat(x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+          .toSeq
       Some(Artifact(r.getLong(0), r.getLong(1), r.getString(2),
-        r.getInt(3), r.getInt(4), quants))
+        r.getInt(3), r.getInt(4), quants, ref))
     }
   }
 }

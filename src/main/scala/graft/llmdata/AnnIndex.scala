@@ -50,6 +50,39 @@ object AnnIndex {
     StructField("vec_id", LongType, nullable = false),
     StructField("list_id", LongType, nullable = false)))
 
+  /** The default index location for a corpus directory — keyed exactly
+    * like [[AnnChoice.defaultDir]] (format version + canonical path +
+    * fingerprint under the per-user owner-only stash root), so the
+    * auto-serving registry path (q212) can never read an index built
+    * for a different corpus: a regenerated corpus maps to a FRESH dir
+    * and rebuilds. Staleness remains possible only on the explicit-dir
+    * API ([[search]]) and is refused loudly there. */
+  def defaultDir(d: String, fp: (Long, Long)): String =
+    s"${AnnChoice.stashRoot()}/ann-index/${AnnChoice.corpusKey(d, fp)}"
+
+  /** Cold-start build for the auto-serving path: when `indexDir` has
+    * no committed batches, ingest the corpus in TWO deterministic
+    * id-split batches and compact them — so every serve that follows a
+    * cold start has exercised the real production sequence (multi-batch
+    * ingest, marker-carrying compaction, coverage fold) rather than a
+    * single-batch fast path. A non-empty dir is left untouched: the
+    * default dir is fingerprint-keyed, so whatever is committed there
+    * was built FOR this corpus (and [[search]]'s gates still verify
+    * it). Returns whether a build ran. */
+  def buildIfAbsent(s: SparkSession, d: String, indexDir: String,
+      a: AnnChoice.Artifact): Boolean = {
+    val (_, dirs) = graft.sources.AppendLog.state(s, indexDir)
+    if (dirs.nonEmpty) false
+    else {
+      val raw = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      ingest(s, indexDir, raw.filter(pmod(col("vec_id"), lit(2)) === 0), a)
+      ingest(s, indexDir, raw.filter(pmod(col("vec_id"), lit(2)) === 1), a)
+      compact(s, indexDir)
+      true
+    }
+  }
+
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -199,6 +232,15 @@ object AnnIndex {
           s"(count=${fp._1}, xor=${fp._2}) — re-run annFamilyTunePersist")
       case Some(a) => a
     }
+    searchWith(s, d, fp, art, indexDir)
+  }
+
+  /** [[search]] with the corpus fingerprint and choice artifact already
+    * resolved (the registry path derives both once) — runs the index's
+    * OWN two gates (choice consistency, coverage) and serves. */
+  private[llmdata] def searchWith(s: SparkSession, d: String,
+      fp: (Long, Long), art: AnnChoice.Artifact,
+      indexDir: String): DataFrame = {
     val (lists, cov, choiceFp) = readIndex(s, indexDir)
     if (choiceFp.exists(_ != (art.fpCount, art.fpXor)))
       throw new IllegalStateException(

@@ -452,7 +452,18 @@ object Dedup {
       vocabBudget: Long = VocabBitmapBudget): DataFrame = {
     val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,
       nMinhash = 0, vocabBudget = vocabBudget)
-    val sets = f.work
+    val repPairs = containmentDirected(f.work, f)
+    (if (f.collapse) expandOrderedPairs(f.members, repPairs) else repPairs)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** All directed containment pairs (≥ 0.95) among `work`'s documents —
+    * the shared core of q75 (expanded doc pairs) and q213 (rep-mode):
+    * PPJoin prefix probe of the full inverted index, bitmap/count-join
+    * verify, both passing directions emitted. */
+  private def containmentDirected(work: DataFrame, f: SetSim)
+      : DataFrame = {
+    val sets = work
       // integer-exact ⌈0.95·nw⌉ = (19·nw + 19) div 20
       .withColumn("plen",
         (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
@@ -494,9 +505,49 @@ object Dedup {
       .filter(col("containment") >= 0.95)
       .select(col(s"${x}_id").as("a_id"), col(s"${y}_id").as("b_id"),
         col("containment"))
-    val repPairs = dir("a", "b").unionByName(dir("b", "a"))
-    (if (f.collapse) expandOrderedPairs(f.members, repPairs) else repPairs)
-      .orderBy("a_id", "b_id")
+    dir("a", "b").unionByName(dir("b", "a"))
+  }
+
+  /** q213 body — the REP-MODE containment output (round-11, the
+    * production lever SCALE.md's round-10 profile named): q75's sf3
+    * cost is its own OUTPUT — the expanded pair table rides three
+    * pair-sized shuffles (two expansion joins + the contract's global
+    * ORDER BY), ~35M rows at sf3, and no plan change can shrink an
+    * output the contract materializes. This entry changes the
+    * CONTRACT instead: one row per passing directed REP pair plus one
+    * intra row per dup group (n ≥ 2), each carrying the group sizes
+    * and the exact count of expanded ordered doc pairs it encodes
+    * (`n_pairs` — cross: n_a·n_b; intra: n·(n−1)), so the full q75
+    * pair set is derivable row-for-row (`expandOrderedPairs` is the
+    * deterministic decoder, and Σ n_pairs ≡ |q75| — the spec pins
+    * both) while the materialized table is REP-pair-bounded: every
+    * shuffle downstream of the verify is rep-sized, never
+    * member²-sized. At 100 TB this is the shippable artifact — a
+    * consumer expands only the clusters it touches. */
+  private[llmdata] def containmentReps(s: SparkSession, d: String)
+      : DataFrame = {
+    val f = setSim(s, d, Seq("lang", "fp"), withPrefix = true,
+      nMinhash = 0)
+    // ALWAYS rep-scoped (unlike q75's adaptive f.work): the rep-mode
+    // contract is cluster-level regardless of whether the dup ratio
+    // would have paid for a collapse-expand round trip
+    val reps = f.sets.join(
+      f.members.filter(col("doc_id") === col("gid")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val repPairs = containmentDirected(reps, f)
+    val sizes = Caches.persist(
+      f.members.groupBy("gid").agg(count(lit(1)).as("n")))
+    val cross = repPairs
+      .join(sizes.select(col("gid").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(sizes.select(col("gid").as("b_id"), col("n").as("n_b")), "b_id")
+      .select(col("a_id").as("a_gid"), col("b_id").as("b_gid"),
+        col("containment"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_pairs"))
+    val intra = sizes.filter(col("n") >= 2)
+      .select(col("gid").as("a_gid"), col("gid").as("b_gid"),
+        lit(1.0).as("containment"), col("n").as("n_a"),
+        col("n").as("n_b"), (col("n") * (col("n") - 1)).as("n_pairs"))
+    cross.unionByName(intra).orderBy("a_gid", "b_gid")
   }
 
   /** q29 body, parameterized like [[jaccardPairs]]. One tokenize + one
@@ -780,6 +831,57 @@ object Dedup {
         |FROM dirs WHERE CAST(ni AS DOUBLE)/nw_a >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
     ) { (s, d) => containmentPairs(s, d) },
+
+    // ---- q213: REP-MODE containment — the round-10 sf3 profile's
+    //      named production lever, implemented (round 11). q75's cost
+    //      ceiling is its own output (35M expanded pairs at sf3 riding
+    //      3 pair-sized shuffles — stage-profiled, SCALE.md); this
+    //      entry emits the same information REP-pair-bounded: one row
+    //      per passing directed rep pair (+ one intra row per dup
+    //      group), with group sizes and the exact expanded-pair count
+    //      each row encodes. Σ n_pairs ≡ |q75 output| and the
+    //      expansion is deterministic (expandOrderedPairs), so a
+    //      consumer reconstructs any cluster's pairs on demand without
+    //      the engine ever materializing the quadratic table. ----
+    Q(
+      "q213_containment_reps",
+      s"""WITH words AS (${Text.SqlTokenSet}),
+        |sets AS (SELECT doc_id, lang, list_sort(list(w)) AS ts
+        |  FROM words GROUP BY doc_id, lang),
+        |grp AS (SELECT lang, ts, CAST(min(doc_id) AS BIGINT) AS gid,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM sets GROUP BY lang, ts),
+        |wc AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM words a JOIN words b
+        |    ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT gid FROM grp)
+        |    AND b.doc_id IN (SELECT gid FROM grp)
+        |  GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT a_id, b_id, ni, ca.nw AS nw_a
+        |  FROM inter JOIN wc ca ON ca.doc_id = a_id
+        |  UNION ALL
+        |  SELECT b_id AS a_id, a_id AS b_id, ni, cb.nw AS nw_a
+        |  FROM inter JOIN wc cb ON cb.doc_id = b_id),
+        |crossp AS (
+        |  SELECT d.a_id AS a_gid, d.b_id AS b_gid,
+        |    CAST(ni AS DOUBLE)/nw_a AS containment,
+        |    ga.n AS n_a, gb.n AS n_b,
+        |    CAST(ga.n * gb.n AS BIGINT) AS n_pairs
+        |  FROM dirs d JOIN grp ga ON ga.gid = d.a_id
+        |    JOIN grp gb ON gb.gid = d.b_id
+        |  WHERE CAST(ni AS DOUBLE)/nw_a >= 0.95),
+        |intra AS (
+        |  SELECT gid AS a_gid, gid AS b_gid, CAST(1.0 AS DOUBLE)
+        |      AS containment,
+        |    n AS n_a, n AS n_b, CAST(n * (n - 1) AS BIGINT) AS n_pairs
+        |  FROM grp WHERE n >= 2)
+        |SELECT * FROM (SELECT * FROM crossp UNION ALL
+        |  SELECT * FROM intra)
+        |ORDER BY a_gid, b_gid""".stripMargin,
+    ) { (s, d) => containmentReps(s, d) },
 
     // ---- q58: n-gram (3-token shingle) Jaccard similarity join —
     //      the n-gram twin of q28's word-set join, threshold 0.8,

@@ -527,6 +527,8 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
   private[llmdata] val q211OracleStash =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+  private[llmdata] val q212OracleStash =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
   /** Shared machinery of the CROSS-FAMILY ANN tuner (q210) and its
     * tuned search (q211) — round-8 verdict item: q176 tunes within the
@@ -951,7 +953,8 @@ object Similarity {
       // nothing — the grid output still shows every row unchosen
       scala.util.Try(chosenConfig(ranked)).foreach { case (f, p1, p2) =>
         AnnChoice.persistBestEffort(s, dir,
-          AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants))
+          AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants,
+            refStats(s, d, quants)))
       }
     ranked.select(col("family"), col("p1").cast("int").as("p1"),
         col("p2").cast("int").as("p2"), col("sum_overlap"),
@@ -1058,22 +1061,56 @@ object Similarity {
     * the entire sweep (3 trained quantizers, 26 configs, validation)
     * on EVERY execution — the registry's most expensive query at both
     * scale factors; the stash turns it into a probe. */
-  private[llmdata] def annFamilySearch(s: SparkSession, d: String)
-      : DataFrame = {
-    val fp = corpusFingerprint(s, d)
+  /** The default-stash choice for a corpus: a matching artifact reads
+    * warm; a miss runs the sweep ONCE, persists its validated choice
+    * (best-effort — a locked stash only costs the NEXT run's warm
+    * start), and returns it. Shared by q211 and q212. */
+  private def resolveChoice(s: SparkSession, d: String,
+      fp: (Long, Long)): AnnChoice.Artifact = {
     val dir = AnnChoice.defaultDir(d, fp)
-    val art = AnnChoice.read(s, dir).filter(_.matches(fp)).getOrElse {
+    AnnChoice.read(s, dir).filter(_.matches(fp)).getOrElse {
       val (_, ranked, quants) = familyTunerParts(s, d)
       val (f, p1, p2) = chosenConfig(ranked)
-      val a = AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants)
+      val a = AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants,
+        refStats(s, d, quants))
       AnnChoice.persistBestEffort(s, dir, a)
       a
     }
+  }
+
+  private[llmdata] def annFamilySearch(s: SparkSession, d: String)
+      : DataFrame = {
+    val fp = corpusFingerprint(s, d)
+    val art = resolveChoice(s, d, fp)
     // the oracle replays the whole sweep from the artifact's centroid
     // literals — training is deterministic, so stashed quants are the
     // quants a fresh sweep would train
     q211OracleStash.set(Some(familySearchSql(art.quants)))
     serveChoice(s, d, art.family, art.p1, art.p2, art.quants)
+  }
+
+  /** q212 run body — the INDEX-SERVED tuned search (round-10 verdict
+    * item 1: [[AnnIndex]] was the one load-bearing artifact gated only
+    * by ScalaTest). Same held-out query set, same oracle as q211 — the
+    * AnnIndexSpec parity argument (assignment is deterministic from
+    * the artifact's centroids, and [[AnnIndex.assigned]] is the ONE
+    * definition both the ingest and the fresh serve derive from), so
+    * index-served results are row-identical to [[serveChoice]]'s.
+    * Cold start builds the persisted inverted lists through the REAL
+    * production sequence — two id-split ingest batches, then a
+    * marker-carrying compaction — so the coverage/choice gates and the
+    * compacted markers path sit inside the driver-gated plan, not just
+    * a spec. Warm runs touch the corpus only for the fingerprint (one
+    * aggregate) and the 20-row query-id read: probe cost is
+    * candidate-bounded, never corpus-assignment-bounded. */
+  private[llmdata] def annIndexSearch(s: SparkSession, d: String)
+      : DataFrame = {
+    val fp = corpusFingerprint(s, d)
+    val art = resolveChoice(s, d, fp)
+    q212OracleStash.set(Some(familySearchSql(art.quants)))
+    val indexDir = AnnIndex.defaultDir(d, fp)
+    AnnIndex.buildIfAbsent(s, d, indexDir, art)
+    AnnIndex.searchWith(s, d, fp, art, indexDir)
   }
 
   /** Tune-once production entry: run the cross-family sweep against
@@ -1088,7 +1125,8 @@ object Similarity {
     val fp = corpusFingerprint(s, d)
     val (f, p1, p2) = chosenConfig(ranked)
     AnnChoice.persist(s, stashDir,
-      AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants))
+      AnnChoice.Artifact(fp._1, fp._2, f, p1, p2, quants,
+        refStats(s, d, quants)))
     ranked.select(col("family"), col("p1").cast("int").as("p1"),
         col("p2").cast("int").as("p2"), col("sum_overlap"),
         col("n_queries"), col("n_cand"), col("val_overlap"),
@@ -1097,12 +1135,127 @@ object Similarity {
       .orderBy("family", "p1", "p2")
   }
 
+  /** Default [[refreshIfDrifted]] threshold: count-weighted mean
+    * per-centroid squared shift, in int8 quantization units² summed
+    * over the embedding dims. 1.0 ≈ the current corpus moving each list's
+    * mean by one quantization step in one dimension — comfortably
+    * above ingest noise (appending same-distribution batches shifts
+    * means by O(1/√n)), comfortably below a real distribution move
+    * (the spec's shifted corpus measures in the hundreds). */
+  val DriftThreshold: Double = 1.0
+
+  /** The tune-time reference behind re-certification: EXACT int8
+    * coordinate sums + counts per (list, dim) of the corpus under its
+    * most sensitive trained quantizer (largest nlists — finest
+    * partition, most drift-sensitive). One (cid, dim)-keyed
+    * partial-aggregated pass at TUNE time (when the corpus is being
+    * swept anyway); the ≤ nlists·dim rows are a bounded driver read
+    * (the q179/q52 collect class) persisted inside the artifact. */
+  private[llmdata] def refStats(s: SparkSession, d: String,
+      quants: Seq[IvfQuant]): Seq[AnnChoice.RefStat] = {
+    val qt = quants.maxBy(_.nlists)
+    withListAssignment(corpusFrame(s, d), qt)
+      .select(col(s"cid_${qt.idx}").as("cid"),
+        posexplode(col("qi")).as(Seq("dim", "q")))
+      .groupBy("cid", "dim")
+      .agg(sum(col("q").cast("long")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => AnnChoice.RefStat(r.getAs[Int]("cid"),
+        r.getAs[Int]("dim"), r.getAs[Long]("sq"), r.getAs[Long]("n")))
+      .toSeq.sortBy(r => (r.cid, r.dim))
+  }
+
+  /** Centroid-shift drift of corpus `d` against artifact `a` — the
+    * q136 two-epoch statistic with the artifact's tune-time
+    * [[refStats]] as epoch 0 and the live corpus (assigned under the
+    * SAME stashed quantizer) as epoch 1: per list,
+    * `Σ_d (s0_d/n0 − s1_d/n1)²` in int8 units², count-weighted mean
+    * over lists (weight = current mass n1). The baseline is EXACTLY
+    * zero — identical corpus gives identical integer sums, and a
+    * same-distribution duplication gives (2s, 2n) whose IEEE quotient
+    * equals s/n bit-for-bit — so the threshold separates ingest noise
+    * (O(1/√n) mean movement) from distribution movement. A list
+    * populated on only ONE side is itself drift (mass appeared in, or
+    * left, a region): infinite. An artifact with no ref (pre-v2) is
+    * not certifiable: infinite. */
+  private[llmdata] def centroidDrift(s: SparkSession, d: String,
+      a: AnnChoice.Artifact): Double = {
+    if (a.ref.isEmpty) return Double.PositiveInfinity
+    val qt = a.quants.maxBy(_.nlists)
+    val cur = withListAssignment(corpusFrame(s, d), qt)
+      .select(col(s"cid_${qt.idx}").as("cid"),
+        posexplode(col("qi")).as(Seq("dim", "q")))
+      .groupBy("cid", "dim")
+      .agg(sum(col("q").cast("long")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("sq"), r.getAs[Long]("n"))).toMap
+    val ref = a.ref.map(r => (r.cid, r.dim) -> (r.s, r.n)).toMap
+    val cids = (cur.keySet ++ ref.keySet).map(_._1)
+    var wSum = 0.0
+    var w = 0L
+    for (cid <- cids) {
+      val dims = (cur.keySet ++ ref.keySet).filter(_._1 == cid)
+      val n1 = dims.flatMap(cur.get).headOption.map(_._2).getOrElse(0L)
+      val n0 = dims.flatMap(ref.get).headOption.map(_._2).getOrElse(0L)
+      if (n0 == 0L || n1 == 0L) return Double.PositiveInfinity
+      val d2 = dims.toSeq.map { k =>
+        val s0 = ref(k)._1
+        val s1 = cur(k)._1
+        val diff = s0 / n0.toDouble - s1 / n1.toDouble
+        diff * diff
+      }.sum
+      wSum += n1 * d2
+      w += n1
+    }
+    if (w == 0L) 0.0 else wSum / w
+  }
+
+  /** Drift-triggered re-tune (round-11 — closes the artifact loop):
+    * the stash refuses a drifted corpus ([[annFamilySearchFrom]]) and
+    * q136 measures drift, but nothing RE-TUNED automatically. One
+    * call, three honest outcomes:
+    *
+    *  - `"fresh"` — fingerprint matches: zero training, zero writes.
+    *  - `"recertified"` — fingerprint moved but the distribution did
+    *    not ([[centroidDrift]] ≤ `threshold`, e.g. same-distribution
+    *    ingest): the SAME choice + quantizers + tune-time ref
+    *    re-persist stamped with the new fingerprint — zero training,
+    *    serve warms back up without paying a sweep the data doesn't
+    *    justify. The ref stays the TUNE-time one on purpose: drift is
+    *    always measured against the distribution the choice was tuned
+    *    on, so creeping ingest cannot boil the frog one
+    *    re-certification at a time.
+    *  - `"retuned"` — real drift: one full [[annFamilyTunePersist]]
+    *    sweep (exactly one retrain — AnnRefreshSpec pins the counter),
+    *    and the stash appends the NEW validated choice.
+    *
+    * After any outcome [[annFamilySearchFrom]] serves green — the
+    * refusal gate and the refresh close over the same fingerprint. */
+  def refreshIfDrifted(s: SparkSession, d: String, stashDir: String,
+      threshold: Double = DriftThreshold): String = {
+    val fp = corpusFingerprint(s, d)
+    AnnChoice.read(s, stashDir) match {
+      case None =>
+        annFamilyTunePersist(s, d, stashDir); "retuned"
+      case Some(a) if a.matches(fp) => "fresh"
+      case Some(a) if centroidDrift(s, d, a) <= threshold =>
+        AnnChoice.persist(s, stashDir,
+          a.copy(fpCount = fp._1, fpXor = fp._2))
+        "recertified"
+      case _ =>
+        annFamilyTunePersist(s, d, stashDir); "retuned"
+    }
+  }
+
   /** Serve-many production entry: probe `d`'s held-out queries with
     * the choice persisted at `stashDir`. REFUSES loudly when the stash
     * is absent (tune first) or when the corpus fingerprint no longer
     * matches the one the choice was tuned on — the q136 drift-audit
     * direction: silently applying an index config tuned on a drifted
-    * corpus under-recalls with no error anywhere. */
+    * corpus under-recalls with no error anywhere. The drifted-corpus
+    * recovery is [[refreshIfDrifted]] — re-certify when only the
+    * fingerprint moved, re-tune when the distribution did. */
   def annFamilySearchFrom(s: SparkSession, d: String, stashDir: String)
       : DataFrame = {
     val fp = corpusFingerprint(s, d)
@@ -2306,6 +2459,26 @@ object Similarity {
       q211OracleStash.get() match {
         case Some(sql) => Q("q211_ann_family_search", sql)(run)
         case None      => Q.rowsOnly("q211_ann_family_search")(run)
+      }
+    },
+
+    // ---- q212: INDEX-SERVED tuned search — q211 one level deeper
+    //      (round-10 verdict item 1): the PERSISTED inverted-list
+    //      index ([[AnnIndex]] — AppendLog lists + per-batch coverage/
+    //      choice sidecar markers) serves the same held-out query set
+    //      against the SAME oracle as q211. Cold start ingests two
+    //      id-split batches and compacts (marker-carrying), so the
+    //      production multi-batch + compaction path is what the driver
+    //      hash-gates; warm serve probes broadcast (query × nprobe)
+    //      list ids against the persisted lists and scores candidates
+    //      by an id-join back into the embeddings table — NO
+    //      corpus-wide assignment stage anywhere in the serve plan
+    //      (PlanSpec pins it). ----
+    {
+      val run = (s: SparkSession, d: String) => annIndexSearch(s, d)
+      q212OracleStash.get() match {
+        case Some(sql) => Q("q212_ann_index_search", sql)(run)
+        case None      => Q.rowsOnly("q212_ann_index_search")(run)
       }
     },
   )

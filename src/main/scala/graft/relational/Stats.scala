@@ -580,11 +580,13 @@ object Stats {
     //      BIGINT magnitude regime — ASSERTED IN-PLAN (q145 pattern):
     //      (2·conc + tied)·5·10^5 ≤ 3·n_pos·n_neg·5·10^5 stays below
     //      2^63 while n_pos·n_neg ≤ (2^63−1)/(1.5·10^6) ≈ 6.1·10^12
-    //      (~2.5·10^6 docs per class); the guard tests exactly that on
-    //      the exact class counts (overflow-free via integer division)
-    //      and fails loudly past it instead of silently wrapping —
-    //      the upgrade route is DECIMAL(38) sums + the q136
-    //      VARCHAR-cast division. ----
+    //      (~2.5·10^6 docs per class). Past it the query SWITCHES
+    //      (round-11, the Conformal/KsDrift discipline) to [[Auc]]'s
+    //      DECIMAL(38,0) route — exact pair sums at 10^38 headroom,
+    //      integral div back to BIGINT — whose own loud envelope is
+    //      the conc/tied OUTPUT columns' BIGINT bound (10^6× further);
+    //      AucRouteSpec pins the routes row-identical in the micro
+    //      regime. ----
     Q(
       "q182_auc_rank",
       """WITH s AS (SELECT n_chars AS v,
@@ -605,34 +607,7 @@ object Stats {
         |  CAST((2 * sum(np * cum_neg) + sum(np * nn)) * 500000
         |    // nullif(sum(np) * sum(nn), 0) AS BIGINT) AS auc_micro
         |FROM c""".stripMargin,
-    ) { (s, d) =>
-      val hist = Tables.documents(s, d)
-        .groupBy(col("n_chars").as("v"))
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
-          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      hist.withColumn("cum_neg", coalesce(sum("nn").over(w), lit(0L)))
-        .agg(sum("np").cast("long").as("n_pos"),
-          sum("nn").cast("long").as("n_neg"),
-          sum(col("np") * col("cum_neg")).cast("long").as("conc"),
-          sum(col("np") * col("nn")).cast("long").as("tied"))
-        .select(col("n_pos"), col("n_neg"), col("conc"), col("tied"),
-          graft.ScaleGuards.guarded(
-            graft.ScaleGuards.productWithin("n_pos", "n_neg",
-              Long.MaxValue / 1500000L),
-            "q182: n_pos*n_neg exceeds the BIGINT micro regime - " +
-              "(2*conc + tied)*500000 would overflow 2^63; move the " +
-              "three sums to DECIMAL(38) and the division to the " +
-              "q136 VARCHAR-cast route",
-            // single-class corpus: n_pos*n_neg = 0 passes the guard
-            // (zero short-circuit) but must emit NULL like the
-            // oracle, not an ANSI DIVIDE_BY_ZERO - the round-9 rule:
-            // zero-capable divisors carry nullif on BOTH sides
-            expr("(2 * conc + tied) * 500000 " +
-              "div nullif(n_pos * n_neg, 0)")
-              .cast("long")).as("auc_micro"))
-    },
+    ) { (s, d) => Auc.auc(Tables.documents(s, d)) },
 
     // ---- q183: gate agreement — Cohen's kappa + McNemar for two
     //      quality gates over the same corpus (Cohen 1960; McNemar
@@ -1562,10 +1537,13 @@ object Conformal {
       .agg(thrSel(col("sc")).as("thrArr"))
       .select(col("t").as("tt"), element_at(col("thrArr"), 1).as("thr"))
     medN.join(thr, col("t") === col("tt"))
-      // k > n (n < 9): RankSelectAgg yields NaN — conformal's
-      // "threshold = ∞", the same dropped row as the window route's
-      // unmatched rank join
-      .filter(!isnan(col("thr")))
+      // k > n (n < 9): conformal's "threshold = ∞", the same dropped
+      // row as the window route's unmatched rank join. Tested on the
+      // RANK CONDITION itself, not on the selected value being NaN
+      // (round-10 advice): a type whose scores genuinely contain NaN
+      // at rank k must EMIT threshold=NaN like the window route, not
+      // vanish
+      .filter(expr("((n + 1) * 9 + 9) div 10 <= n"))
       .select(col("t").as("event_type"), col("n"),
         expr("((n + 1) * 9 + 9) div 10").cast("long").as("k"),
         col("med").as("median_value"), col("thr").as("threshold"))
@@ -1588,5 +1566,126 @@ object Conformal {
         throw new IllegalArgumentException(s"unknown conformal route: $other")
     }
     if (chosen == "window") thresholdsWindow(e) else thresholdsSketch(e)
+  }
+}
+
+/** ROC-AUC (rank statistic) with a scale-aware arithmetic-route switch
+  * — the round-11 closure of "route-switch q182, don't just guard it"
+  * (the [[Conformal]]/[[graft.llmdata.Hygiene.KsDrift]] discipline).
+  *
+  * Two routes through ONE fold (per-value (pos, neg) histogram → the
+  * cumulative-negatives window over the value DOMAIN → concordant/tied
+  * pair sums → the half-credit micro division):
+  *
+  *  - '''micro''': the round-9 exact BIGINT plan, valid while
+  *    `(2·conc + tied)·5·10⁵ ≤ 3·n_pos·n_neg·5·10⁵ < 2⁶³`, i.e.
+  *    `n_pos·n_neg ≤ (2⁶³−1)/(1.5·10⁶)` ≈ 6.1·10¹². The in-plan guard
+  *    STAYS on this route.
+  *  - '''decimal''': past the micro regime the three pair sums ride
+  *    DECIMAL(38,0) — the q136 discipline: integer-EXACT at 10³⁸
+  *    headroom, so `(2·conc + tied)·5·10⁵` cannot overflow until
+  *    n_pos·n_neg ≈ 6.6·10³¹ — and the quotient (≤ 10⁶) returns to
+  *    BIGINT through Spark's integral `div`. The route's OWN loud
+  *    envelope is the OUTPUT schema: conc/tied are BIGINT columns, so
+  *    `n_pos·n_neg ≤ 2⁶³−1` (≈ 3·10⁹ docs per class, 10⁶× past the
+  *    micro bound) is guarded in-plan; past it the report columns
+  *    themselves no longer fit and the honest upgrade is dropping
+  *    conc/tied from the contract, not silently rescaling them.
+  *
+  * Both routes are exact integer arithmetic over identical operands,
+  * so inside the micro regime they are ROW-IDENTICAL (AucRouteSpec
+  * pins it); the switch changes only which overflow envelope applies.
+  *
+  * Switch: "auto" reads (n_pos, n_neg) off the persisted histogram
+  * (one 1-row driver scalar) and takes the micro route while the
+  * product fits, decimal past it. */
+object Auc {
+  import org.apache.spark.sql.DataFrame
+
+  /** Micro route regime: n_pos·n_neg ≤ (2⁶³−1)/(1.5·10⁶). */
+  val MicroBound: Long = Long.MaxValue / 1500000L
+
+  /** The route "auto" picks for exact class-pair counts — pure, so the
+    * spec pins the switch point with magnitudes no test corpus can
+    * reach (overflow-free product test). */
+  def route(nPos: Long, nNeg: Long): String =
+    if (nPos == 0L || nNeg == 0L || nNeg <= MicroBound / nPos) "micro"
+    else "decimal"
+
+  /** The per-value class histogram both routes fold: (v, np, nn) —
+    * the corpus-sized shuffle; everything after runs on the value
+    * DOMAIN (q153's exact route). */
+  def hist(docs: DataFrame): DataFrame =
+    docs.groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+
+  private def cumulative(h: DataFrame): DataFrame = {
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cum_neg", coalesce(sum("nn").over(w), lit(0L)))
+  }
+
+  /** Exact BIGINT route — the round-9 body, guard included. */
+  def aucMicro(h: DataFrame): DataFrame =
+    cumulative(h)
+      .agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        sum(col("np") * col("cum_neg")).cast("long").as("conc"),
+        sum(col("np") * col("nn")).cast("long").as("tied"))
+      .select(col("n_pos"), col("n_neg"), col("conc"), col("tied"),
+        graft.ScaleGuards.guarded(
+          graft.ScaleGuards.productWithin("n_pos", "n_neg", MicroBound),
+          "q182: n_pos*n_neg exceeds the BIGINT micro regime - " +
+            "(2*conc + tied)*500000 would overflow 2^63; the DECIMAL(38) " +
+            "route (Auc.auc route=auto switches for you) extends the " +
+            "regime to the output columns' own BIGINT bound",
+          // single-class corpus: n_pos*n_neg = 0 passes the guard
+          // (zero short-circuit) but must emit NULL like the oracle,
+          // not an ANSI DIVIDE_BY_ZERO - the round-9 rule: zero-capable
+          // divisors carry nullif on BOTH sides
+          expr("(2 * conc + tied) * 500000 " +
+            "div nullif(n_pos * n_neg, 0)")
+            .cast("long")).as("auc_micro"))
+
+  /** DECIMAL(38,0) route: the pair sums (and the final scaled
+    * numerator / divisor) are exact decimals; only the bounded
+    * quotient and the guarded report columns return to BIGINT. The
+    * per-value products cast BEFORE multiplying — np·cum_neg can
+    * overflow BIGINT exactly in the regime this route exists for. */
+  def aucDecimal(h: DataFrame): DataFrame =
+    cumulative(h)
+      .agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        sum(col("np").cast("decimal(38,0)") * col("cum_neg"))
+          .cast("decimal(38,0)").as("conc_d"),
+        sum(col("np").cast("decimal(38,0)") * col("nn"))
+          .cast("decimal(38,0)").as("tied_d"))
+      .select(col("n_pos"), col("n_neg"),
+        graft.ScaleGuards.guarded(
+          graft.ScaleGuards.productWithin("n_pos", "n_neg", Long.MaxValue),
+          "q182 decimal route: n_pos*n_neg exceeds BIGINT - the conc/" +
+            "tied report columns themselves no longer fit the output " +
+            "schema; drop them from the contract before going bigger",
+          col("conc_d").cast("long")).as("conc"),
+        col("tied_d").cast("long").as("tied"),
+        expr("(2 * conc_d + tied_d) * 500000 " +
+          "div nullif(CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)")
+          .cast("long").as("auc_micro"))
+
+  /** q182's entry point: route ∈ auto | micro | decimal. */
+  def auc(docs: DataFrame, routeArg: String = "auto"): DataFrame = {
+    val h = graft.Caches.persist(hist(docs))
+    val chosen = routeArg match {
+      case "micro" | "decimal" => routeArg
+      case "auto" =>
+        val r = h.agg(
+          coalesce(sum("np"), lit(0L)).cast("long").as("n_pos"),
+          coalesce(sum("nn"), lit(0L)).cast("long").as("n_neg")).head()
+        route(r.getLong(0), r.getLong(1))
+      case other =>
+        throw new IllegalArgumentException(s"unknown auc route: $other")
+    }
+    if (chosen == "micro") aucMicro(h) else aucDecimal(h)
   }
 }

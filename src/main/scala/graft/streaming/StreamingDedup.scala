@@ -128,6 +128,13 @@ object StreamingDedup {
     val sb = column(graft.functions.MinhashBands(
       expression(array_distinct(split(col("text"), " ")))))
     docs
+      // null text carries no shingles and can near-dup nothing: dropped
+      // EXPLICITLY here (and in bandsReference — agreement by
+      // construction, round-10 advice) rather than implicitly via the
+      // kernel's null-in/null-out + explode(null); the HOF rendering
+      // would otherwise emit null-band rows that pool every null-text
+      // doc into one garbage candidate bucket
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), sb.as("sb"))
       .select(col("doc_id"),
         slice(col("sb"), 1, NPerm).as("sig"),
@@ -144,6 +151,7 @@ object StreamingDedup {
       array_min(transform(col("ts"), w => md5(concat(w, lit("#" + i)))))
         .as(s"s$i"))
     docs
+      .filter(col("text").isNotNull) // same null-text drop as bands()
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
       .select(col("doc_id") +: sigs: _*)
       .select(col("doc_id"),

@@ -775,4 +775,26 @@ class PlanSpec extends SparkSpec {
     assert(distinctIdx("rankedLists_").size <= 1,
       "serve plan must rank at most the winning quantizer's lists")
   }
+
+  test("q212: index-served — NO corpus-wide assignment stage; probes broadcast; scoring is candidate-bounded") {
+    val p = planOf(SparkEntry.queries("q212_ann_index_search")(spark, sf))
+    // the whole point of the persisted index: list assignment happened
+    // at INGEST. A cid_<i> column in the serve plan means the corpus
+    // assignment leaked back in (q211's serveChoice shape); the only
+    // list-ranking allowed is the 20-row query side's
+    assert(!p.contains("cid_"),
+      "no corpus-wide IVF assignment stage may appear in the serve plan")
+    // serveChoice persists its assigned corpus frame; the index serve
+    // reads the PERSISTED parquet lists instead — no cache stage at all
+    assert(!p.contains("InMemoryTableScan"),
+      "index serve must read the persisted lists, not re-derive and " +
+        "cache a corpus frame")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (query x nprobe) probe table must broadcast against the lists")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "every serve join is an equi-join (list_id probe, vec_id scoring)")
+    // the query side reads 20 ids — that filter must reach the scan
+    assert(p.contains("PushedFilters:"), "query-id filter must push down")
+  }
 }
