@@ -50,6 +50,12 @@ object AnnIndex {
     StructField("vec_id", LongType, nullable = false),
     StructField("list_id", LongType, nullable = false)))
 
+  /** Bump when the index layout or marker semantics change (v2:
+    * `_choice` pins the ASSIGNMENT fingerprint, not the tune-corpus
+    * fingerprint), so an auto-path dir written by older code is never
+    * misread — it maps to a fresh dir and rebuilds. */
+  val IndexFormatVersion = 2
+
   /** The default index location for a corpus directory — keyed exactly
     * like [[AnnChoice.defaultDir]] (format version + canonical path +
     * fingerprint under the per-user owner-only stash root), so the
@@ -58,7 +64,36 @@ object AnnIndex {
     * and rebuilds. Staleness remains possible only on the explicit-dir
     * API ([[search]]) and is refused loudly there. */
   def defaultDir(d: String, fp: (Long, Long)): String =
-    s"${AnnChoice.stashRoot()}/ann-index/${AnnChoice.corpusKey(d, fp)}"
+    s"${AnnChoice.stashRoot()}/ann-index/v$IndexFormatVersion-" +
+      AnnChoice.corpusKey(d, fp)
+
+  /** Fingerprint of an artifact's ASSIGNMENT semantics — what the
+    * `_choice` sidecar pins. Keyed on exactly the fields that decide a
+    * vector's list id (family; LSH: the plane count; IVF: the chosen
+    * quantizer's centroid grid), NOT on the corpus fingerprint the
+    * choice was tuned on: re-certifying a choice after
+    * same-distribution growth ([[Similarity.refreshIfDrifted]])
+    * re-stamps the corpus fingerprint but preserves assignment, and
+    * the index must keep serving — and delta-ingesting — across it.
+    * (Round-11 design catch: the first [[syncTo]] draft compared the
+    * tune-corpus fingerprints and would have force-rebuilt on every
+    * re-certification.) */
+  private[llmdata] def assignmentFp(a: AnnChoice.Artifact): (Long, Long) = {
+    val key =
+      if (a.family == "lsh") s"lsh|${a.p1}"
+      else {
+        val qt = a.quants.find(_.nlists == a.p1).getOrElse(
+          throw new IllegalStateException(
+            s"ann artifact chose ivf nlists=${a.p1} but carries no " +
+              "such quantizer — internally inconsistent; re-run the tuner"))
+        s"ivf|${a.p1}|" + qt.qcents.map(_.mkString(",")).mkString(";") +
+          "|" + qt.ncs.mkString(",")
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(md)
+    (bb.getLong, bb.getLong)
+  }
 
   /** Cold-start build for the auto-serving path: when `indexDir` has
     * no committed batches, ingest the corpus in TWO deterministic
@@ -188,8 +223,65 @@ object AnnIndex {
           x => Similarity.quantizeInt8(x, col("mx")).cast("double")))
       assigned(corpus, a).write.parquet(s"$indexDir/$batchName")
       writeMarker(s, s"$indexDir/$batchName/_fp", fp)
-      writeMarker(s, s"$indexDir/$batchName/_choice", (a.fpCount, a.fpXor))
+      writeMarker(s, s"$indexDir/$batchName/_choice", assignmentFp(a))
     }
+  }
+
+  /** Keep choice AND index in lockstep with a LIVE corpus — the whole
+    * production loop composed from the two artifacts' own primitives
+    * (round 11; the gates that refuse a stale serve are exactly what
+    * decides each step, so the loop can never silently serve wrong):
+    *
+    *   1. [[Similarity.refreshIfDrifted]] brings the CHOICE current —
+    *      "fresh"/"recertified" are zero-training, real drift pays
+    *      exactly one sweep;
+    *   2. an index assigned under a DIFFERENT choice (a retune
+    *      happened), or an empty dir, REBUILDS;
+    *   3. otherwise the corpus DELTA (ids absent from the lists)
+    *      ingests as ONE new batch: the marker algebra (counts sum,
+    *      xors fold) makes coverage-after-delta provably equal the
+    *      corpus fingerprint for append-only growth — the 100 TB
+    *      ingest path, old batches untouched;
+    *   4. if coverage still mismatches after the delta — rows were
+    *      MUTATED or deleted rather than appended, or zero vectors
+    *      (absent from the lists by design) joined the corpus — fall
+    *      back to a full rebuild: degraded COST, never degraded
+    *      correctness.
+    *
+    * Returns (choice outcome, index action): ("fresh" | "recertified"
+    * | "retuned", "kept" | "delta" | "rebuilt"). */
+  def syncTo(s: SparkSession, d: String, stashDir: String,
+      indexDir: String): (String, String) = {
+    val choiceOutcome = Similarity.refreshIfDrifted(s, d, stashDir)
+    val fp = Similarity.corpusFingerprint(s, d)
+    val art = AnnChoice.read(s, stashDir).getOrElse(
+      throw new IllegalStateException(
+        s"refreshIfDrifted left no artifact at $stashDir"))
+    def rebuild(): String = {
+      fsOf(s, indexDir).delete(
+        new org.apache.hadoop.fs.Path(indexDir), true)
+      buildIfAbsent(s, d, indexDir, art)
+      "rebuilt"
+    }
+    val (lists, cov, choiceFp) = readIndex(s, indexDir)
+    val action = choiceFp match {
+      case None => rebuild() // empty dir: first build
+      case Some(cf) if cf != assignmentFp(art) =>
+        rebuild() // assigned under superseded centroids/planes
+      case _ if cov == fp => "kept"
+      case _ =>
+        val delta = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .join(lists.select("vec_id").distinct(),
+            Seq("vec_id"), "left_anti")
+        if (delta.isEmpty) rebuild() // mutation/deletion, not growth
+        else {
+          ingest(s, indexDir, delta, art)
+          val (_, cov2, _) = readIndex(s, indexDir)
+          if (cov2 == fp) "delta" else rebuild()
+        }
+    }
+    (choiceOutcome, action)
   }
 
   /** Committed (vec_id, list_id) rows + the derived coverage
@@ -242,7 +334,7 @@ object AnnIndex {
       fp: (Long, Long), art: AnnChoice.Artifact,
       indexDir: String): DataFrame = {
     val (lists, cov, choiceFp) = readIndex(s, indexDir)
-    if (choiceFp.exists(_ != (art.fpCount, art.fpXor)))
+    if (choiceFp.exists(_ != assignmentFp(art)))
       throw new IllegalStateException(
         s"ann index at $indexDir was assigned under a different choice " +
           "artifact than the one serving — rebuild the index after " +

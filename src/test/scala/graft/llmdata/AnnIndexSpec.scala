@@ -76,8 +76,15 @@ class AnnIndexSpec extends graft.SparkSpec {
     val idx = tempDir()
     val maxId = raw().agg(max("vec_id")).head().getLong(0)
     AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") <= maxId / 2), art)
+    // a retuned artifact whose ASSIGNMENT differs (the marker keys on
+    // assignment semantics, not the tune-corpus fingerprint — a
+    // re-certified choice with identical centroids must NOT refuse)
+    val retuned =
+      if (art.family == "lsh") art.copy(p1 = art.p1 + 1)
+      else art.copy(quants = art.quants.map(q =>
+        q.copy(qcents = q.qcents.map(_.map(_ + 1.0)))))
     AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") > maxId / 2),
-      art.copy(fpXor = art.fpXor ^ 1L)) // a retuned artifact
+      retuned)
     val e = intercept[IllegalStateException] {
       AnnIndex.search(spark, sf, stash, idx)
     }
