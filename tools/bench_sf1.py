@@ -40,7 +40,7 @@ SOLO = {"q109_incremental_minhash", "q28_jaccard_pairs", "q75_containment",
         "q121_phash_neardup", "q114_negative_sample", "q29_minhash_lsh",
         "q53_simhash_neardup", "q58_ngram_jaccard", "q55_dup_clusters",
         "q132_incremental_bm25", "q160_dedup_yield_curve", "q166_apriori_triples",
-        "q211_ann_family_search"}
+        "q211_ann_family_search", "q213_containment_reps"}
 rest = [n for n in all_q if n not in SOLO]
 CHUNK = 12
 groups = [[n] for n in sorted(SOLO & set(all_q))] + \
