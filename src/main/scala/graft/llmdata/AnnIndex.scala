@@ -248,6 +248,15 @@ object AnnIndex {
     *      back to a full rebuild: degraded COST, never degraded
     *      correctness.
     *
+    * Rebuild is NOT snapshot-isolated (deliberate contrast with
+    * [[graft.streaming.StreamingUpsert]]'s generation/manifest swap —
+    * an index is a derived artifact, not a table of record): a reader
+    * racing a rebuild sees an absent/partial manifest and REFUSES
+    * loudly at its own gates, never a silently-thinner candidate set.
+    * Serve-during-rebuild needs the upsert-style versioned layout; at
+    * that point the index has become a table and should ride that
+    * machinery.
+    *
     * Returns (choice outcome, index action): ("fresh" | "recertified"
     * | "retuned", "kept" | "delta" | "rebuilt"). */
   def syncTo(s: SparkSession, d: String, stashDir: String,
