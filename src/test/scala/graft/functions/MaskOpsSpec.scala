@@ -54,6 +54,21 @@ class MaskOpsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("mask_intersect") ||
       e.getMessage.toLowerCase.contains("data type mismatch"),
       s"expected the kernel's analysis-time type failure, got: $e")
+    // empty / all-null array literals type as array<void> and must keep
+    // COERCING (round-10 advice: the round-9 widen regressed them to an
+    // analysis failure). Values follow the kernel's existing padding
+    // semantics — two empty masks intersect to 0 bits; an empty mask
+    // against a populated one pads with null elements and yields NULL
+    // (the zip_with contract the null-semantics test pins) — the
+    // regression being pinned here is the ANALYSIS, not new semantics
+    val z = spark.sql(
+      "SELECT mask_intersect(array(), array()) AS both_empty," +
+        " mask_intersect(array(), array(1, 2)) AS empty_vs_full," +
+        " mask_intersect(array(CAST(NULL AS INT)), array(7)) AS null_elem")
+      .head()
+    assert(z.getLong(0) == 0L, "two empty masks share 0 bits")
+    assert(z.isNullAt(1), "length-mismatch padding yields NULL")
+    assert(z.isNullAt(2), "a null element yields NULL (padding contract)")
   }
 
   test("mask_intersect null semantics match zip_with padding") {

@@ -128,4 +128,21 @@ class StreamingDedupSpec extends SparkSpec {
       byDoc(3L).map(_.band).toSet).isEmpty)
     assert(b.forall(_.sig.length === 8))
   }
+
+  test("null-text docs are dropped by BOTH band renderings (agreement by construction)") {
+    // round-10 advice: the kernel nulled the whole array (explode drops
+    // the row) while the HOF reference emitted null-band rows that
+    // pooled every null-text doc into one garbage candidate bucket —
+    // both renderings now filter null text EXPLICITLY, and this pins
+    // the intended semantics: no shingles ⇒ no bands ⇒ no candidates
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, dup1), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kernel = StreamingDedup.bands(docs).collect()
+    val ref = StreamingDedup.bandsReference(docs).collect()
+    assert(kernel.map(_.doc_id).toSet === Set(1L))
+    assert(kernel.sortBy(_.band).toSeq === ref.sortBy(_.band).toSeq,
+      "kernel and reference renderings must agree on null-text drops")
+  }
 }
