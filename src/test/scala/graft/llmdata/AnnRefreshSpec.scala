@@ -62,6 +62,39 @@ class AnnRefreshSpec extends graft.SparkSpec {
       .count() > 0, "post-retune serve must not refuse")
   }
 
+  test("a pre-v2 stash (no ref column) reads, serves, and is honestly NOT re-certifiable") {
+    val corpus = corpusCopy(identity)
+    val stash = tempDir("ann-refresh-legacy-")
+    // write a v1-format artifact: the v2 schema minus `ref`, committed
+    // through the same AppendLog protocol old code used
+    val fp = Similarity.corpusFingerprint(spark, corpus)
+    val scratch = tempDir("ann-refresh-scratch-")
+    Similarity.annFamilyTunePersist(spark, corpus, scratch)
+    val real = AnnChoice.read(spark, scratch).get // real quants to copy
+    val v1Schema = org.apache.spark.sql.types.StructType(
+      AnnChoice.Schema.fields.filterNot(_.name == "ref"))
+    graft.sources.AppendLog.append(spark, stash) { (v, _, batch) =>
+      val row = org.apache.spark.sql.Row(fp._1, fp._2, real.family,
+        real.p1, real.p2,
+        real.quants.map(q => org.apache.spark.sql.Row(
+          q.idx, q.nlists, q.qcents, q.ncs)), v + 1)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.add(row)
+      spark.createDataFrame(rows, v1Schema)
+        .coalesce(1).write.parquet(s"$stash/$batch")
+    }
+    val art = AnnChoice.read(spark, stash).get
+    assert(art.ref.isEmpty, "a legacy artifact carries no ref")
+    assert(Similarity.annFamilySearchFrom(spark, corpus, stash)
+      .count() > 0, "a legacy stash must still SERVE a matching corpus")
+    assert(Similarity.refreshIfDrifted(spark, corpus, stash) == "fresh")
+    // a drifted corpus against a legacy artifact cannot re-certify
+    // (no reference distribution) — centroidDrift says so explicitly
+    assert(Similarity.centroidDrift(spark, corpus,
+      art.copy(fpXor = art.fpXor ^ 1L)).isPosInfinity,
+      "no ref ⇒ not certifiable ⇒ refresh always re-tunes on drift")
+  }
+
   test("same-distribution ingest recertifies: zero training, serve gate reopens") {
     val corpus = corpusCopy(identity)
     val stash = tempDir("ann-refresh-stash-")
