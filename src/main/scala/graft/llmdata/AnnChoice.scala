@@ -106,7 +106,27 @@ object AnnChoice {
       val user = System.getProperty("user.name", "anon")
       s"${sys.props("java.io.tmpdir")}/graft-stash-$user"
     })
+    ensureOwnerOnlyRoot(root)
+  }
+
+  /** Creates `root` owner-only (rwx------) and returns it. Round-11
+    * advice: the old version swallowed UnsupportedOperationException —
+    * on a non-POSIX filesystem `createDirectories(p, posixAttrs)`
+    * throws BEFORE creating anything, so the root could be left
+    * uncreated — and carried a dead FileAlreadyExistsException branch
+    * (createDirectories throws that only when the path exists as a
+    * NON-directory, where re-chmodding cannot help). Now: non-POSIX
+    * falls back to a plain create (no permission surface to tighten —
+    * single-user filesystems there anyway), and a root that exists as
+    * a regular file fails loudly instead of chmodding a file the
+    * stash can never live under. */
+  private[llmdata] def ensureOwnerOnlyRoot(root: String): String = {
     val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p) &&
+        !java.nio.file.Files.isDirectory(p))
+      throw new IllegalStateException(
+        s"stash root $root exists and is not a directory - remove it " +
+          "or point GRAFT_STASH_ROOT elsewhere")
     try {
       val perms = java.nio.file.attribute.PosixFilePermissions
         .fromString("rwx------")
@@ -118,11 +138,10 @@ object AnnChoice {
       // it; a foreign-owned root throws AccessDenied here — loud
       java.nio.file.Files.setPosixFilePermissions(p, perms)
     } catch {
-      case _: UnsupportedOperationException => () // non-POSIX FS
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.setPosixFilePermissions(p,
-          java.nio.file.attribute.PosixFilePermissions
-            .fromString("rwx------"))
+      case _: UnsupportedOperationException =>
+        // non-POSIX FS: the attributed create threw before creating —
+        // still ensure the directory exists (idempotent)
+        java.nio.file.Files.createDirectories(p)
     }
     root
   }
@@ -181,7 +200,13 @@ object AnnChoice {
   /** The latest committed tuning at `stashDir` — `None` for a fresh
     * or absent stash. Bounded driver read: one tiny row per tuning. */
   def read(s: SparkSession, stashDir: String): Option[Artifact] = {
-    val rows = graft.sources.AppendLog.read(s, stashDir, Schema).collect()
+    // mergeSchema: a stash that upgraded in place (v1 ref-less batch +
+    // a v2 retune) has mixed footers, and without the merge Spark may
+    // resolve to the v1 schema and silently drop the NEW artifact's
+    // ref — losing re-certifiability right after the retune that
+    // restored it (round-11 advice)
+    val rows = graft.sources.AppendLog
+      .read(s, stashDir, Schema, mergeSchema = true).collect()
     if (rows.isEmpty) None
     else {
       val r = rows.maxBy(_.getAs[Int]("seq"))
@@ -194,9 +219,12 @@ object AnnChoice {
           q.getAs[scala.collection.Seq[Double]](3).toVector)
       }.toSeq
       // pre-v2 stashes carry no ref column: readable (serve is
-      // unaffected) but not re-certifiable — refreshIfDrifted re-tunes
+      // unaffected) but not re-certifiable — refreshIfDrifted re-tunes.
+      // Under a merged mixed-schema read a v1 ROW surfaces the column
+      // as null — same meaning, same handling.
       val ref =
-        if (!r.schema.fieldNames.contains("ref")) Seq.empty[RefStat]
+        if (!r.schema.fieldNames.contains("ref") ||
+            r.isNullAt(r.fieldIndex("ref"))) Seq.empty[RefStat]
         else r.getAs[scala.collection.Seq[Row]]("ref").map(x =>
           RefStat(x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3)))
           .toSeq

@@ -52,9 +52,26 @@ object AnnIndex {
 
   /** Bump when the index layout or marker semantics change (v2:
     * `_choice` pins the ASSIGNMENT fingerprint, not the tune-corpus
-    * fingerprint), so an auto-path dir written by older code is never
-    * misread — it maps to a fresh dir and rebuilds. */
-  val IndexFormatVersion = 2
+    * fingerprint; v3: zero vectors are recorded under [[ZeroList]], so
+    * the lists' vec_id set IS the covered id set and [[syncTo]]'s
+    * delta diff stays append-only-cheap on corpora that contain them),
+    * so an auto-path dir written by older code is never misread — it
+    * maps to a fresh dir and rebuilds. */
+  val IndexFormatVersion = 3
+
+  /** The sentinel list id zero vectors are recorded under. Cosine is
+    * undefined for them, so they are excluded from ASSIGNMENT by
+    * design — but they are part of the corpus the index claims to
+    * cover, and a covered-but-unlisted id that exists only in the
+    * coverage fingerprint breaks [[syncTo]]'s delta diff: the id
+    * reappears in every corpus-minus-lists anti-join, the delta batch
+    * re-counts it into the coverage fold, and every append-only growth
+    * sync silently falls back to a full rebuild (round-11 advice,
+    * medium). Recording them under a list id no probe can ever rank
+    * (real list ids are ≥ 0: LSH buckets, IVF cids) keeps the serve
+    * untouched — the probe join simply never matches — while making
+    * "covered" equal "present in the lists". */
+  val ZeroList: Long = -1L
 
   /** The default index location for a corpus directory — keyed exactly
     * like [[AnnChoice.defaultDir]] (format version + canonical path +
@@ -207,21 +224,26 @@ object AnnIndex {
   /** One SERIALIZED ingest: assign `rawBatch` (embeddings-shaped:
     * vec_id, embedding) under the artifact's choice and append the
     * (vec_id, list_id) rows plus the coverage/choice markers. Vectors
-    * the corpus frame drops (zero vectors — cosine undefined) are
-    * excluded from the lists but INCLUDED in the coverage fingerprint:
-    * they are part of the corpus the index claims to cover. */
+    * assignment drops (zero vectors — cosine undefined) land under the
+    * [[ZeroList]] sentinel instead of vanishing, so every ingested id
+    * is present in the lists and the coverage fingerprint and the
+    * vec_id set agree — the invariant [[syncTo]]'s delta diff rests
+    * on. */
   def ingest(s: SparkSession, indexDir: String, rawBatch: DataFrame,
       a: AnnChoice.Artifact): Unit = {
     val fp = batchFingerprint(rawBatch)
     graft.sources.AppendLog.append(s, indexDir) { (_, _, batchName) =>
-      val corpus = rawBatch
+      val base = rawBatch
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-        .filter(col("mx") > 0)
+      val corpus = base.filter(col("mx") > 0)
         .withColumn("b8", Similarity.signBucket(col("v")))
         .withColumn("qi", transform(col("v"),
           x => Similarity.quantizeInt8(x, col("mx")).cast("double")))
-      assigned(corpus, a).write.parquet(s"$indexDir/$batchName")
+      val zeros = base.filter(coalesce(col("mx"), lit(0.0)) <= 0)
+        .select(col("vec_id"), lit(ZeroList).as("list_id"))
+      assigned(corpus, a).unionByName(zeros)
+        .write.parquet(s"$indexDir/$batchName")
       writeMarker(s, s"$indexDir/$batchName/_fp", fp)
       writeMarker(s, s"$indexDir/$batchName/_choice", assignmentFp(a))
     }
@@ -243,10 +265,10 @@ object AnnIndex {
     *      corpus fingerprint for append-only growth — the 100 TB
     *      ingest path, old batches untouched;
     *   4. if coverage still mismatches after the delta — rows were
-    *      MUTATED or deleted rather than appended, or zero vectors
-    *      (absent from the lists by design) joined the corpus — fall
-    *      back to a full rebuild: degraded COST, never degraded
-    *      correctness.
+    *      MUTATED or deleted rather than appended — fall back to a
+    *      full rebuild: degraded COST, never degraded correctness.
+    *      (Zero vectors no longer trip this: they sit in the lists
+    *      under [[ZeroList]], so the delta diff sees them as covered.)
     *
     * Rebuild is NOT snapshot-isolated (deliberate contrast with
     * [[graft.streaming.StreamingUpsert]]'s generation/manifest swap —
@@ -334,6 +356,40 @@ object AnnIndex {
       case Some(a) => a
     }
     searchWith(s, d, fp, art, indexDir)
+  }
+
+  /** The AUTO path's serve — [[buildIfAbsent]] then [[searchWith]],
+    * with one self-repair: a gate failure on the fingerprint-keyed
+    * DEFAULT dir rebuilds it and retries ONCE. The default dir is a
+    * DERIVED per-corpus artifact (never a table of record), so the
+    * corruption classes the gates catch there are all rebuild-curable
+    * — the concrete one (round-11 advice, medium): two sessions
+    * cold-starting the same dir can both pass [[buildIfAbsent]]'s
+    * emptiness check (it runs before any ingest lock), the slower
+    * one's staggered appends land duplicate batches after the winner's
+    * compact, coverage folds to ~2× the corpus, and without repair
+    * every subsequent serve refuses forever — nothing on the auto path
+    * ever deletes the dir. A CONCURRENT ingest's lock refusal is NOT
+    * repaired (deleting a dir another session is mid-build in would
+    * just trade corruptions): it propagates loudly and the next run
+    * finds the winner's committed index. The explicit-dir [[search]]
+    * keeps refusing loudly — a user-managed index is not ours to
+    * delete. */
+  private[llmdata] def searchAutoRepair(s: SparkSession, d: String,
+      fp: (Long, Long), art: AnnChoice.Artifact,
+      indexDir: String): DataFrame = {
+    buildIfAbsent(s, d, indexDir, art)
+    try searchWith(s, d, fp, art, indexDir)
+    catch {
+      case e: IllegalStateException =>
+        System.err.println("[ann-index] WARNING: default index dir " +
+          s"failed its serve gates (${e.getMessage.takeWhile(_ != '\n')})" +
+          " - rebuilding it (derived, fingerprint-keyed, safe)")
+        fsOf(s, indexDir).delete(
+          new org.apache.hadoop.fs.Path(indexDir), true)
+        buildIfAbsent(s, d, indexDir, art)
+        searchWith(s, d, fp, art, indexDir)
+    }
   }
 
   /** [[search]] with the corpus fingerprint and choice artifact already

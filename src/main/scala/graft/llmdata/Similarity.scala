@@ -257,9 +257,16 @@ object Similarity {
 
   /** q48's symmetric max-abs INT8 quantization of one coordinate —
     * shared by q48/q84/q91 (the quantize-first exactness pattern
-    * depends on all three using the same grid). */
+    * depends on all three using the same grid). `nullif` on the
+    * divisor: every caller guards `mx > 0`, but the optimizer may
+    * evaluate this SPECULATIVELY on guarded-out rows (predicate
+    * pushdown merges a derived filter over the quantized column below
+    * the guard — seen as a real ANSI DIVIDE_BY_ZERO on a zero vector
+    * in round 12), and under ANSI a zero divisor must degrade to NULL
+    * (the row is dropped anyway), never to a query-killing throw.
+    * On guarded rows the result is bit-identical. */
   private[graft] def quantizeInt8(x: Column, mx: Column): Column =
-    floor(x * lit(127.0) / mx + lit(0.5))
+    floor(x * lit(127.0) / nullif(mx, lit(0.0)) + lit(0.5))
 
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -616,6 +623,17 @@ object Similarity {
     * q118. */
   private[llmdata] def corpusFingerprint(s: SparkSession, d: String)
       : (Long, Long) = {
+    // Every ANN entry point (tune, refresh, sync, all three serves)
+    // fingerprints first — so this is the one place to drop cached
+    // plans over a corpus that changed IN PLACE. Without it a
+    // long-lived session can serve STALE rows with every gate green:
+    // the fingerprint reads a raw (uncached) scan and sees the live
+    // corpus, while serveChoice's corpusFrame canonically matches a
+    // tune-time persisted fragment (CacheManager matches file sources
+    // by root path, not file list) and replays the old snapshot —
+    // found by the round-12 zero-vector sync spec. Driver-side
+    // metadata invalidation: no-op when nothing cached matches.
+    s.catalog.refreshByPath(d)
     val r = Tables.embeddings(s, d)
       .agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))
@@ -1109,8 +1127,11 @@ object Similarity {
     val art = resolveChoice(s, d, fp)
     q212OracleStash.set(Some(familySearchSql(art.quants)))
     val indexDir = AnnIndex.defaultDir(d, fp)
-    AnnIndex.buildIfAbsent(s, d, indexDir, art)
-    AnnIndex.searchWith(s, d, fp, art, indexDir)
+    // build-if-absent + serve with ONE rebuild-and-retry on a gate
+    // failure: the default dir is derived and fingerprint-keyed, so a
+    // corrupted one (e.g. two racing cold starts double-ingesting)
+    // repairs instead of bricking the auto path (round-11 advice)
+    AnnIndex.searchAutoRepair(s, d, fp, art, indexDir)
   }
 
   /** Tune-once production entry: run the cross-family sweep against
@@ -1196,6 +1217,13 @@ object Similarity {
     var w = 0L
     for (cid <- cids) {
       val dims = (cur.keySet ++ ref.keySet).filter(_._1 == cid)
+      // a (cid, dim) key present on only ONE side — the embedding
+      // dimensionality changed between tune and refresh — is drift by
+      // definition, not a crash (round-11 advice: unguarded ref(k)/
+      // cur(k) threw NoSuchElementException here and refreshIfDrifted
+      // died instead of honestly re-tuning)
+      if (!dims.forall(k => cur.contains(k) && ref.contains(k)))
+        return Double.PositiveInfinity
       val n1 = dims.flatMap(cur.get).headOption.map(_._2).getOrElse(0L)
       val n0 = dims.flatMap(ref.get).headOption.map(_._2).getOrElse(0L)
       if (n0 == 0L || n1 == 0L) return Double.PositiveInfinity

@@ -58,14 +58,20 @@ object AppendLog {
   }
 
   /** The committed table as a DataFrame — empty with `schema` for a
-    * fresh `tableDir`. */
-  def read(s: SparkSession, tableDir: String, schema: StructType)
-      : DataFrame = {
+    * fresh `tableDir`. Pass `mergeSchema = true` for tables whose row
+    * format EVOLVED across appends (the ann-choice stash grew a `ref`
+    * column in v2): without it Spark resolves the read schema from one
+    * arbitrary footer, and a batch written under the wider schema can
+    * silently lose its new columns when an older batch wins (round-11
+    * advice). Homogeneous tables keep the cheap default. */
+  def read(s: SparkSession, tableDir: String, schema: StructType,
+      mergeSchema: Boolean = false): DataFrame = {
     val (_, dirs) = state(s, tableDir)
     if (dirs.isEmpty)
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else s.read.parquet(dirs.map(b => s"$tableDir/$b"): _*)
+    else s.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(dirs.map(b => s"$tableDir/$b"): _*)
   }
 
   /** Claims `.ingest-lock` for the duration of `body` — the exclusive

@@ -107,4 +107,29 @@ class AnnChoiceSpec extends graft.SparkSpec {
     assert(AnnChoice.read(spark, dir).isEmpty,
       "nothing may commit past a held lock")
   }
+
+  test("stash root: fresh path created owner-only; a regular file at the root refuses loudly") {
+    // round-11 advice (low): the old FileAlreadyExistsException branch
+    // was dead (createDirectories throws it only for a NON-directory
+    // path, where re-chmodding cannot help) and a swallowed
+    // UnsupportedOperationException could leave the root uncreated on
+    // non-POSIX filesystems.
+    val base = java.nio.file.Files
+      .createTempDirectory("ann-stash-root-").toString
+    val fresh = s"$base/sub/root"
+    assert(AnnChoice.ensureOwnerOnlyRoot(fresh) == fresh)
+    val p = java.nio.file.Paths.get(fresh)
+    assert(java.nio.file.Files.isDirectory(p), "root must exist")
+    assert(java.nio.file.Files.getPosixFilePermissions(p)
+      == java.nio.file.attribute.PosixFilePermissions
+        .fromString("rwx------"), "root must be owner-only")
+    // a root that exists as a regular FILE can never hold the stash:
+    // loud, not a silent chmod of someone's file
+    val asFile = s"$base/plainfile"
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(asFile))
+    val e = intercept[IllegalStateException] {
+      AnnChoice.ensureOwnerOnlyRoot(asFile)
+    }
+    assert(e.getMessage.contains("not a directory"))
+  }
 }

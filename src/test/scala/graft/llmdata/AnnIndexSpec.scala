@@ -62,6 +62,33 @@ class AnnIndexSpec extends graft.SparkSpec {
       AnnIndex.search(spark, sf, stash, one).collect().toSeq)
   }
 
+  test("auto path self-repairs a corrupted default-style dir; explicit search stays loud") {
+    // round-11 advice (medium): two sessions cold-starting the same
+    // fingerprint-keyed dir can both pass buildIfAbsent's emptiness
+    // check and the loser's staggered appends double the coverage —
+    // bricking the dir for every later serve, with nothing on the auto
+    // path ever repairing it. Simulate the outcome (duplicate full
+    // ingest), then: explicit search refuses loudly (user-managed dirs
+    // are not ours to delete), searchAutoRepair rebuilds and serves.
+    val idx = tempDir()
+    AnnIndex.buildIfAbsent(spark, sf, idx, art)
+    AnnIndex.ingest(spark, idx, raw(), art) // the racing loser's batch
+    val fp = Similarity.corpusFingerprint(spark, sf)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.search(spark, sf, stash, idx)
+    }
+    assert(e.getMessage.contains("does not cover"),
+      s"doubled coverage must refuse on the explicit path, got: $e")
+    val repaired = AnnIndex.searchAutoRepair(spark, sf, fp, art, idx)
+      .collect()
+    val fresh = Similarity.annFamilySearchFrom(spark, sf, stash).collect()
+    assert(repaired.nonEmpty && repaired.toSeq == fresh.toSeq,
+      "the repaired serve must be row-identical to the fresh serve")
+    // the dir is healed: the plain gated search now passes too
+    assert(AnnIndex.search(spark, sf, stash, idx).collect().toSeq
+      == fresh.toSeq)
+  }
+
   test("coverage gate: an index missing part of the corpus refuses loudly") {
     val idx = tempDir()
     AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") % 2 === 0), art)

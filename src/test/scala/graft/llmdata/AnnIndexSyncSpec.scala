@@ -86,6 +86,61 @@ class AnnIndexSyncSpec extends graft.SparkSpec {
     serveParity(corpus, stash, idx)
   }
 
+  test("a zero vector in the corpus does NOT disable the delta path (sentinel list)") {
+    // round-11 advice (medium): zero vectors were excluded from the
+    // lists but included in the coverage fingerprint, so every
+    // append-only growth sync saw them in the corpus-minus-lists diff,
+    // double-counted them into the coverage fold, and silently fell
+    // back to a full rebuild — forever. v3 records them under
+    // AnnIndex.ZeroList: covered, never probed.
+    val corpus = corpusCopy()
+    val stash = tempDir("ann-sync-stash-")
+    val idx = tempDir("ann-sync-idx-")
+    val cur0 = spark.read.parquet(s"$corpus/embeddings.parquet")
+    cur0.limit(1)
+      .select(lit(99999L).as("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+          .as("embedding"))
+      .unionByName(cur0)
+      .write.parquet(s"$corpus/embeddings2.parquet")
+    def swap(): Unit = {
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+      }
+      deleteRec(new java.io.File(s"$corpus/embeddings.parquet"))
+      assert(new java.io.File(s"$corpus/embeddings2.parquet")
+        .renameTo(new java.io.File(s"$corpus/embeddings.parquet")))
+    }
+    swap()
+    assert(AnnIndex.syncTo(spark, corpus, stash, idx)._2 == "rebuilt")
+    // the zero vector is IN the lists, under the sentinel no probe ranks
+    val sentinels = graft.sources.AppendLog
+      .read(spark, idx, AnnIndex.Schema)
+      .filter(col("list_id") === AnnIndex.ZeroList)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sentinels == Set(99999L),
+      s"zero vectors must land under ZeroList, got $sentinels")
+    // append-only growth (every nonzero vector duplicated under fresh
+    // ids): the delta path must survive the zero vector's presence
+    val b0 = batchCount(idx)
+    val cur = spark.read.parquet(s"$corpus/embeddings.parquet")
+    cur.filter(col("vec_id") =!= 99999L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        col("embedding"))
+      .unionByName(cur)
+      .write.parquet(s"$corpus/embeddings2.parquet")
+    swap()
+    val (_, action) = AnnIndex.syncTo(spark, corpus, stash, idx)
+    assert(action == "delta",
+      s"growth beside a zero vector must stay on the delta path, got $action")
+    assert(batchCount(idx) == b0 + 1, "exactly one delta batch")
+    serveParity(corpus, stash, idx)
+    // and the zero vector is never served as a neighbor
+    val served = AnnIndex.search(spark, corpus, stash, idx)
+      .filter(col("n_id") === 99999L).count()
+    assert(served == 0L, "a zero vector must never be a neighbor")
+  }
+
   test("mutation (same ids, changed bytes): delta is empty, the index rebuilds, serve parity holds") {
     val corpus = corpusCopy()
     val stash = tempDir("ann-sync-stash-")

@@ -95,6 +95,59 @@ class AnnRefreshSpec extends graft.SparkSpec {
       "no ref ⇒ not certifiable ⇒ refresh always re-tunes on drift")
   }
 
+  test("a retune into a pre-v2 stash restores re-certifiability: the mixed-schema read keeps ref") {
+    // round-11 advice (low): after refreshIfDrifted retunes into a
+    // ref-less v1 stash the batches have MIXED schemas; without
+    // mergeSchema Spark may resolve the read to the v1 footer and
+    // silently drop the new artifact's ref — every future drifted
+    // refresh then pays a full sweep despite re-certification data
+    // existing on disk.
+    val corpus = corpusCopy(identity)
+    val stash = tempDir("ann-refresh-mixed-")
+    // fabricate a v1 (ref-less) batch with a STALE fingerprint: the
+    // refresh never serves it, so empty quants suffice
+    val v1Schema = org.apache.spark.sql.types.StructType(
+      AnnChoice.Schema.fields.filterNot(_.name == "ref"))
+    graft.sources.AppendLog.append(spark, stash) { (v, _, batch) =>
+      val row = org.apache.spark.sql.Row(-1L, -1L, "lsh", 8, 1,
+        Seq.empty[org.apache.spark.sql.Row], v + 1)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.add(row)
+      spark.createDataFrame(rows, v1Schema)
+        .coalesce(1).write.parquet(s"$stash/$batch")
+    }
+    // no ref, fingerprint moved → the refresh re-tunes (v2 batch lands
+    // BESIDE the v1 batch: the stash is now mixed-schema)
+    assert(Similarity.refreshIfDrifted(spark, corpus, stash) == "retuned")
+    val art = AnnChoice.read(spark, stash).get
+    assert(art.ref.nonEmpty,
+      "the retuned v2 artifact's ref must survive the mixed-schema read")
+    assert(Similarity.centroidDrift(spark, corpus, art) == 0.0,
+      "re-certifiability restored: same corpus drifts exactly 0")
+  }
+
+  test("a (cid,dim) key present in only one epoch is drift, not a NoSuchElementException") {
+    // round-11 advice (low): unguarded ref(k)/cur(k) lookups threw
+    // when the per-cid dim key sets differed between tune and refresh
+    // (e.g. embedding dimensionality changed) — refreshIfDrifted
+    // crashed instead of honestly re-tuning.
+    val corpus = corpusCopy(identity)
+    val stash = tempDir("ann-refresh-dims-")
+    Similarity.annFamilyTunePersist(spark, corpus, stash)
+    val art = AnnChoice.read(spark, stash).get
+    assert(art.ref.nonEmpty)
+    val dim0 = art.ref.head.dim
+    // ref missing a dim the live corpus has
+    val missing = art.copy(ref = art.ref.filterNot(_.dim == dim0))
+    assert(Similarity.centroidDrift(spark, corpus, missing)
+      .isPosInfinity, "a dim the ref lacks is drift by definition")
+    // ref carrying a dim the live corpus lacks
+    val extra = art.copy(ref = art.ref :+
+      AnnChoice.RefStat(art.ref.head.cid, 9999, 0L, art.ref.head.n))
+    assert(Similarity.centroidDrift(spark, corpus, extra)
+      .isPosInfinity, "a dim the corpus lacks is drift by definition")
+  }
+
   test("same-distribution ingest recertifies: zero training, serve gate reopens") {
     val corpus = corpusCopy(identity)
     val stash = tempDir("ann-refresh-stash-")
