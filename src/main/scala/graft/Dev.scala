@@ -29,6 +29,14 @@ object Dev {
           fn(spark, sfDir).explain("formatted")
           Caches.release(blocking = true); spark.catalog.clearCache()
         }
+        if (args.length > 3 && args(3) == "executed") {
+          // the FINAL adaptive plan (post-AQE), visible only after an
+          // action — what actually ran, vs explain's pre-execution tree
+          val df = fn(spark, sfDir)
+          df.count()
+          println(df.queryExecution.executedPlan.toString)
+          Caches.release(blocking = true); spark.catalog.clearCache()
+        }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val c = fn(spark, sfDir).count()

@@ -12,6 +12,10 @@ object Probe {
     val name = args(1)
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.local()
+    // diagnostic knob: compare stage widths with AQE coalescing off
+    sys.env.get("SPARK_GRAFT_PROBE_NO_COALESCE").foreach(_ =>
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false"))
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -23,13 +27,23 @@ object Probe {
       }
     })
     val q = SparkEntry.queries(name)
+    var lastDf: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to n) {
       stages.clear()
       Caches.release(blocking = true)
       val t0 = System.nanoTime()
-      val cnt = q(spark, dir).count()
+      lastDf = q(spark, dir)
+      val cnt = lastDf.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[probe] run $i: $name rows=$cnt time=$sec%.3f s")
+    }
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PLAN")) {
+      // the COUNT's own QueryExecution — what the bench actually runs
+      // (df.count() re-optimizes with the aggregate on top; the df's
+      // executedPlan can differ, e.g. sorts/exchanges eliminated)
+      val cdf = lastDf.groupBy().count()
+      cdf.collect()
+      println(cdf.queryExecution.executedPlan.toString)
     }
     Thread.sleep(500)
     import scala.jdk.CollectionConverters._

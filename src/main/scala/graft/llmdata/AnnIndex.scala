@@ -190,6 +190,13 @@ object AnnIndex {
         .write.parquet(s"$indexDir/$name")
       writeMarker(s, s"$indexDir/$name/_fp", cov)
       writeMarker(s, s"$indexDir/$name/_choice", choices.head)
+      // carry the stream-replay high-water mark forward — computed
+      // from the dirs being folded, INSIDE the lock (the
+      // IncrementalIndexing.compact discipline): a micro-batch replay
+      // arriving after a compaction that dropped the mark would look
+      // fresh, double-ingest, and brick the coverage gate for good
+      streamMarkMax(s, indexDir, committed).foreach(id =>
+        writeText(s, s"$indexDir/$name/_stream_batch_id", id.toString))
     }
 
   /** The batch's raw fingerprint — same definition as
@@ -228,9 +235,20 @@ object AnnIndex {
     * [[ZeroList]] sentinel instead of vanishing, so every ingested id
     * is present in the lists and the coverage fingerprint and the
     * vec_id set agree — the invariant [[syncTo]]'s delta diff rests
-    * on. */
+    * on.
+    *
+    * `streamBatchId` is the streaming twin's replay armor
+    * ([[graft.streaming.StreamingAnnIndexMaintenance]], the same
+    * device as [[IncrementalIndexing.ingest]]): foreachBatch is
+    * at-least-once, and a replayed micro-batch ingested twice folds
+    * its fingerprint into the coverage TWICE — every later serve then
+    * refuses at the coverage gate, turning a crash-recovery replay
+    * into a bricked index. When set, the id is stamped into the
+    * committed batch dir (`_stream_batch_id`) and the streaming caller
+    * checks [[maxStreamBatchId]] before ingesting. */
   def ingest(s: SparkSession, indexDir: String, rawBatch: DataFrame,
-      a: AnnChoice.Artifact): Unit = {
+      a: AnnChoice.Artifact,
+      streamBatchId: Option[Long] = None): Unit = {
     val fp = batchFingerprint(rawBatch)
     graft.sources.AppendLog.append(s, indexDir) { (_, _, batchName) =>
       val base = rawBatch
@@ -246,7 +264,42 @@ object AnnIndex {
         .write.parquet(s"$indexDir/$batchName")
       writeMarker(s, s"$indexDir/$batchName/_fp", fp)
       writeMarker(s, s"$indexDir/$batchName/_choice", assignmentFp(a))
+      streamBatchId.foreach(id =>
+        writeText(s, s"$indexDir/$batchName/_stream_batch_id", id.toString))
     }
+  }
+
+  private def writeText(s: SparkSession, path: String,
+      text: String): Unit = {
+    val os = fsOf(s, path).create(
+      new org.apache.hadoop.fs.Path(path), false)
+    try os.write(text.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Highest `_stream_batch_id` across COMMITTED batch dirs — None for
+    * a fresh index or one only ever fed by batch ingests. The
+    * streaming caller's replay predicate: skip any id ≤ this
+    * (micro-batch ids are monotone and replays are sequential). */
+  def maxStreamBatchId(s: SparkSession, indexDir: String): Option[Long] =
+    streamMarkMax(s, indexDir,
+      graft.sources.AppendLog.state(s, indexDir)._2)
+
+  private def streamMarkMax(s: SparkSession, indexDir: String,
+      dirs: Seq[String]): Option[Long] = {
+    val fs = fsOf(s, indexDir)
+    val ids = dirs.flatMap { b =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$indexDir/$b/_stream_batch_id")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .trim.toLong)
+        finally in.close()
+      }
+    }
+    ids.maxOption
   }
 
   /** Keep choice AND index in lockstep with a LIVE corpus — the whole

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.llmdata.{AnnChoice, AnnIndex}
+
+/** Continuous maintenance of the persisted inverted-list ANN index —
+  * the streaming twin of [[AnnIndex.syncTo]]'s delta step, and the ANN
+  * analogue of [[StreamingIndexMaintenance]] (BM25): an embedding
+  * stream (new documents embedded at crawl time, CDC off the vector
+  * store) feeds the persisted lists one micro-batch at a time, so the
+  * index-served search (q212) answers over a corpus that is never
+  * more than one trigger behind ingestion, without ever re-assigning
+  * the corpus.
+  *
+  * Wiring is `foreachBatch` → [[AnnIndex.ingest]]: each micro-batch
+  * appends ONE manifest-committed (vec_id, list_id) batch carrying the
+  * usual `_fp`/`_choice` sidecars, assigned under the SAME persisted
+  * choice artifact every batch uses — batch ingests, [[AnnIndex.syncTo]]
+  * deltas, streaming ingests and [[AnnIndex.compact]] all serialize on
+  * the AppendLog lock, so a mixed history stays consistent and the
+  * serve gates (coverage, choice consistency) hold across all four
+  * writers.
+  *
+  * Replay contract: foreachBatch is AT-LEAST-ONCE — after a crash the
+  * last micro-batch re-runs. A double-ingested batch folds its
+  * fingerprint into the coverage TWICE, and the coverage gate then
+  * refuses every later serve: for this sink a replay is not a
+  * harmless duplicate but a bricked index. The armor is the
+  * per-batch `_stream_batch_id` stamp ([[StreamingIndexMaintenance]]'s
+  * device): [[ingestBatch]] skips any id at or below the committed
+  * high-water mark ([[AnnIndex.maxStreamBatchId]]; monotone micro-batch
+  * ids make ≤ the exact replay predicate), and [[AnnIndex.compact]]
+  * carries the mark forward inside the lock. Safe because a streaming
+  * query runs ONE foreachBatch at a time and replays sequentially;
+  * batch/delta writers never stamp ids, so they cannot move the mark.
+  *
+  * Scale (100 TB, 1000 executors): the per-micro-batch cost is one
+  * batch-sized assignment (broadcast centroids/planes, map-only) plus
+  * one batch-sized parquet append — never a corpus pass; the serve
+  * keeps probing only the lists a query ranks, so index freshness and
+  * serve cost stay decoupled. Choice drift is the one thing this twin
+  * deliberately does NOT handle in-stream: a retune changes every
+  * assignment, which is [[AnnIndex.syncTo]]'s rebuild arm — run it
+  * between stream generations, not inside a micro-batch. */
+object StreamingAnnIndexMaintenance {
+
+  /** The per-micro-batch ingest body — exposed so the spec can drive
+    * replay scenarios directly. Skips ids already committed. */
+  def ingestBatch(indexDir: String, art: AnnChoice.Artifact)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!AnnIndex.maxStreamBatchId(s, indexDir).exists(_ >= batchId))
+      AnnIndex.ingest(s, indexDir, batch, art, Some(batchId))
+  }
+
+  /** Start continuous maintenance of the index at `indexDir` from a
+    * streaming (vec_id, embedding) frame, every batch assigned under
+    * the one persisted choice artifact. */
+  def start(vecs: DataFrame, indexDir: String, checkpointDir: String,
+      art: AnnChoice.Artifact,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestBatch(indexDir, art)(b, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}
