@@ -34,8 +34,12 @@ object GraftSession {
     * fight AQE everywhere the blind spot does NOT apply. 256 KB × 32
     * partitions still amortizes task overhead (sub-ms scheduling per
     * 100 ms-scale task); genuinely tiny exchanges (< 8 MB) still
-    * coalesce below full width. */
-  val CoalesceMinPartitionSize = "256k"
+    * coalesce below full width.
+    * `SPARK_GRAFT_MIN_PARTITION_SIZE` overrides for A/B probes (the
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` discipline — scale questions get
+    * a knob, not a rebuild). */
+  val CoalesceMinPartitionSize: String =
+    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k")
 
   def builder(cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()

@@ -186,7 +186,14 @@ object AnnIndex {
           s"${choices.length} different choice artifacts — compaction " +
           "would launder the inconsistency into one batch; rebuild " +
           "instead")
+      // GLOBALLY sorted by list_id: compacted files cover disjoint id
+      // ranges, so the serve's pushed `list_id IN (...)` filter
+      // ([[searchLists]]) prunes unprobed lists at the parquet
+      // row-group level — the IncrementalIndexing.compact sort-by-term
+      // discipline applied to the ANN lists. Ingest batches stay
+      // unsorted (ingest is the hot path, compaction is maintenance).
       s.read.parquet(committed.map(b => s"$indexDir/$b"): _*)
+        .sort("list_id")
         .write.parquet(s"$indexDir/$name")
       writeMarker(s, s"$indexDir/$name/_fp", cov)
       writeMarker(s, s"$indexDir/$name/_choice", choices.head)
@@ -469,7 +476,23 @@ object AnnIndex {
   /** The probe plan over a resolved lists frame. Query features come
     * from an id-filtered embeddings read (pushdown — never a corpus
     * scan); candidates = broadcast probe table ⋈ lists, scored by an
-    * id-join back into the embeddings table (candidate-bounded). */
+    * id-join back into the embeddings table (candidate-bounded).
+    *
+    * Probe PUSHDOWN (round 12): a join alone still SCANS the whole
+    * lists table and filters after — correct, but it reads every list
+    * an index exists to avoid reading. The probed list-id set is
+    * bounded by construction (|queries| × nprobe for IVF, |queries| ×
+    * Hamming-ball size for LSH — ≤ a few hundred ids, never
+    * data-dependent), so it collects to the driver (bounded,
+    * documented — the IVF-training/q211-artifact class of collect) and
+    * pushes into the parquet scan as a `list_id IN (...)` source
+    * filter. With [[compact]] writing the lists GLOBALLY SORTED by
+    * list_id, parquet min/max row-group stats then prune every
+    * unprobed list at the SCAN: serve I/O is probed-lists-bounded,
+    * not index-bounded — at 100 TB the difference between reading an
+    * index and reading a table. Semantics-preserving by construction:
+    * the equi-join on list_id keeps only probed ids anyway
+    * (AnnIndexSpec parity pins it). */
   private def searchLists(s: SparkSession, d: String,
       art: AnnChoice.Artifact, lists: DataFrame): DataFrame = {
     val qRaw = graft.Tables.embeddings(s, d)
@@ -513,7 +536,13 @@ object AnnIndex {
           .select(col("q_id"), col("qv"), col("qn"),
             col("pc0").cast("long").as("list_id"))
       }
-    val cand = lists.join(broadcast(probes),
+    // bounded collect (scaladoc above): the distinct probed list ids —
+    // cardinality ≤ |queries| × probes-per-query, independent of the
+    // corpus — become a source filter the parquet scan can prune on
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = lists.filter(col("list_id").isin(probedIds: _*))
+      .join(broadcast(probes),
         Seq("list_id")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("qv"), col("qn"), col("vec_id"))
     // candidate-bounded exact scoring: candidates join the embeddings

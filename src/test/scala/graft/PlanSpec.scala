@@ -811,5 +811,12 @@ class PlanSpec extends SparkSpec {
       "every serve join is an equi-join (list_id probe, vec_id scoring)")
     // the query side reads 20 ids — that filter must reach the scan
     assert(p.contains("PushedFilters:"), "query-id filter must push down")
+    // round 12: the probed list-id set (bounded: queries x nprobe)
+    // must reach the LISTS scan as a source filter, so the sorted
+    // compacted index prunes unprobed lists at the row-group level —
+    // serve I/O probed-lists-bounded, not index-bounded
+    assert(p.contains("In(list_id") || p.contains("list_id IN") ||
+      raw"(?s)PushedFilters: \[[^\]]*list_id".r.findFirstIn(p).isDefined,
+      "the probed list-id set must push into the lists scan")
   }
 }
