@@ -75,6 +75,9 @@ object StreamStateBench {
       case "asof" =>
         runAsof(spark, n, nBatches, reps, loadBefore, contended, provider)
         spark.stop(); return
+      case "annindex" =>
+        runAnnIndex(spark, n, nBatches, reps, loadBefore, contended)
+        spark.stop(); return
       case "dedup" => ()
       case other => throw new IllegalArgumentException(
         s"unknown SPARK_GRAFT_STREAM_MODE: $other")
@@ -273,6 +276,80 @@ object StreamStateBench {
         // "buckets":160's prefix and silently clobber that record
         k => k.contains(""""metric":"stream_upsert_rows_per_sec"""") &&
           k.contains(s""""buckets":$buckets,"""))
+  }
+
+  /** Artifact-commit twin: [[graft.streaming.StreamingAnnIndexMaintenance]]
+    * as a real streaming query (round 12 — the fourth stateful-twin
+    * class: no state STORE at all, its per-batch cost is one
+    * batch-sized assignment under the broadcast artifact + one
+    * fingerprint aggregate + one lock-serialized AppendLog commit with
+    * three sidecar markers). Workload: n deterministic dim-`SPARK_GRAFT_ANN_DIM`
+    * (default 64) vectors over `nBatches` micro-batches; the choice
+    * artifact comes from one real tune on the sf0.001 corpus OUTSIDE
+    * the timed section (tune-once/serve-many — the stream pays
+    * assignment, never training). Determinism gate: committed list
+    * rows equal across reps. The number to watch is rows/s vs
+    * nBatches: halving the batch size doubles the per-row share of the
+    * commit protocol (lock + markers + manifest rename), which is this
+    * class's whole price — at production scale the trigger interval IS
+    * the throughput knob. */
+  private def runAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
+      contended: Boolean): Unit = {
+    import spark.implicits._
+    val dim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
+    val stash = java.nio.file.Files
+      .createTempDirectory("ssb-ann-stash-").toString
+    graft.llmdata.Similarity.annFamilyTunePersist(
+      spark, "/root/testdata/sf0.001", stash)
+    val art = graft.llmdata.AnnChoice.read(spark, stash).get
+    def vec(i: Long): Seq[Float] = Seq.tabulate(dim)(j =>
+      (((i * 31L + j * 7L) % 97L) - 48L).toFloat / 48f)
+    val batches: Seq[Seq[(Long, Seq[Float])]] =
+      (0L until n.toLong).map(i => (i, vec(i)))
+        .grouped((n + nBatches - 1) / nBatches).toSeq
+    val profile = sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")
+    val runs = (1 to reps).map { rep =>
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"ssb-ann-ckpt-$rep-").toString
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"ssb-ann-idx-$rep-").toString + "/index"
+      val in = MemoryStream[(Long, Seq[Float])](spark)
+      val q = graft.streaming.StreamingAnnIndexMaintenance.start(
+        in.toDF().toDF("vec_id", "embedding"), idx, ckpt, art,
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds"))
+      val t0 = System.nanoTime()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tb = System.nanoTime()
+        in.addData(b); q.processAllAvailable()
+        if (profile) System.err.println(
+          f"[ssb-annindex] batch $i: ${(System.nanoTime() - tb) / 1e9}%.2f s")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val dirs = graft.sources.AppendLog.state(spark, idx)._2
+      val rows = spark.read
+        .parquet(dirs.map(b => s"$idx/$b"): _*).count()
+      (sec, rows, dirs.length)
+    }
+    require(runs.map(_._2).distinct.length == 1,
+      s"non-deterministic lists across reps: ${runs.map(_._2)}")
+    val sec = runs.map(_._1).min
+    val json =
+      s"""{"metric":"stream_annindex_rows_per_sec",""" +
+        s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
+        s""""batches":$nBatches,"dim":$dim,""" +
+        s""""list_rows":${runs.head._2},""" +
+        s""""committed_batches":${runs.head._3},""" +
+        s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
+        s""""reps":$reps,"load_before":$loadBefore,""" +
+        s""""contended":$contended}"""
+    println(json)
+    if (n >= 200000)
+      record(json,
+        k => k.contains(""""metric":"stream_annindex_rows_per_sec"""") &&
+          k.contains(s""""batches":$nBatches,"""))
   }
 
   /** Timer-heavy twin: [[graft.streaming.StreamingAsOfJoin]] as a real

@@ -437,9 +437,18 @@ object AnnIndex {
     * delete. */
   private[llmdata] def searchAutoRepair(s: SparkSession, d: String,
       fp: (Long, Long), art: AnnChoice.Artifact,
-      indexDir: String): DataFrame = {
+      indexDir: String): DataFrame =
+    withAutoRepair(s, d, art, indexDir)(
+      () => searchWith(s, d, fp, art, indexDir))
+
+  /** The auto path's build + one rebuild-and-retry, shared by every
+    * registry entry point that reads the fingerprint-keyed default
+    * dir (q212 serve, q214 audit). */
+  private def withAutoRepair(s: SparkSession, d: String,
+      art: AnnChoice.Artifact, indexDir: String)(
+      body: () => DataFrame): DataFrame = {
     buildIfAbsent(s, d, indexDir, art)
-    try searchWith(s, d, fp, art, indexDir)
+    try body()
     catch {
       case e: IllegalStateException =>
         System.err.println("[ann-index] WARNING: default index dir " +
@@ -448,7 +457,7 @@ object AnnIndex {
         fsOf(s, indexDir).delete(
           new org.apache.hadoop.fs.Path(indexDir), true)
         buildIfAbsent(s, d, indexDir, art)
-        searchWith(s, d, fp, art, indexDir)
+        body()
     }
   }
 
@@ -457,7 +466,14 @@ object AnnIndex {
     * OWN two gates (choice consistency, coverage) and serves. */
   private[llmdata] def searchWith(s: SparkSession, d: String,
       fp: (Long, Long), art: AnnChoice.Artifact,
-      indexDir: String): DataFrame = {
+      indexDir: String): DataFrame =
+    searchLists(s, d, art, gatedLists(s, fp, art, indexDir))
+
+  /** The committed lists AFTER both integrity gates — every reader of
+    * the index (serve, audit) goes through this, so no entry point can
+    * read a stale or mixed-artifact index. */
+  private def gatedLists(s: SparkSession, fp: (Long, Long),
+      art: AnnChoice.Artifact, indexDir: String): DataFrame = {
     val (lists, cov, choiceFp) = readIndex(s, indexDir)
     if (choiceFp.exists(_ != assignmentFp(art)))
       throw new IllegalStateException(
@@ -470,8 +486,36 @@ object AnnIndex {
         s"(count=${fp._1}, xor=${fp._2}) — vectors the index never " +
         "ingested would be silent recall holes, not errors; ingest " +
         "the missing batches or rebuild")
-    searchLists(s, d, art, lists)
+    lists
   }
+
+  /** Per-list occupancy of the persisted index — the ops-dashboard
+    * audit a production ANN deployment watches (list imbalance is the
+    * IVF failure mode: a mega-list degrades every probe that ranks
+    * it; empty lists waste nprobe budget). Reads the GATED lists (same
+    * two refusals as the serve), drops the [[ZeroList]] sentinel (no
+    * probe can rank it), and aggregates — one shuffle keyed on
+    * list_id, output bounded by the list count. Driver-checked via an
+    * oracle that re-derives every vector's assignment from the
+    * artifact's centroid literals ([[Similarity]] q214): hash-green
+    * means the PERSISTED index content equals the assignment the
+    * choice implies — an integrity gate one level stronger than the
+    * coverage fingerprint (which proves the right VECTORS are present,
+    * not that they sit in the right lists). */
+  private[llmdata] def auditWith(s: SparkSession, fp: (Long, Long),
+      art: AnnChoice.Artifact, indexDir: String): DataFrame =
+    gatedLists(s, fp, art, indexDir)
+      .filter(col("list_id") >= 0)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("list_id")
+
+  /** q214's registry body: build-if-absent + audit with the shared
+    * one-rebuild self-repair. */
+  private[llmdata] def auditAutoRepair(s: SparkSession, d: String,
+      fp: (Long, Long), art: AnnChoice.Artifact,
+      indexDir: String): DataFrame =
+    withAutoRepair(s, d, art, indexDir)(
+      () => auditWith(s, fp, art, indexDir))
 
   /** The probe plan over a resolved lists frame. Query features come
     * from an id-filtered embeddings read (pushdown — never a corpus

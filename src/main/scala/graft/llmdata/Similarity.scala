@@ -536,6 +536,8 @@ object Similarity {
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
   private[llmdata] val q212OracleStash =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+  private[llmdata] val q214OracleStash =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
   /** Shared machinery of the CROSS-FAMILY ANN tuner (q210) and its
     * tuned search (q211) — round-8 verdict item: q176 tunes within the
@@ -1029,6 +1031,34 @@ object Similarity {
          |WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q214's oracle: re-derive every vector's list id from the
+    * artifact's centroid literals / sign buckets under the CHOSEN
+    * config (the [[familySearchSql]] trick applied to assignment
+    * instead of search) and aggregate per-list occupancy. The winner
+    * decides which leg contributes: the loser family's cross join
+    * against an empty `best` filter prunes to nothing. Zero vectors
+    * never enter `v` (mx > 0), matching the Spark side's
+    * ZeroList-sentinel drop. */
+  private def indexAuditSql(quants: Seq[IvfQuant]): String = {
+    val ivfLegs = quants.map { qt =>
+      s"""SELECT CAST(a.cid AS BIGINT) AS list_id
+         |  FROM asg_${qt.idx} a CROSS JOIN (SELECT 1 FROM best
+         |    WHERE family = 'ivf' AND p1 = ${qt.nlists}) w${qt.idx}"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    familySweepSql(quants) +
+      s""",
+         |best AS (SELECT family, p1, p2 FROM ranked WHERE chosen),
+         |al AS (
+         |  SELECT CAST(v.b8 % (1 << w.p1) AS BIGINT) AS list_id
+         |  FROM v CROSS JOIN (SELECT * FROM best
+         |    WHERE family = 'lsh') w
+         |  UNION ALL $ivfLegs
+         |)
+         |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** PROBE-ONLY application of a validated choice to the held-out
     * query set (vec_id 100–119, disjoint from the tuning sample): no
     * training, no sweep, no ground truth — the production serve path.
@@ -1132,6 +1162,21 @@ object Similarity {
     // corrupted one (e.g. two racing cold starts double-ingesting)
     // repairs instead of bricking the auto path (round-11 advice)
     AnnIndex.searchAutoRepair(s, d, fp, art, indexDir)
+  }
+
+  /** q214 run body — per-list occupancy of the PERSISTED index,
+    * hash-checked against the assignment the choice implies (oracle
+    * re-derives every vector's list id from centroid/sign literals).
+    * One level stronger than q212's coverage gate: coverage proves the
+    * right VECTORS are in the index; this proves they sit in the right
+    * LISTS — the integrity property every probe's recall rests on, and
+    * the imbalance profile an IVF deployment monitors. */
+  private[llmdata] def annIndexAudit(s: SparkSession, d: String)
+      : DataFrame = {
+    val fp = corpusFingerprint(s, d)
+    val art = resolveChoice(s, d, fp)
+    q214OracleStash.set(Some(indexAuditSql(art.quants)))
+    AnnIndex.auditAutoRepair(s, d, fp, art, AnnIndex.defaultDir(d, fp))
   }
 
   /** Tune-once production entry: run the cross-family sweep against
@@ -2507,6 +2552,23 @@ object Similarity {
       q212OracleStash.get() match {
         case Some(sql) => Q("q212_ann_index_search", sql)(run)
         case None      => Q.rowsOnly("q212_ann_index_search")(run)
+      }
+    },
+
+    // ---- q214: ANN index audit — per-list occupancy read FROM the
+    //      persisted lists (gated: choice consistency + coverage),
+    //      hash-checked against an oracle that re-derives every
+    //      vector's assignment from the artifact's centroid/sign
+    //      literals. Coverage (q212's gate) proves the right VECTORS
+    //      are present; this proves they sit in the right LISTS — the
+    //      property every probe's recall rests on. Also the ops
+    //      imbalance profile: a mega-list degrades every probe that
+    //      ranks it, empty lists waste nprobe budget. ----
+    {
+      val run = (s: SparkSession, d: String) => annIndexAudit(s, d)
+      q214OracleStash.get() match {
+        case Some(sql) => Q("q214_ann_index_audit", sql)(run)
+        case None      => Q.rowsOnly("q214_ann_index_audit")(run)
       }
     },
   )

@@ -819,4 +819,17 @@ class PlanSpec extends SparkSpec {
       raw"(?s)PushedFilters: \[[^\]]*list_id".r.findFirstIn(p).isDefined,
       "the probed list-id set must push into the lists scan")
   }
+
+  test("q214: index audit — reads the persisted lists, never re-derives assignment") {
+    val p = planOf(SparkEntry.queries("q214_ann_index_audit")(spark, sf))
+    // same argument as q212: a cid_ column means the corpus-wide
+    // assignment leaked into the audit; the audit's whole value is
+    // checking the PERSISTED content, not recomputing it
+    assert(!p.contains("cid_"),
+      "no corpus-wide assignment stage may appear in the audit plan")
+    assert(!p.contains("InMemoryTableScan"),
+      "audit must read the persisted lists, not a re-derived cache")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
