@@ -82,9 +82,10 @@ object AppendLog {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     fs.mkdirs(dir)
     val lock = new org.apache.hadoop.fs.Path(dir, ".ingest-lock")
-    val claimed =
+    val claimed = graft.Phases.time("lock_claim") {
       try { fs.create(lock, false).close(); true }
       catch { case _: java.io.IOException => false }
+    }
     if (!claimed) throw new IllegalStateException(
       s"$lock exists — another ingest is running, or a previous one " +
         "crashed. Ingests must be serialized: two concurrent ingests " +
@@ -98,7 +99,7 @@ object AppendLog {
   /** Writes `manifest-(v+1)` listing `dirs` via tmp + rename (atomic on
     * HDFS-like filesystems; never overwrites an existing manifest). */
   private def commitManifest(s: SparkSession, tableDir: String, v: Int,
-      dirs: Seq[String]): Unit = {
+      dirs: Seq[String]): Unit = graft.Phases.time("manifest_commit") {
     val fs = fsOf(s, tableDir)
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest-${v + 1}.tmp")
@@ -108,6 +109,13 @@ object AppendLog {
     if (!fs.rename(tmp, mf))
       throw new java.io.IOException(s"manifest commit failed: $tmp -> $mf")
   }
+
+  /** Runs `body` under the table's ingest lock WITHOUT committing a
+    * manifest — for maintenance that mutates batch-dir sidecar files
+    * in place (e.g. `AnnIndex.clearStreamMark`) and must serialize
+    * against ingests/compactions doing the same. */
+  def withIngestLock[T](s: SparkSession, tableDir: String)(body: => T): T =
+    withLock(s, tableDir)(body)
 
   /** One SERIALIZED append: claims the lock, calls `body(version,
     * committedDirs, batchName)` — which must write the new rows under
@@ -119,7 +127,8 @@ object AppendLog {
   def append[T](s: SparkSession, tableDir: String)(
       body: (Int, Seq[String], String) => T): T =
     withLock(s, tableDir) {
-      val (v, committed) = state(s, tableDir)
+      val (v, committed) = graft.Phases.time("state_read")(
+        state(s, tableDir))
       val batchName = s"batch-${v + 1}"
       val result = body(v, committed, batchName)
       commitManifest(s, tableDir, v, committed :+ batchName)

@@ -47,11 +47,38 @@ import graft.llmdata.{AnnChoice, AnnIndex}
 object StreamingAnnIndexMaintenance {
 
   /** The per-micro-batch ingest body — exposed so the spec can drive
-    * replay scenarios directly. Skips ids already committed. */
+    * replay scenarios directly. Skips ids already committed.
+    *
+    * ONE-CHECKPOINT-PER-INDEX contract (round-12 advice): the replay
+    * predicate assumes micro-batch ids are monotone across the index's
+    * lifetime, which holds only within one checkpoint lineage. A NEW
+    * streaming query (fresh checkpointDir) restarts ids at 0, so the
+    * old lineage's high-water mark would silently swallow every new
+    * micro-batch up to it — surfacing only much later as a
+    * coverage-gate refusal at serve, far from the cause. The restart
+    * is detectable at its first batch (id 0 against a mark > 0) and
+    * refused LOUDLY here; [[AnnIndex.clearStreamMark]] is the
+    * deliberate escape hatch once the old query is retired. The one
+    * ambiguous case (id 0 against mark == 0) is indistinguishable from
+    * a legitimate crash replay of the very first micro-batch and keeps
+    * the skip — under a fresh lineage that skip costs one batch whose
+    * absence the coverage gate still reports. */
   def ingestBatch(indexDir: String, art: AnnChoice.Artifact)(
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    if (!AnnIndex.maxStreamBatchId(s, indexDir).exists(_ >= batchId))
+    val mark = graft.Phases.time("replay_mark_read")(
+      AnnIndex.maxStreamBatchId(s, indexDir))
+    if (batchId == 0L && mark.exists(_ > 0L))
+      throw new IllegalStateException(
+        s"streaming ANN-index maintenance at $indexDir: micro-batch 0 " +
+          s"arrived but the index's replay mark is ${mark.get} — a NEW " +
+          "checkpoint lineage is writing to an index owned by an older " +
+          "one, and the mark would silently skip every batch up to it. " +
+          "One checkpoint per index: resume the original checkpointDir, " +
+          "or retire the old query and run AnnIndex.clearStreamMark " +
+          "(safe only if the new stream carries rows the index has not " +
+          "already committed)")
+    if (!mark.exists(_ >= batchId))
       AnnIndex.ingest(s, indexDir, batch, art, Some(batchId))
   }
 

@@ -125,7 +125,8 @@ class AnnIndexSpec extends graft.SparkSpec {
     AnnIndex.ingest(spark, idx, raw().filter(col("vec_id") > maxId / 2), art)
     val before = AnnIndex.search(spark, sf, stash, idx).collect()
     AnnIndex.compact(spark, idx)
-    val (_, dirs) = graft.sources.AppendLog.state(spark, idx)
+    val lists = AnnIndex.currentListsDir(spark, idx).get
+    val (_, dirs) = graft.sources.AppendLog.state(spark, lists)
     assert(dirs.length == 1, "compaction must leave one committed dir")
     assert(AnnIndex.search(spark, sf, stash, idx).collect().toSeq ==
       before.toSeq, "compaction must not change served rows")
@@ -133,7 +134,7 @@ class AnnIndexSpec extends graft.SparkSpec {
     // must then fail LOUDLY with the recovery hint, not a raw
     // FileNotFound (simulate by deleting a marker)
     java.nio.file.Files.delete(
-      java.nio.file.Paths.get(idx, dirs.head, "_fp"))
+      java.nio.file.Paths.get(lists, dirs.head, "_fp"))
     val e = intercept[IllegalStateException] {
       AnnIndex.search(spark, sf, stash, idx)
     }

@@ -29,7 +29,8 @@ class AnnIndexSyncSpec extends graft.SparkSpec {
   }
 
   private def batchCount(idx: String): Int =
-    graft.sources.AppendLog.state(spark, idx)._2.length
+    AnnIndex.currentListsDir(spark, idx)
+      .map(graft.sources.AppendLog.state(spark, _)._2.length).getOrElse(0)
 
   private def serveParity(corpus: String, stash: String,
       idx: String): Unit = {
@@ -115,7 +116,7 @@ class AnnIndexSyncSpec extends graft.SparkSpec {
     assert(AnnIndex.syncTo(spark, corpus, stash, idx)._2 == "rebuilt")
     // the zero vector is IN the lists, under the sentinel no probe ranks
     val sentinels = graft.sources.AppendLog
-      .read(spark, idx, AnnIndex.Schema)
+      .read(spark, AnnIndex.currentListsDir(spark, idx).get, AnnIndex.Schema)
       .filter(col("list_id") === AnnIndex.ZeroList)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(sentinels == Set(99999L),

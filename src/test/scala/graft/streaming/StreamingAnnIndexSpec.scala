@@ -44,7 +44,8 @@ class StreamingAnnIndexSpec extends SparkSpec {
     input.addData(a.toSeq); q.processAllAvailable()
     input.addData(b.toSeq); q.processAllAvailable()
     q.stop()
-    assert(graft.sources.AppendLog.state(sp, dir)._2.size >= 2)
+    assert(graft.sources.AppendLog.state(sp,
+      AnnIndex.currentListsDir(sp, dir).get)._2.size >= 2)
     // the streamed batches partition the corpus, counts sum and xors
     // fold, so the coverage gate passes and the serve is row-identical
     // to the fresh-assignment serve — same contract as batch ingest
@@ -59,13 +60,16 @@ class StreamingAnnIndexSpec extends SparkSpec {
     val maxId = raw().agg(max("vec_id")).head().getLong(0)
     val first = raw().filter(col("vec_id") <= maxId / 2)
     StreamingAnnIndexMaintenance.ingestBatch(dir, art)(first, 0L)
+    val lists = AnnIndex.currentListsDir(sp, dir).get
     val once = sp.read.parquet(
-      graft.sources.AppendLog.state(sp, dir)._2.map(b => s"$dir/$b"): _*)
+      graft.sources.AppendLog.state(sp, lists)._2.map(b => s"$lists/$b"): _*)
       .count()
     assert(once > 0)
-    // at-least-once replay of the same micro-batch: must be a no-op
+    // at-least-once replay of the same micro-batch: must be a no-op.
+    // NOTE id 0 against mark 0 is the one ambiguous restart case the
+    // twin deliberately keeps as a skip (see ingestBatch scaladoc)
     StreamingAnnIndexMaintenance.ingestBatch(dir, art)(first, 0L)
-    assert(graft.sources.AppendLog.state(sp, dir)._2.size == 1,
+    assert(graft.sources.AppendLog.state(sp, lists)._2.size == 1,
       "replayed id must not commit a second batch")
     // the NEXT micro-batch ingests normally; full coverage serves green
     StreamingAnnIndexMaintenance.ingestBatch(dir, art)(
@@ -89,7 +93,8 @@ class StreamingAnnIndexSpec extends SparkSpec {
     // a stale replay AFTER compaction must still be recognized
     StreamingAnnIndexMaintenance.ingestBatch(dir, art)(
       raw().filter(col("vec_id") <= maxId / 2), 1L)
-    assert(graft.sources.AppendLog.state(sp, dir)._2.size == 1,
+    assert(graft.sources.AppendLog.state(sp,
+      AnnIndex.currentListsDir(sp, dir).get)._2.size == 1,
       "stale replay after compaction must not commit")
     assert(AnnIndex.search(sp, sf, stash, dir).collect().toSeq == before)
   }
