@@ -31,10 +31,15 @@ object Dev {
         }
         if (args.length > 3 && args(3) == "executed") {
           // the FINAL adaptive plan (post-AQE), visible only after an
-          // action — what actually ran, vs explain's pre-execution tree
-          val df = fn(spark, sfDir)
-          df.count()
-          println(df.queryExecution.executedPlan.toString)
+          // action — and it must be the plan of the QueryExecution
+          // that RAN: df.count() builds its OWN QueryExecution
+          // (groupBy().count()), so printing df.queryExecution after
+          // it would show a never-executed tree with AQE un-finalized
+          // (round-12 advice; Probe's SPARK_GRAFT_PROBE_PLAN block is
+          // the reference shape)
+          val cdf = fn(spark, sfDir).groupBy().count()
+          cdf.collect()
+          println(cdf.queryExecution.executedPlan.toString)
           Caches.release(blocking = true); spark.catalog.clearCache()
         }
         val times = (1 to reps).map { _ =>

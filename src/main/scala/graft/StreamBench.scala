@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   * hot record is self-incriminating.
   */
 object StreamBench {
+  /** Synthetic RAW envelope lines (the pre-parse feed `toPipeEvents`
+    * expects) over an id column: `devices` keys, 1 event/device/second,
+    * ~0.1% battery spikes hash-spread so no device sees spikes as its
+    * norm. Shared with `StreamStateBench` mode=anomaly (the 1M-device
+    * state-fan-out twin) so both benches price the identical wire
+    * format. */
+  private[graft] def syntheticEnvelope(
+      id: org.apache.spark.sql.Column,
+      devices: Long): org.apache.spark.sql.Column = format_string(
+    """{"applicationId":"app","component":"sensors","enqueuedTime":"%s",""" +
+      """"messageSource":"telemetry","device":{"id":"dev%d","templateId":"tpl"},""" +
+      """"telemetry":[{"name":"battery","value":%d},""" +
+      """{"name":"barometer","value":%.1f},""" +
+      """{"name":"accelerometer","value":{"x":0.1,"y":0.2,"z":0.3}},""" +
+      """{"name":"geolocation","value":{"lat":1.0,"lon":2.0,"alt":3.0}}]}""",
+    date_format(
+      timestamp_micros(lit(1700000000000000L) +
+        (id.cast("long") / devices).cast("long") * 1000000L),
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+    id % devices,
+    (lit(100) + (id % 7) +
+      when(pmod(hash(id), lit(997)) === 0, 5000).otherwise(0)).cast("long"),
+    lit(1013.0) + (id % 5).cast("double"))
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000000").toInt
     val devices = 1000
@@ -38,25 +62,9 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
 
-    // synthetic RAW envelope lines (the pre-parse feed toPipeEvents
-    // expects): `devices` keys, 1 event/device/second, ~0.1% battery
-    // spikes hash-spread so no device sees spikes as its norm
-    val raw = spark.range(n.toLong).select(format_string(
-      """{"applicationId":"app","component":"sensors","enqueuedTime":"%s",""" +
-        """"messageSource":"telemetry","device":{"id":"dev%d","templateId":"tpl"},""" +
-        """"telemetry":[{"name":"battery","value":%d},""" +
-        """{"name":"barometer","value":%.1f},""" +
-        """{"name":"accelerometer","value":{"x":0.1,"y":0.2,"z":0.3}},""" +
-        """{"name":"geolocation","value":{"lat":1.0,"lon":2.0,"alt":3.0}}]}""",
-      date_format(
-        timestamp_micros(lit(1700000000000000L) +
-          expr(s"id div $devices") * 1000000L),
-        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-      col("id") % devices,
-      (lit(100) + (col("id") % 7) +
-        when(expr("pmod(hash(id), 997)") === 0, 5000).otherwise(0)).cast("long"),
-      lit(1013.0) + (col("id") % 5).cast("double"),
-    ).as("value"))
+    // synthetic RAW envelope lines — see syntheticEnvelope's scaladoc
+    val raw = spark.range(n.toLong)
+      .select(syntheticEnvelope(col("id"), devices).as("value"))
 
     val events = CuratedPipeline.toPipeEvents(raw)
     // rep 0 doubles as JIT/codegen warm-up; MIN over all reps is the

@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   * accounted and correct on both.
   */
 object StreamStateBench {
+  /** Bench hygiene (round-12 advice): every rep creates throwaway
+    * checkpoint/table/index dirs under /tmp — delete them when the rep
+    * is measured, or repeated runs accumulate parquet + checkpoint
+    * garbage indefinitely. */
+  private def cleanup(dirs: String*): Unit = dirs.foreach { d =>
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
+    }
+    rec(new java.io.File(d))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val nBatches = math.max(1,
@@ -77,6 +88,9 @@ object StreamStateBench {
         spark.stop(); return
       case "annindex" =>
         runAnnIndex(spark, n, nBatches, reps, loadBefore, contended)
+        spark.stop(); return
+      case "anomaly" =>
+        runAnomaly(spark, n, nBatches, reps, loadBefore, contended, provider)
         spark.stop(); return
       case "dedup" => ()
       case other => throw new IllegalArgumentException(
@@ -156,6 +170,7 @@ object StreamStateBench {
       val stateBytes =
         if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max
       q.stop()
+      cleanup(ckpt)
       (sec, nCands, stateRows, stateBytes)
     }
     require(runs.map(_._2).distinct.length == 1,
@@ -256,6 +271,7 @@ object StreamStateBench {
       }
       val rows = graft.streaming.StreamingUpsert
         .readTable(spark, table).map(_.count()).getOrElse(0L)
+      cleanup(ckpt, table)
       (sec, rows)
     }
     require(runs.map(_._2).distinct.length == 1,
@@ -309,11 +325,19 @@ object StreamStateBench {
       (0L until n.toLong).map(i => (i, vec(i)))
         .grouped((n + nBatches - 1) / nBatches).toSeq
     val profile = sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")
+    // per-phase commit decomposition (round-13 verdict item 5): split
+    // the per-commit cost into fingerprint agg / batch parquet write /
+    // sidecar marker writes / manifest rename / lock claim / manifest
+    // state read / replay-mark read. Enabled with the profile flag —
+    // Phases.time is a passthrough otherwise.
+    graft.Phases.enabled = profile
     val runs = (1 to reps).map { rep =>
+      if (profile) graft.Phases.snapshotAndReset() // drop tune/misc noise
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"ssb-ann-ckpt-$rep-").toString
-      val idx = java.nio.file.Files
-        .createTempDirectory(s"ssb-ann-idx-$rep-").toString + "/index"
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory(s"ssb-ann-idx-$rep-").toString
+      val idx = idxRoot + "/index"
       val in = MemoryStream[(Long, Seq[Float])](spark)
       val q = graft.streaming.StreamingAnnIndexMaintenance.start(
         in.toDF().toDF("vec_id", "embedding"), idx, ckpt, art,
@@ -328,9 +352,20 @@ object StreamStateBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
-      val dirs = graft.sources.AppendLog.state(spark, idx)._2
+      if (profile) {
+        val ph = graft.Phases.snapshotAndReset()
+        val accounted = ph.values.sum
+        System.err.println(f"[ssb-annindex] rep $rep phase split " +
+          f"(total $sec%.2f s, accounted $accounted%.2f s): " +
+          ph.toSeq.sortBy(-_._2).map { case (k, v) =>
+            f"$k=$v%.2f s (${v / nBatches}%.3f s/commit)" }
+            .mkString(", "))
+      }
+      val lists = graft.llmdata.AnnIndex.currentListsDir(spark, idx).get
+      val dirs = graft.sources.AppendLog.state(spark, lists)._2
       val rows = spark.read
-        .parquet(dirs.map(b => s"$idx/$b"): _*).count()
+        .parquet(dirs.map(b => s"$lists/$b"): _*).count()
+      cleanup(ckpt, idxRoot)
       (sec, rows, dirs.length)
     }
     require(runs.map(_._2).distinct.length == 1,
@@ -350,6 +385,85 @@ object StreamStateBench {
       record(json,
         k => k.contains(""""metric":"stream_annindex_rows_per_sec"""") &&
           k.contains(s""""batches":$nBatches,"""))
+    cleanup(stash)
+  }
+
+  /** Key-fan-out twin: the reference pipeline's per-device
+    * spike-and-dip ([[graft.streaming.CuratedPipeline.anomalyStage]],
+    * `perDevice=true` — the 100 TB design default) as a real streaming
+    * query at HIGH device cardinality (round-13 verdict stretch item:
+    * the scalable mode had parity specs but no throughput record at
+    * ~1M keys). Workload: n synthetic envelope lines
+    * ([[StreamBench.syntheticEnvelope]] — the exact wire format the
+    * envelope bench prices) over `SPARK_GRAFT_ANOM_DEVICES` (default
+    * 1,000,000) devices, streamed as ids so the JSON materializes on
+    * executors, parsed by the REAL `toPipeEvents` and folded by the
+    * REAL detector — the measured rate prices envelope parse +
+    * per-key state open/update/commit at 1M-key fan-out, the regime
+    * where a global-key design would have funneled everything through
+    * one task. Output counts ride foreachBatch aggregates (a memory
+    * sink would hold n raw lines). Determinism gate: (rows, anomalies)
+    * equal across reps. */
+  private def runAnomaly(spark: org.apache.spark.sql.SparkSession,
+      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
+      contended: Boolean, provider: String): Unit = {
+    import spark.implicits._
+    val devices = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_ANOM_DEVICES", "1000000").toLong)
+    val ids: Seq[Seq[Long]] = (0L until n.toLong)
+      .grouped((n + nBatches - 1) / nBatches).map(_.toSeq).toSeq
+    val runs = (1 to reps).map { rep =>
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"ssb-anom-ckpt-$rep-").toString
+      val in = MemoryStream[Long](spark)
+      val raw = in.toDF().toDF("id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(StreamBench.syntheticEnvelope(col("id"), devices)
+          .as("value"))
+      val out = graft.streaming.CuratedPipeline.anomalyStage(
+        graft.streaming.CuratedPipeline.toPipeEvents(raw))
+      val rows = new java.util.concurrent.atomic.AtomicLong
+      val anomalies = new java.util.concurrent.atomic.AtomicLong
+      val q = out.toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = b.agg(count(lit(1)),
+            coalesce(sum(col("anomaly")), lit(0L)).cast("long")).head()
+          rows.addAndGet(r.getLong(0))
+          anomalies.addAndGet(r.getLong(1))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds"))
+        .start()
+      val t0 = System.nanoTime()
+      ids.foreach { b => in.addData(b); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      val stateRows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
+      val stateBytes = if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max
+      q.stop()
+      cleanup(ckpt)
+      (sec, (rows.get(), anomalies.get()), stateRows, stateBytes)
+    }
+    require(runs.map(_._2).distinct.length == 1,
+      s"non-deterministic pipeline output across reps: ${runs.map(_._2)}")
+    val sec = runs.map(_._1).min
+    val json =
+      s"""{"metric":"stream_anomaly_rows_per_sec",""" +
+        s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
+        s""""batches":$nBatches,"devices":$devices,""" +
+        s""""anomalies":${runs.head._2._2},""" +
+        s""""state_rows":${runs.last._3},"state_bytes":${runs.last._4},""" +
+        s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
+        s""""provider":"$provider","reps":$reps,""" +
+        s""""load_before":$loadBefore,"contended":$contended}"""
+    println(json)
+    if (n >= 200000)
+      record(json,
+        k => k.contains(""""metric":"stream_anomaly_rows_per_sec"""") &&
+          k.contains(s""""devices":$devices,""") &&
+          k.contains(s""""provider":"$provider""""))
   }
 
   /** Timer-heavy twin: [[graft.streaming.StreamingAsOfJoin]] as a real
@@ -397,6 +511,7 @@ object StreamStateBench {
       val st = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
       val stateRows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
       q.stop()
+      cleanup(ckpt)
       (sec, matches, stateRows)
     }
     require(runs.map(_._2).distinct.length == 1,
