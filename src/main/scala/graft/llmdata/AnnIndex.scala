@@ -668,9 +668,12 @@ object AnnIndex {
         System.err.println("[ann-index] WARNING: default index dir " +
           s"failed its serve gates (${e.getMessage.takeWhile(_ != '\n')})" +
           " - rebuilding it (derived, fingerprint-keyed, safe)")
-        fsOf(s, indexDir).delete(
-          new org.apache.hadoop.fs.Path(indexDir), true)
-        buildIfAbsent(s, d, indexDir, art)
+        // v4: repair = build a FRESH generation and swap, never delete
+        // the root — the same serve-preserving arm syncTo uses, so even
+        // the repair path honors the availability contract (an
+        // in-flight serve pinned to an older healthy generation keeps
+        // answering while the corrupted current one is superseded)
+        rebuildGeneration(s, d, indexDir, art)
         body()
     }
   }
