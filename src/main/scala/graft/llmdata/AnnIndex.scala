@@ -274,32 +274,32 @@ object AnnIndex {
       streamBatchId = mark)
     compactIn(s, genDir)
     commitPointer(s, root, v, gen)
-    expireGenerations(s, root)
+    expireGenerations(s, root, keep = Set(gen) ++ cur)
   }
 
-  /** Post-swap retention sweep: keep the live generation plus the
-    * newest superseded one (in-flight serves resolved BEFORE the swap
-    * still hold it); delete everything older, and GC pointer files
-    * more than one version back. Best-effort — a crash mid-sweep
-    * leaves only extra garbage for the next sweep. */
-  private def expireGenerations(s: SparkSession, root: String): Unit = {
+  /** Post-swap retention sweep: keep exactly the generations in `keep`
+    * — the new live one plus the one it SUPERSEDED (in-flight serves
+    * resolved before the swap still hold it) — and delete every other
+    * gen dir, including orphans from crashed rebuilds (built but never
+    * pointer-committed; a max-below-current heuristic would have KEPT
+    * such an orphan and deleted the genuinely-previous generation an
+    * in-flight serve may be reading). Pointer files more than one
+    * version back are GC'd too. Best-effort — a crash mid-sweep leaves
+    * only extra garbage for the next sweep. */
+  private def expireGenerations(s: SparkSession, root: String,
+      keep: Set[String]): Unit = {
     val fs = fsOf(s, root)
-    val (v, cur) = pointerState(s, root)
-    cur.flatMap(g =>
-        scala.util.Try(g.stripPrefix("gen-").toInt).toOption).foreach { c =>
-      val names = fs.listStatus(
-        new org.apache.hadoop.fs.Path(root)).toSeq.map(_.getPath.getName)
-      val gens = names.filter(_.startsWith("gen-")).flatMap(n =>
-        scala.util.Try(n.stripPrefix("gen-").toInt).toOption)
-      val keepSuperseded = gens.filter(_ < c).maxOption
-      gens.filter(k => k < c && !keepSuperseded.contains(k)).foreach(k =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"gen-$k"), true))
-      names.filter(_.startsWith("current-")).flatMap(n =>
-          scala.util.Try(n.stripPrefix("current-").toInt).toOption)
-        .filter(_ < v - 1).foreach(k =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"current-$k"),
-            false))
-    }
+    val (v, _) = pointerState(s, root)
+    val names = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root)).toSeq.map(_.getPath.getName)
+    names.filter(n => n.startsWith("gen-") && !keep.contains(n))
+      .foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    names.filter(_.startsWith("current-")).flatMap(n =>
+        scala.util.Try(n.stripPrefix("current-").toInt).toOption)
+      .filter(_ < v - 1).foreach(k =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"current-$k"),
+          false))
   }
 
   private def writeMarker(s: SparkSession, path: String,

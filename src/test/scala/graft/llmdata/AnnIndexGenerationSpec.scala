@@ -121,6 +121,37 @@ class AnnIndexGenerationSpec extends graft.SparkSpec {
     assert(AnnIndex.maxStreamBatchId(spark, idx).isEmpty)
   }
 
+  test("a crashed rebuild's orphan generation: ignored by readers, numbered past, swept by the next rebuild") {
+    val stash = tempDir("ann-gen-stash-")
+    val idx = tempDir("ann-gen-idx-")
+    AnnIndex.syncTo(spark, sf, stash, idx) // live = gen-1
+    val before = AnnIndex.search(spark, sf, stash, idx).collect().toSeq
+    // a rebuild that died after building but before the pointer commit
+    // leaves an unreferenced gen dir — simulate one
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "gen-2"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "gen-2", "manifest-1"),
+      "batch-1".getBytes("UTF-8"))
+    // readers resolve the POINTER, never the highest dir: unaffected
+    assert(AnnIndex.currentListsDir(spark, idx)
+      .exists(_.endsWith("/gen-1")))
+    assert(AnnIndex.search(spark, sf, stash, idx).collect().toSeq
+      == before)
+    // the next rebuild numbers PAST the orphan (never collides with
+    // it), retains the genuinely-previous gen-1 for in-flight serves,
+    // and sweeps the orphan — not the heuristic that would have kept
+    // the orphan and deleted gen-1
+    val stash2 = tempDir("ann-gen-stash2-")
+    AnnChoice.persist(spark, stash2,
+      retunedFrom(AnnChoice.read(spark, stash).get, 1.0))
+    assert(AnnIndex.syncTo(spark, sf, stash2, idx)._2 == "rebuilt")
+    assert(AnnIndex.currentListsDir(spark, idx)
+      .exists(_.endsWith("/gen-3")))
+    assert(genDirs(idx) == Set("gen-1", "gen-3"),
+      s"orphan swept, previous retained — got ${genDirs(idx)}")
+  }
+
   test("a pre-v4 in-place layout refuses with the migration hint") {
     val idx = tempDir("ann-gen-legacy-")
     java.nio.file.Files.write(
