@@ -78,6 +78,34 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(AnnIndex.search(sp, sf, stash, dir).collect().nonEmpty)
   }
 
+  test("compactEvery bounds batch-dir growth in-loop; replay skip and serve parity hold through it") {
+    val sp = spark
+    val dir = tempDir() + "/index"
+    val maxId = raw().agg(max("vec_id")).head().getLong(0)
+    // 6 micro-batches by id range, in-loop compaction at >= 3 dirs
+    val slices = (0 until 6).map(i => raw().filter(
+      col("vec_id") % 6 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamingAnnIndexMaintenance
+        .ingestBatch(dir, art, compactEvery = Some(3))(b, i.toLong)
+      val lists = AnnIndex.currentListsDir(sp, dir).get
+      assert(graft.sources.AppendLog.state(sp, lists)._2.length <= 3,
+        s"dir count must stay bounded by the cadence after batch $i")
+    }
+    assert(AnnIndex.maxStreamBatchId(sp, dir).contains(5L),
+      "in-loop compactions must carry the mark")
+    // a stale replay after an in-loop compaction is still recognized
+    val lists = AnnIndex.currentListsDir(sp, dir).get
+    val n0 = graft.sources.AppendLog.state(sp, lists)._2.length
+    StreamingAnnIndexMaintenance
+      .ingestBatch(dir, art, compactEvery = Some(3))(slices(2), 2L)
+    assert(graft.sources.AppendLog.state(sp, lists)._2.length == n0)
+    // full coverage: the compacted index serves the fresh-serve rows
+    assert(AnnIndex.search(sp, sf, stash, dir).collect().toSeq ==
+      Similarity.annFamilySearchFrom(sp, sf, stash).collect().toSeq)
+    assert(maxId >= 0) // anchor the fixture read
+  }
+
   test("compaction carries the replay high-water mark; serve stays green through it") {
     val sp = spark
     val dir = tempDir() + "/index"
