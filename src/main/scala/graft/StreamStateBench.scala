@@ -339,10 +339,17 @@ object StreamStateBench {
         .createTempDirectory(s"ssb-ann-idx-$rep-").toString
       val idx = idxRoot + "/index"
       val in = MemoryStream[(Long, Seq[Float])](spark)
+      // SPARK_GRAFT_ANN_COMPACT_EVERY prices the in-loop compaction
+      // cadence (rewrite amortization: each compaction rewrites the
+      // whole lists table, so the knob trades metadata growth against
+      // rewrite volume)
+      val compactEvery = sys.env.get("SPARK_GRAFT_ANN_COMPACT_EVERY")
+        .map(_.toInt)
       val q = graft.streaming.StreamingAnnIndexMaintenance.start(
         in.toDF().toDF("vec_id", "embedding"), idx, ckpt, art,
         trigger = org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime("0 seconds"))
+          .ProcessingTime("0 seconds"),
+        compactEvery = compactEvery)
       val t0 = System.nanoTime()
       batches.zipWithIndex.foreach { case (b, i) =>
         val tb = System.nanoTime()
@@ -371,10 +378,13 @@ object StreamStateBench {
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic lists across reps: ${runs.map(_._2)}")
     val sec = runs.map(_._1).min
+    val compactEveryKnob = sys.env.get("SPARK_GRAFT_ANN_COMPACT_EVERY")
+      .map(_.toInt).getOrElse(0)
     val json =
       s"""{"metric":"stream_annindex_rows_per_sec",""" +
         s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
         s""""batches":$nBatches,"dim":$dim,""" +
+        s""""compact_every":$compactEveryKnob,""" +
         s""""list_rows":${runs.head._2},""" +
         s""""committed_batches":${runs.head._3},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
@@ -384,7 +394,13 @@ object StreamStateBench {
     if (n >= 200000)
       record(json,
         k => k.contains(""""metric":"stream_annindex_rows_per_sec"""") &&
-          k.contains(s""""batches":$nBatches,"""))
+          k.contains(s""""batches":$nBatches,""") &&
+          // pre-knob records are implicitly compact_every=0: a 0-knob
+          // run supersedes them; a nonzero knob never does
+          (if (compactEveryKnob == 0)
+            !k.contains(""""compact_every":""") ||
+              k.contains(""""compact_every":0,""")
+          else k.contains(s""""compact_every":$compactEveryKnob,""")))
     cleanup(stash)
   }
 
