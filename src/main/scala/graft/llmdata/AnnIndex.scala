@@ -250,6 +250,53 @@ object AnnIndex {
     try os.write(gen.getBytes("UTF-8")) finally os.close()
   }
 
+  /** Ops status of the index at `root` — one row per generation dir
+    * (live or not, so crashed-rebuild orphans and the retained
+    * superseded generation are visible), METADATA-ONLY: manifest +
+    * sidecar markers, never a data scan, so a dashboard can poll it at
+    * any cadence. Marker reads are Try-wrapped — a half-built orphan
+    * reports null coverage instead of throwing (status is the tool you
+    * reach for when something is broken; it must not break too).
+    * Columns: generation, live, batches (committed dirs), cov_count /
+    * cov_xor (folded coverage fingerprint), stream_mark (replay
+    * high-water mark). */
+  def status(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val fs = fsOf(s, root)
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val live = scala.util.Try(pointerState(s, root)._2).toOption.flatten
+    val gens =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).sorted
+    val rows = gens.map { g =>
+      val gd = s"$root/$g"
+      val dirs = scala.util.Try(
+        graft.sources.AppendLog.state(s, gd)._2).getOrElse(Seq.empty)
+      val fps = scala.util.Try(
+        dirs.map(b => readMarker(s, s"$gd/$b/_fp"))).toOption
+        .filter(_.nonEmpty)
+      val mark = scala.util.Try(
+        streamMarkMax(s, gd, dirs)).toOption.flatten
+      Row(g, live.contains(g), dirs.length,
+        fps.map(f => java.lang.Long.valueOf(f.map(_._1).sum)).orNull,
+        fps.map(f => java.lang.Long.valueOf(f.map(_._2).reduce(_ ^ _)))
+          .orNull,
+        mark.map(java.lang.Long.valueOf).orNull)
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("generation", StringType, nullable = false),
+        StructField("live", BooleanType, nullable = false),
+        StructField("batches", IntegerType, nullable = false),
+        StructField("cov_count", LongType, nullable = true),
+        StructField("cov_xor", LongType, nullable = true),
+        StructField("stream_mark", LongType, nullable = true))))
+  }
+
   /** Build a FRESH generation from the live corpus and swap the
     * pointer to it — the serve-preserving rebuild: the old generation
     * (if any) is untouched until the expiry sweep, so serves that

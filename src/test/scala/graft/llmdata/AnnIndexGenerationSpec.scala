@@ -152,6 +152,30 @@ class AnnIndexGenerationSpec extends graft.SparkSpec {
       s"orphan swept, previous retained — got ${genDirs(idx)}")
   }
 
+  test("status reports every generation with live flag, batch counts, coverage and mark — and never throws on a half-built orphan") {
+    val stash = tempDir("ann-gen-stash-")
+    val idx = tempDir("ann-gen-idx-")
+    AnnIndex.syncTo(spark, sf, stash, idx) // live = gen-1, compacted
+    // a stream-marked delta batch + a half-built orphan beside it
+    graft.streaming.StreamingAnnIndexMaintenance.ingestBatch(
+      idx, AnnChoice.read(spark, stash).get)(
+      raw().limit(0), 7L) // empty batch: marks without changing coverage
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "gen-9"))
+    val st = AnnIndex.status(spark, idx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st.keySet == Set("gen-1", "gen-9"))
+    assert(st("gen-1").getBoolean(1) && !st("gen-9").getBoolean(1))
+    assert(st("gen-1").getInt(2) == 2, "compacted + delta batch")
+    val fp = Similarity.corpusFingerprint(spark, sf)
+    assert(st("gen-1").getLong(3) == fp._1 &&
+      st("gen-1").getLong(4) == fp._2,
+      "status coverage must fold to the corpus fingerprint")
+    assert(st("gen-1").getLong(5) == 7L, "stream mark surfaced")
+    assert(st("gen-9").isNullAt(3) && st("gen-9").getInt(2) == 0,
+      "an orphan reports empty, never throws")
+  }
+
   test("a pre-v4 in-place layout refuses with the migration hint") {
     val idx = tempDir("ann-gen-legacy-")
     java.nio.file.Files.write(
