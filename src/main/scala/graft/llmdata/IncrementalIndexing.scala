@@ -91,6 +91,29 @@ object IncrementalIndexing {
     markerMax(s, indexDir,
       graft.sources.AppendLog.state(s, indexDir)._2)
 
+  /** Drops the stream replay high-water mark (every committed
+    * segment's `_stream_batch_id` sidecar), under the ingest lock —
+    * the escape hatch for starting a NEW stream lineage against an
+    * existing index (micro-batch ids restart at 0 under a fresh
+    * checkpoint, so the old lineage's mark would silently swallow the
+    * new query's first batches;
+    * [[graft.streaming.StreamingIndexMaintenance.ingestBatch]] refuses
+    * that restart loudly and points here). ONLY safe when the old
+    * query is retired AND the new stream carries docs the index has
+    * not already committed — clearing while the new lineage replays
+    * already-ingested docs doubles their postings, the exact
+    * corruption the mark exists to prevent. Mirrors
+    * [[AnnIndex.clearStreamMark]]. */
+  def clearStreamMark(s: SparkSession, indexDir: String): Unit =
+    graft.sources.AppendLog.withIngestLock(s, indexDir) {
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.sources.AppendLog.state(s, indexDir)._2.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexDir/$b/_stream_batch_id"), false)
+      }
+    }
+
   private def markerMax(s: SparkSession, indexDir: String,
       dirs: Seq[String]): Option[Long] = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)

@@ -46,6 +46,36 @@ class StreamingIndexSpec extends SparkSpec {
     assert(served(dir) == served(batchDir))
   }
 
+  test("compactEvery bounds segment growth in-loop; mark carries; a new lineage refuses; clearStreamMark re-opens") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("simcadence")
+      .toString + "/index"
+    val all = graft.Tables.documents(sp, sf).select("doc_id", "text")
+    (0 until 6).foreach { i =>
+      StreamingIndexMaintenance.ingestBatch(dir, Some(3))(
+        all.filter(col("doc_id") % 6 === i), i.toLong)
+      assert(graft.sources.AppendLog.state(sp, dir)._2.length <= 3,
+        s"segment count must stay bounded after batch $i")
+    }
+    assert(IncrementalIndexing.maxStreamBatchId(sp, dir).contains(5L),
+      "in-loop compactions must carry the mark")
+    // full corpus ingested across the compactions: serve ≡ batch build
+    val batchDir = java.nio.file.Files.createTempDirectory("simcadb")
+      .toString + "/index"
+    IncrementalIndexing.ingest(sp, batchDir,
+      graft.Tables.documents(sp, sf))
+    assert(served(dir) == served(batchDir))
+    // a NEW checkpoint lineage (id 0 against mark 5) refuses loudly
+    val e = intercept[IllegalStateException] {
+      StreamingIndexMaintenance.ingestBatch(dir)(
+        all.filter(col("doc_id") % 6 === 0), 0L)
+    }
+    assert(e.getMessage.contains("clearStreamMark"), s"got: $e")
+    // the deliberate escape hatch
+    IncrementalIndexing.clearStreamMark(sp, dir)
+    assert(IncrementalIndexing.maxStreamBatchId(sp, dir).isEmpty)
+  }
+
   test("a replayed micro-batch id is skipped — postings never double") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("simreplay")
