@@ -27,15 +27,25 @@ import org.apache.spark.sql.functions._
   * a reader at any moment resolves a complete generation — never a
   * half-deleted one. [[syncTo]]'s rebuild arm builds the NEW
   * generation beside the old, commits the pointer, and expires all
-  * but the newest superseded generation: an in-flight serve (which
-  * resolved its generation at plan-construction time and holds
-  * concrete paths) finishes on the old generation while the swap
-  * lands — closing the round-12 availability gap where an in-place
-  * rebuild took the serve offline for its full duration. Retention =
-  * current + one superseded (the [[graft.streaming.StreamingUpsert]]
-  * `keepGenerations` contract): a serve that out-lives TWO rebuilds
-  * can hit an expired generation and fail on read — the documented
-  * horizon, traded against unbounded disk.
+  * but the newest `keepGenerations - 1` superseded generations: an
+  * in-flight serve (which resolved its generation at
+  * plan-construction time and holds concrete paths) finishes on the
+  * old generation while the swap lands — closing the round-12
+  * availability gap where an in-place rebuild took the serve offline
+  * for its full duration. Retention (round 14, the
+  * [[graft.streaming.StreamingUpsert]] `keepGenerations` contract
+  * with the knob now EXPOSED on [[syncTo]]): the pointer files are
+  * the liveness HISTORY — every generation that was ever live was
+  * named by exactly one `current-<v>` — so the keep set is "the gens
+  * named by the `keepGenerations` newest pointers", which retains
+  * in-flight serves' snapshots and still sweeps crashed-rebuild
+  * orphans (never pointer-named). A serve that out-lives
+  * `keepGenerations - 1` rebuilds loses its snapshot: the COMMON case
+  * (generation expired before the serve's probe action) now refuses
+  * with a named expired-generation message pointing at the knob; a
+  * generation expiring MID-SCAN still surfaces as the executor's raw
+  * read error — the residual horizon, traded against unbounded disk
+  * and sized by the knob.
   *
   * Each committed batch inside a generation carries two sidecar
   * markers (the IncrementalIndexing `_stream_batch_id` device):
@@ -185,14 +195,30 @@ object AnnIndex {
       (0, None)
     } else {
       val v = ptrs.max
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"current-$v"))
-      val text =
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        finally in.close()
-      (v, Some(text.trim))
+      (v, Some(readPointer(s, root, v)))
     }
   }
+
+  /** The generation name `current-<v>` records. */
+  private def readPointer(s: SparkSession, root: String, v: Int): String = {
+    val in = fsOf(s, root).open(
+      new org.apache.hadoop.fs.Path(root, s"current-$v"))
+    val text =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    text.trim
+  }
+
+  /** TEST-ONLY interleave hook — invoked at the named points where a
+    * concurrent writer could land ("rebuild-built": generation built,
+    * pointer not yet committed; "ingest-resolved": live generation
+    * resolved, ingest lock not yet claimed; "serve-gated": integrity
+    * gates passed, probe action not yet run), so the race specs can
+    * inject a real racing writer deterministically instead of hoping a
+    * thread interleaves. A no-op in production; never called on the
+    * executor side. */
+  private[graft] var raceHook: String => Unit = _ => ()
 
   /** The live generation's lists-table dir — None before any build.
     * Exposed for spec/ops introspection (batch counts, marker paths). */
@@ -306,9 +332,28 @@ object AnnIndex {
     * the live corpus — which already contains every row the old
     * stream lineage delivered — so a crash-recovery replay of an old
     * micro-batch must still be recognized as committed, or it would
-    * double-ingest and brick the coverage gate. */
+    * double-ingest and brick the coverage gate.
+    *
+    * The mark is RE-READ under the old generation's ingest lock
+    * immediately before the pointer commit, and the new generation
+    * re-stamped if it advanced (round-14 advice, medium): the build
+    * takes corpus-pass time, and a streaming micro-batch committed to
+    * the old generation DURING that window carries an id above the
+    * pre-build mark — stamped as-is, a post-swap crash-recovery
+    * replay of that batch would pass the replay predicate,
+    * double-ingest, and brick the coverage gate. Holding the lock
+    * across the commit closes the window on the other side too: an
+    * ingest racing this commit either landed before the lock claim
+    * (its id is in the re-read), refuses on the held lock (streaming
+    * replays it after the swap, into the new generation), or claims
+    * the lock after the swap and refuses on [[ingest]]'s liveness
+    * recheck. Rows delivered to the old generation during the build
+    * that the rebuild's corpus read MISSED are not silently lost: the
+    * new generation does not cover them, the serve's coverage gate
+    * refuses, and [[syncTo]]'s delta arm repairs — degraded cost,
+    * never a silent double-ingest. */
   private def rebuildGeneration(s: SparkSession, d: String, root: String,
-      a: AnnChoice.Artifact): Unit = {
+      a: AnnChoice.Artifact, keepGenerations: Int = 2): Unit = {
     val (v, cur) = pointerState(s, root)
     val mark = cur.flatMap(g => streamMarkMax(s, s"$root/$g",
       graft.sources.AppendLog.state(s, s"$root/$g")._2))
@@ -320,33 +365,93 @@ object AnnIndex {
     ingestInto(s, genDir, raw.filter(pmod(col("vec_id"), lit(2)) === 1), a,
       streamBatchId = mark)
     compactIn(s, genDir)
-    commitPointer(s, root, v, gen)
-    expireGenerations(s, root, keep = Set(gen) ++ cur)
+    raceHook("rebuild-built")
+    cur match {
+      case None => commitPointer(s, root, v, gen)
+      case Some(g) =>
+        val oldDir = s"$root/$g"
+        graft.Phases.time("rebuild_lock_hold") {
+          withIngestLockRetry(s, oldDir) {
+            val mark2 = streamMarkMax(s, oldDir,
+              graft.sources.AppendLog.state(s, oldDir)._2)
+            if (mark2 != mark) restampMark(s, genDir, mark2)
+            commitPointer(s, root, v, gen)
+          }
+        }
+    }
+    expireGenerations(s, root, keepGenerations)
   }
 
-  /** Post-swap retention sweep: keep exactly the generations in `keep`
-    * — the new live one plus the one it SUPERSEDED (in-flight serves
-    * resolved before the swap still hold it) — and delete every other
-    * gen dir, including orphans from crashed rebuilds (built but never
-    * pointer-committed; a max-below-current heuristic would have KEPT
-    * such an orphan and deleted the genuinely-previous generation an
-    * in-flight serve may be reading). Pointer files more than one
-    * version back are GC'd too. Best-effort — a crash mid-sweep leaves
-    * only extra garbage for the next sweep. */
+  /** [[graft.sources.AppendLog.withIngestLock]] with a bounded wait:
+    * the AppendLog lock REFUSES rather than queues (right for two
+    * ingests — concurrent ingests are a protocol violation), but the
+    * rebuild's pre-swap section must serialize against a LEGITIMATE
+    * streaming ingest that happens to hold the lock for one
+    * micro-batch. Retry for up to `timeoutMs`, then propagate the
+    * loud refusal (which carries the crashed-ingest recovery
+    * instruction — a lock held longer than the timeout is that case,
+    * not a live micro-batch). */
+  private def withIngestLockRetry[T](s: SparkSession, dir: String,
+      timeoutMs: Long = 30000)(body: => T): T = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (true) {
+      try return graft.sources.AppendLog.withIngestLock(s, dir)(body)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains(".ingest-lock") &&
+              System.nanoTime() < deadline =>
+          Thread.sleep(200)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Rewrites the `_stream_batch_id` sidecars of every committed batch
+    * in `genDir` to `id` (dropping them when None) — the rebuild's
+    * re-stamp when the old generation's mark advanced during the
+    * build. Only ever called on a NOT-YET-LIVE generation (single
+    * writer by construction: nothing ingests into an unpointed gen). */
+  private def restampMark(s: SparkSession, genDir: String,
+      id: Option[Long]): Unit = {
+    val fs = fsOf(s, genDir)
+    graft.sources.AppendLog.state(s, genDir)._2.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$genDir/$b/_stream_batch_id"), false)
+      id.foreach(i =>
+        writeText(s, s"$genDir/$b/_stream_batch_id", i.toString))
+    }
+  }
+
+  /** Post-swap retention sweep: keep the generations named by the
+    * `keepGenerations` newest pointer files — the pointers ARE the
+    * liveness history, so this retains exactly the new live
+    * generation plus the `keepGenerations - 1` most recently
+    * superseded ones (in-flight serves resolved before recent swaps
+    * still hold them) — and delete every other gen dir, including
+    * orphans from crashed rebuilds (built but never pointer-committed;
+    * a max-below-current heuristic would have KEPT such an orphan and
+    * deleted the genuinely-previous generation an in-flight serve may
+    * be reading). Pointer files past the kept window are GC'd too.
+    * Best-effort — a crash mid-sweep leaves only extra garbage for the
+    * next sweep. */
   private def expireGenerations(s: SparkSession, root: String,
-      keep: Set[String]): Unit = {
+      keepGenerations: Int): Unit = {
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1, got $keepGenerations")
     val fs = fsOf(s, root)
-    val (v, _) = pointerState(s, root)
     val names = fs.listStatus(
       new org.apache.hadoop.fs.Path(root)).toSeq.map(_.getPath.getName)
+    val ptrVersions = names.filter(_.startsWith("current-")).flatMap(n =>
+        scala.util.Try(n.stripPrefix("current-").toInt).toOption)
+      .sorted.reverse
+    val keep = ptrVersions.take(keepGenerations)
+      .map(v => readPointer(s, root, v)).toSet
     names.filter(n => n.startsWith("gen-") && !keep.contains(n))
       .foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
-    names.filter(_.startsWith("current-")).flatMap(n =>
-        scala.util.Try(n.stripPrefix("current-").toInt).toOption)
-      .filter(_ < v - 1).foreach(k =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"current-$k"),
-          false))
+    ptrVersions.drop(keepGenerations).foreach(k =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"current-$k"),
+        false))
   }
 
   private def writeMarker(s: SparkSession, path: String,
@@ -390,6 +495,14 @@ object AnnIndex {
     compactIn(s, currentListsDir(s, root).getOrElse(
       throw new IllegalStateException(
         s"compact($root): no live generation — nothing to compact")))
+
+  /** [[compact]] on an ALREADY-RESOLVED generation dir — for callers
+    * that just ingested into a specific generation and must compact
+    * THAT one (the streaming maintenance loop): re-resolving the live
+    * pointer here could race a rebuild swap and rewrite a generation
+    * the cadence check never looked at (round-14 advice). */
+  private[graft] def compactLists(s: SparkSession, listsDir: String): Unit =
+    compactIn(s, listsDir)
 
   private def compactIn(s: SparkSession, indexDir: String): Unit =
     graft.sources.AppendLog.compactWith(s, indexDir) { (committed, name) =>
@@ -472,17 +585,43 @@ object AnnIndex {
     *
     * Appends into the index's LIVE generation (creating `gen-1` on a
     * fresh root); [[syncTo]]'s rebuild is the only writer that opens a
-    * new generation. */
+    * new generation. The resolved-generation LIVENESS is re-verified
+    * under the ingest lock (round 14): between resolving the live
+    * generation here and claiming its lock, a rebuild can commit the
+    * pointer swap — committing this batch into the now-superseded
+    * generation would strand its rows where no serve reads them,
+    * surfacing much later as a coverage refusal far from the cause.
+    * The recheck refuses loudly at the ingest instead; a streaming
+    * replay of the refused batch lands in the live generation.
+    * Returns the generation dir the batch committed into. */
   def ingest(s: SparkSession, root: String, rawBatch: DataFrame,
       a: AnnChoice.Artifact,
-      streamBatchId: Option[Long] = None): Unit =
-    ingestInto(s, currentGenForWrite(s, root), rawBatch, a, streamBatchId)
+      streamBatchId: Option[Long] = None): String = {
+    val genDir = currentGenForWrite(s, root)
+    raceHook("ingest-resolved")
+    ingestInto(s, genDir, rawBatch, a, streamBatchId,
+      preWrite = () => {
+        val live = currentListsDir(s, root)
+        if (!live.contains(genDir)) throw new IllegalStateException(
+          s"ann index ingest at $root: resolved " +
+            genDir.split('/').last + " as the live generation, but a " +
+            "rebuild swapped the pointer to " +
+            live.map(_.split('/').last).getOrElse("<none>") +
+            " before this ingest claimed the lock — committing here " +
+            "would strand the rows in a superseded generation no serve " +
+            "reads. Re-run the ingest (a streaming replay lands in the " +
+            "live generation)")
+      })
+    genDir
+  }
 
   private def ingestInto(s: SparkSession, indexDir: String,
       rawBatch: DataFrame, a: AnnChoice.Artifact,
-      streamBatchId: Option[Long] = None): Unit = {
+      streamBatchId: Option[Long] = None,
+      preWrite: () => Unit = () => ()): Unit = {
     val fp = graft.Phases.time("fingerprint")(batchFingerprint(rawBatch))
     graft.sources.AppendLog.append(s, indexDir) { (_, _, batchName) =>
+      preWrite()
       val base = rawBatch
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
@@ -598,19 +737,28 @@ object AnnIndex {
     * serve offline.
     *
     * Returns (choice outcome, index action): ("fresh" | "recertified"
-    * | "retuned", "kept" | "delta" | "rebuilt"). */
+    * | "retuned", "kept" | "delta" | "rebuilt").
+    *
+    * `keepGenerations` (default 2 — the original current + one
+    * superseded contract) sizes the availability horizon: a rebuild
+    * retains the generations named by the `keepGenerations` newest
+    * pointers, so a serve survives `keepGenerations - 1` rebuilds
+    * between its construction and its last action. Raise it for
+    * long-running serves (dashboards holding a DataFrame across
+    * retune cycles); each retained generation costs one corpus-sized
+    * lists table of disk. */
   def syncTo(s: SparkSession, d: String, stashDir: String,
-      indexDir: String): (String, String) = {
+      indexDir: String, keepGenerations: Int = 2): (String, String) = {
     val choiceOutcome = Similarity.refreshIfDrifted(s, d, stashDir)
     val fp = Similarity.corpusFingerprint(s, d)
     val art = AnnChoice.read(s, stashDir).getOrElse(
       throw new IllegalStateException(
         s"refreshIfDrifted left no artifact at $stashDir"))
     def rebuild(): String = {
-      rebuildGeneration(s, d, indexDir, art)
+      rebuildGeneration(s, d, indexDir, art, keepGenerations)
       "rebuilt"
     }
-    val (lists, cov, choiceFp) = readIndex(s, indexDir)
+    val (lists, cov, choiceFp, _) = readIndex(s, indexDir)
     val action = choiceFp match {
       case None => rebuild() // empty dir: first build
       case Some(cf) if cf != assignmentFp(art) =>
@@ -624,24 +772,55 @@ object AnnIndex {
         if (delta.isEmpty) rebuild() // mutation/deletion, not growth
         else {
           ingest(s, indexDir, delta, art)
-          val (_, cov2, _) = readIndex(s, indexDir)
+          val (_, cov2, _, _) = readIndex(s, indexDir)
           if (cov2 == fp) "delta" else rebuild()
         }
     }
     (choiceOutcome, action)
   }
 
+  /** The named refusal for a generation swept by the retention
+    * policy while a reader still held it — every expired-generation
+    * detection point raises THIS, so the failure names its cause and
+    * its knob instead of surfacing as a raw executor read error. */
+  private def expiredGeneration(root: String, genDir: String): Nothing =
+    throw new IllegalStateException(
+      s"ann index generation ${genDir.split('/').last} at $root has " +
+        "EXPIRED under this reader: retention keeps only the " +
+        "generations named by the `keepGenerations` newest pointers " +
+        "(default 2 — current + one superseded), so a serve that " +
+        "outlives keepGenerations-1 rebuilds loses its snapshot. " +
+        "Re-construct the serve (it pins the live generation), or " +
+        "raise keepGenerations on AnnIndex.syncTo for serves that " +
+        "must outlive multiple rebuilds")
+
+  /** Refuses with the named expired-generation error if `genDir` no
+    * longer exists — the serve-path pre-flight, run at the serve's
+    * first ACTION (the probe collect) rather than only at
+    * construction, so the common expire-under-a-resolved-serve case
+    * fails named. A generation expiring after this check, mid-scan,
+    * still dies with the executor's raw FileNotFoundException — the
+    * documented residual horizon `keepGenerations` sizes. */
+  private def preflightGeneration(s: SparkSession, root: String,
+      genDir: String): Unit =
+    if (!fsOf(s, genDir).exists(new org.apache.hadoop.fs.Path(genDir)))
+      expiredGeneration(root, genDir)
+
   /** Committed (vec_id, list_id) rows + the derived coverage
-    * fingerprint + the (single, asserted) choice fingerprint — of the
-    * LIVE generation, resolved ONCE here: the returned frame reads
-    * concrete `gen-<k>/batch-*` paths, so a serve built from it stays
-    * pinned to this generation for its lifetime even if a rebuild
-    * swaps the pointer underneath (the v4 availability contract). */
+    * fingerprint + the (single, asserted) choice fingerprint + the
+    * resolved generation dir — of the LIVE generation, resolved ONCE
+    * here: the returned frame reads concrete `gen-<k>/batch-*` paths,
+    * so a serve built from it stays pinned to this generation for its
+    * lifetime even if a rebuild swaps the pointer underneath (the v4
+    * availability contract). A missing dir under the CURRENT pointer
+    * is a fresh, never-appended generation (the pointer commits
+    * before the first append creates the dir), never an expired one —
+    * retention cannot sweep the newest pointer's generation. */
   private def readIndex(s: SparkSession, root: String)
-      : (DataFrame, (Long, Long), Option[(Long, Long)]) = {
+      : (DataFrame, (Long, Long), Option[(Long, Long)], Option[String]) = {
     val empty = (s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema),
-      (0L, 0L), Option.empty[(Long, Long)])
+      (0L, 0L), Option.empty[(Long, Long)], Option.empty[String])
     val indexDir = currentListsDir(s, root).getOrElse(return empty)
     val (_, dirs) = graft.sources.AppendLog.state(s, indexDir)
     if (dirs.isEmpty) return empty
@@ -655,7 +834,7 @@ object AnnIndex {
         "must be assigned with the same centroids; rebuild the index " +
         "after retuning")
     (s.read.parquet(dirs.map(b => s"$indexDir/$b"): _*),
-      cov, choices.headOption)
+      cov, choices.headOption, Some(indexDir))
   }
 
   /** Serve the held-out query set from the persisted lists: refuses an
@@ -730,15 +909,20 @@ object AnnIndex {
     * OWN two gates (choice consistency, coverage) and serves. */
   private[llmdata] def searchWith(s: SparkSession, d: String,
       fp: (Long, Long), art: AnnChoice.Artifact,
-      indexDir: String): DataFrame =
-    searchLists(s, d, art, gatedLists(s, fp, art, indexDir))
+      indexDir: String): DataFrame = {
+    val (lists, genDir) = gatedLists(s, fp, art, indexDir)
+    raceHook("serve-gated")
+    searchLists(s, d, art, lists, indexDir, genDir)
+  }
 
-  /** The committed lists AFTER both integrity gates — every reader of
-    * the index (serve, audit) goes through this, so no entry point can
-    * read a stale or mixed-artifact index. */
+  /** The committed lists AFTER both integrity gates (+ the resolved
+    * generation dir, for the serve's expiry pre-flight) — every reader
+    * of the index (serve, audit) goes through this, so no entry point
+    * can read a stale or mixed-artifact index. */
   private def gatedLists(s: SparkSession, fp: (Long, Long),
-      art: AnnChoice.Artifact, indexDir: String): DataFrame = {
-    val (lists, cov, choiceFp) = readIndex(s, indexDir)
+      art: AnnChoice.Artifact, indexDir: String)
+      : (DataFrame, Option[String]) = {
+    val (lists, cov, choiceFp, genDir) = readIndex(s, indexDir)
     if (choiceFp.exists(_ != assignmentFp(art)))
       throw new IllegalStateException(
         s"ann index at $indexDir was assigned under a different choice " +
@@ -750,7 +934,7 @@ object AnnIndex {
         s"(count=${fp._1}, xor=${fp._2}) — vectors the index never " +
         "ingested would be silent recall holes, not errors; ingest " +
         "the missing batches or rebuild")
-    lists
+    (lists, genDir)
   }
 
   /** Per-list occupancy of the persisted index — the ops-dashboard
@@ -768,7 +952,7 @@ object AnnIndex {
     * not that they sit in the right lists). */
   private[llmdata] def auditWith(s: SparkSession, fp: (Long, Long),
       art: AnnChoice.Artifact, indexDir: String): DataFrame =
-    gatedLists(s, fp, art, indexDir)
+    gatedLists(s, fp, art, indexDir)._1
       .filter(col("list_id") >= 0)
       .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
       .orderBy("list_id")
@@ -802,7 +986,8 @@ object AnnIndex {
     * the equi-join on list_id keeps only probed ids anyway
     * (AnnIndexSpec parity pins it). */
   private def searchLists(s: SparkSession, d: String,
-      art: AnnChoice.Artifact, lists: DataFrame): DataFrame = {
+      art: AnnChoice.Artifact, lists: DataFrame, root: String,
+      genDir: Option[String]): DataFrame = {
     val qRaw = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") >= 100 && col("vec_id") < 120)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -852,6 +1037,11 @@ object AnnIndex {
     // become a source filter the parquet scan can prune on, and the
     // collected rows themselves seed the broadcast side
     val probeRows = probes.collect().toSeq
+    // the serve's FIRST ACTION just ran — pre-flight the pinned
+    // generation now (round 14): a rebuild+expiry landing between the
+    // gates and this action would otherwise surface as an executor
+    // read error on the lists scan below, far from its cause
+    genDir.foreach(g => preflightGeneration(s, root, g))
     val probedIds = probeRows.map(_.getLong(3)).distinct
     val cand = lists.filter(col("list_id").isin(probedIds: _*))
       .join(broadcast(s.createDataFrame(

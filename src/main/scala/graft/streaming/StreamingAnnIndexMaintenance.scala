@@ -19,9 +19,17 @@ import graft.llmdata.{AnnChoice, AnnIndex}
   * usual `_fp`/`_choice` sidecars, assigned under the SAME persisted
   * choice artifact every batch uses — batch ingests, [[AnnIndex.syncTo]]
   * deltas, streaming ingests and [[AnnIndex.compact]] all serialize on
-  * the AppendLog lock, so a mixed history stays consistent and the
-  * serve gates (coverage, choice consistency) hold across all four
-  * writers.
+  * the live generation's AppendLog lock, so a mixed history stays
+  * consistent and the serve gates (coverage, choice consistency) hold
+  * across all four writers. [[AnnIndex.syncTo]]'s REBUILD arm builds
+  * its new generation outside any lock (it writes where no one else
+  * does), then serializes the swap against this stream on that same
+  * lock (round 14): the old generation's replay mark is re-read under
+  * the lock and re-stamped into the new generation if a micro-batch
+  * advanced it during the build, and an ingest that raced the swap
+  * refuses loudly on the liveness recheck instead of committing into
+  * a superseded generation — so a rebuild can run UNDER live ingest
+  * without either silent double-ingest-on-replay or stranded rows.
   *
   * Replay contract: foreachBatch is AT-LEAST-ONCE — after a crash the
   * last micro-batch re-runs. A double-ingested batch folds its
@@ -79,14 +87,19 @@ object StreamingAnnIndexMaintenance {
           "or retire the old query and run AnnIndex.clearStreamMark " +
           "(safe only if the new stream carries rows the index has not " +
           "already committed)")
-    if (!mark.exists(_ >= batchId))
-      AnnIndex.ingest(s, indexDir, batch, art, Some(batchId))
-    compactEvery.foreach { n =>
-      val lists = AnnIndex.currentListsDir(s, indexDir)
-      if (lists.exists(dir =>
-          graft.sources.AppendLog.state(s, dir)._2.length >= n))
-        AnnIndex.compact(s, indexDir)
-    }
+    // the compaction cadence is gated on the batch actually having
+    // been INGESTED (round-14 advice): a replayed batch must not
+    // trigger a full lists-table rewrite that bounds nothing, and the
+    // generation to compact is the one the ingest itself committed
+    // into — re-resolving the live pointer here could race a rebuild
+    // swap and rewrite a generation the cadence check never saw
+    val ingestedDir: Option[String] =
+      if (!mark.exists(_ >= batchId))
+        Some(AnnIndex.ingest(s, indexDir, batch, art, Some(batchId)))
+      else None
+    for (n <- compactEvery; dir <- ingestedDir)
+      if (graft.sources.AppendLog.state(s, dir)._2.length >= n)
+        AnnIndex.compactLists(s, dir)
   }
 
   /** Start continuous maintenance of the index at `indexDir` from a

@@ -60,10 +60,15 @@ object StreamingIndexMaintenance {
           "or retire the old query and run " +
           "IncrementalIndexing.clearStreamMark (safe only if the new " +
           "stream carries docs the index has not already committed)")
-    if (!mark.exists(_ >= batchId))
+    // cadence gated on the batch actually having been INGESTED
+    // (round-14 advice, mirrored from the ANN twin): a replayed batch
+    // must not trigger a full-index rewrite that bounds nothing
+    val ingested = !mark.exists(_ >= batchId)
+    if (ingested)
       IncrementalIndexing.ingest(s, indexDir, batch, Some(batchId))
     compactEvery.foreach { n =>
-      if (graft.sources.AppendLog.state(s, indexDir)._2.length >= n)
+      if (ingested &&
+          graft.sources.AppendLog.state(s, indexDir)._2.length >= n)
         IncrementalIndexing.compact(s, indexDir)
     }
   }
