@@ -15,37 +15,107 @@ object Bench {
           .getOperatingSystemMXBean.getSystemLoadAverage
     }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Contention sentinel (round-7 verdict): two rounds running, the
-    // committed closing record diverged ~2× from idle-box reality
-    // because the bench ran concurrently with other work. Sample the
-    // load BEFORE Spark spins any threads; if the box is already busy,
-    // wait (bounded) for it to drain, then proceed regardless —
-    // refusing outright could lose the round record — and stamp both
-    // samples plus a `contended` flag into the JSON so a hot record
-    // is self-incriminating. SPARK_GRAFT_LOAD_MAX overrides the
-    // threshold; SPARK_GRAFT_LOAD_WAIT_SECS=0 skips the wait.
+  /** Instantaneous whole-box busy fraction from two /proc/stat
+    * snapshots `intervalMs` apart — the idle signal loadavg cannot be:
+    * loadavg decays over a minute, so it stays high long after the
+    * contender exited (the round-12 false-discard class) AND can sit
+    * just under any threshold while a contender is live (the round-13
+    * false-clean: the driver record started at loadavg exactly 2.0
+    * against a strict `> 2.0` check and ended at 6.23, stamped clean).
+    * Returns -1 where /proc/stat is unreadable — the caller falls back
+    * to the load-only gate and the record says so. */
+  private[graft] def busyFrac(intervalMs: Long = 1000): Double =
+    try {
+      def snap(): (Long, Long) = {
+        val v = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+        (v.sum, v(3) + v(4)) // total, idle+iowait
+      }
+      val (t0, i0) = snap()
+      Thread.sleep(intervalMs)
+      val (t1, i1) = snap()
+      if (t1 == t0) 0.0 else 1.0 - (i1 - i0).toDouble / (t1 - t0)
+    } catch { case _: Throwable => -1.0 }
+
+  /** Pre-run contention gate readings + the thresholds they were
+    * judged against. `contendedPre` means the box never drained inside
+    * the wait budget. */
+  private[graft] final case class Gate(loadBefore: Double,
+      busyBefore: Double, loadMax: Double, busyMax: Double,
+      contendedPre: Boolean)
+
+  /** The refuse-when-warm protocol, INSIDE the bench mains so every
+    * caller inherits it (round-14 verdict item 1 — the driver invokes
+    * `graft.Bench` directly, so a gate living only in
+    * tools/bench_closing.py left the official per-round artifact
+    * producible from a warm box). Waits (bounded) until the box is
+    * idle on BOTH signals — /proc/stat busy fraction ≤
+    * SPARK_GRAFT_BUSY_MAX (default 0.15, the sf1-chunk gate) and 1-min
+    * loadavg ≤ SPARK_GRAFT_LOAD_MAX (default 1.0 — the round-13
+    * verdict's threshold; the old 2.0 passed a live contender) — then
+    * proceeds regardless (refusing outright could lose the round
+    * record) with `contendedPre` stamped. Call BEFORE the session
+    * spins any threads. */
+  private[graft] def preGate(tag: String): Gate = {
     val loadMax = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble)
-      .getOrElse(2.0)
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "1.0").toDouble)
+      .getOrElse(1.0)
+    val busyMax = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BUSY_MAX", "0.15").toDouble)
+      .getOrElse(0.15)
     val loadWaitSecs = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "180").toInt)
       .getOrElse(180)
-    var loadBefore = loadAvg()
-    val waitDeadline = System.nanoTime() + loadWaitSecs * 1000000000L
-    while (loadBefore > loadMax && System.nanoTime() < waitDeadline) {
+    def warm(load: Double, busy: Double): Boolean =
+      load > loadMax || busy > busyMax
+    var (load, busy) = (loadAvg(), busyFrac())
+    val deadline = System.nanoTime() + loadWaitSecs * 1000000000L
+    while (warm(load, busy) && System.nanoTime() < deadline) {
       System.err.println(
-        f"[bench] WARNING: system load $loadBefore%.2f > $loadMax%.1f " +
-          "— waiting for the box to drain before timing")
+        f"[$tag] WARNING: warm box (load $load%.2f > $loadMax%.2f or " +
+          f"busy $busy%.2f > $busyMax%.2f) — waiting for it to drain " +
+          "before timing")
       Thread.sleep(5000)
-      loadBefore = loadAvg()
+      load = loadAvg(); busy = busyFrac()
     }
-    val contended = loadBefore > loadMax
-    if (contended) System.err.println(
-      f"[bench] WARNING: starting CONTENDED (load $loadBefore%.2f > " +
-        f"$loadMax%.1f after ${loadWaitSecs}s) — timings below are " +
+    val contendedPre = warm(load, busy)
+    if (contendedPre) System.err.println(
+      f"[$tag] WARNING: starting CONTENDED (load $load%.2f, busy " +
+        f"$busy%.2f after ${loadWaitSecs}s) — timings below are " +
         "inflated; the JSON record carries contended=true")
+    Gate(load, busy, loadMax, busyMax, contendedPre)
+  }
+
+  /** Post-run re-sample, taken the moment the timed section ends (our
+    * own tasks are drained, executor threads parked): a busy CPU now
+    * is an external burst that may have landed MID-RUN, which the
+    * pre-gate by construction cannot see — it self-incriminates the
+    * record instead of letting a warm run stamp itself clean. Returns
+    * (loadAfter, busyAfter, contended-overall). */
+  private[graft] def postSample(g: Gate): (Double, Double, Boolean) = {
+    val loadAfter = loadAvg()
+    val busyAfter = busyFrac()
+    (loadAfter, busyAfter,
+      g.contendedPre || (busyAfter >= 0 && busyAfter > g.busyMax))
+  }
+
+  /** The shared contention fields of every bench record (one
+    * definition so the three mains cannot drift). */
+  private[graft] def gateJson(g: Gate, loadAfter: Double,
+      busyAfter: Double, contended: Boolean): String =
+    s""""load_before":${g.loadBefore},"busy_before":${g.busyBefore},""" +
+      s""""load_after":$loadAfter,"busy_after":$busyAfter,""" +
+      s""""load_max":${g.loadMax},"busy_max":${g.busyMax},""" +
+      s""""contended":$contended"""
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contention gate (round-7 verdict, hardened round 14): sample
+    // BEFORE Spark spins any threads; busy_frac + loadavg dual signal,
+    // bounded wait, post-run re-sample — see preGate/postSample.
+    val gate = preGate("bench")
     // default to the machine: the bench contract is local[32] on a
     // 32-CPU box; a fixed small default silently benches at 1/8th the
     // parallelism when the env var is absent
@@ -119,10 +189,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val loadAfter = loadAvg()
+    val (loadAfter, busyAfter, contended) = postSample(gate)
+    if (contended && !gate.contendedPre) System.err.println(
+      f"[bench] WARNING: post-run busy $busyAfter%.2f > " +
+        f"${gate.busyMax}%.2f — an external burst may have landed " +
+        "MID-RUN; the record carries contended=true")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,""" +
+        gateJson(gate, loadAfter, busyAfter, contended) + "," +
         s""""reps":$reps,"stat":"min"}"""
     // the driver scrapes stdout's tail; with 107 queries the single JSON
     // line can outgrow that capture window (round 5 lost the comparison

@@ -48,14 +48,9 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000000").toInt
     val devices = 1000
-    val loadBefore = Bench.loadAvg()
-    val loadMax = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble)
-      .getOrElse(2.0)
-    val contended = loadBefore > loadMax
-    if (contended) System.err.println(
-      f"[streambench] WARNING: starting CONTENDED (load $loadBefore%.2f " +
-        f"> $loadMax%.1f) — the JSON record carries contended=true")
+    // the shared refuse-when-warm gate (round 14: busy_frac + loadavg,
+    // bounded wait, post-run re-sample — Bench.preGate's scaladoc)
+    val gate = Bench.preGate("streambench")
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).getOrElse(3))
     val spark = GraftSession.local(
@@ -80,11 +75,13 @@ object StreamBench {
     require(runs.forall(_._1 == runs.head._1),
       s"non-deterministic pipeline output across reps: ${runs.map(_._1)}")
     val sec = runs.map(_._2).min
+    val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val json =
       s"""{"metric":"stream_rows_per_sec","value":${(rows / sec).toLong},""" +
         s""""unit":"rows/sec","rows":$rows,"anomalies":$anomalies,""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},"devices":$devices,""" +
-        s""""reps":$reps,"load_before":$loadBefore,"contended":$contended}"""
+        s""""reps":$reps,""" +
+        Bench.gateJson(gate, loadAfter, busyAfter, contended) + "}"
     println(json)
     // persist like Bench does BENCH_LAST.json: the streaming envelope
     // (reference: ≥50 rows/s, BASELINE.md) gets a per-round record that

@@ -58,14 +58,9 @@ object StreamStateBench {
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt).getOrElse(3))
     val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "memory")
-    val loadBefore = Bench.loadAvg()
-    val loadMax = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble)
-      .getOrElse(2.0)
-    val contended = loadBefore > loadMax
-    if (contended) System.err.println(
-      f"[streamstatebench] WARNING: starting CONTENDED (load " +
-        f"$loadBefore%.2f > $loadMax%.1f) — record carries contended=true")
+    // the shared refuse-when-warm gate (round 14: busy_frac + loadavg,
+    // bounded wait, post-run re-sample — Bench.preGate's scaladoc)
+    val gate = Bench.preGate("streamstatebench")
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     if (provider == "rocksdb")
@@ -81,16 +76,16 @@ object StreamStateBench {
     // pending probe, armed/fired every watermark advance).
     sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "dedup") match {
       case "upsert" =>
-        runUpsert(spark, n, nBatches, reps, loadBefore, contended)
+        runUpsert(spark, n, nBatches, reps, gate)
         spark.stop(); return
       case "asof" =>
-        runAsof(spark, n, nBatches, reps, loadBefore, contended, provider)
+        runAsof(spark, n, nBatches, reps, gate, provider)
         spark.stop(); return
       case "annindex" =>
-        runAnnIndex(spark, n, nBatches, reps, loadBefore, contended)
+        runAnnIndex(spark, n, nBatches, reps, gate)
         spark.stop(); return
       case "anomaly" =>
-        runAnomaly(spark, n, nBatches, reps, loadBefore, contended, provider)
+        runAnomaly(spark, n, nBatches, reps, gate, provider)
         spark.stop(); return
       case "dedup" => ()
       case other => throw new IllegalArgumentException(
@@ -176,6 +171,7 @@ object StreamStateBench {
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic candidate output across reps: ${runs.map(_._2)}")
     val sec = runs.map(_._1).min
+    val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val (cands, stateRows, stateBytes) =
       (runs.head._2, runs.last._3, runs.last._4)
     val json =
@@ -185,7 +181,7 @@ object StreamStateBench {
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
         s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
         s""""provider":"$provider","reps":$reps,""" +
-        s""""load_before":$loadBefore,"contended":$contended}"""
+        Bench.gateJson(gate, loadAfter, busyAfter, contended) + "}"
     println(json)
     if (n >= 200000)
       StreamStateBench.record(json,
@@ -206,8 +202,7 @@ object StreamStateBench {
     * fan-out. Determinism gate: final table row count equal across
     * reps. */
   private def runUpsert(spark: org.apache.spark.sql.SparkSession,
-      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
-      contended: Boolean): Unit = {
+      n: Int, nBatches: Int, reps: Int, gate: Bench.Gate): Unit = {
     import spark.implicits._
     val buckets = sys.env.getOrElse("SPARK_GRAFT_UPSERT_BUCKETS", "64").toInt
     val keys = math.max(1, n / 2)
@@ -277,14 +272,15 @@ object StreamStateBench {
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic table across reps: ${runs.map(_._2)}")
     val sec = runs.map(_._1).min
+    val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val json =
       s"""{"metric":"stream_upsert_rows_per_sec",""" +
         s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
         s""""batches":$nBatches,"buckets":$buckets,""" +
         s""""table_rows":${runs.head._2},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
-        s""""reps":$reps,"load_before":$loadBefore,""" +
-        s""""contended":$contended}"""
+        s""""reps":$reps,""" +
+        Bench.gateJson(gate, loadAfter, busyAfter, contended) + "}"
     println(json)
     if (n >= 200000)
       record(json,
@@ -310,8 +306,7 @@ object StreamStateBench {
     * class's whole price — at production scale the trigger interval IS
     * the throughput knob. */
   private def runAnnIndex(spark: org.apache.spark.sql.SparkSession,
-      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
-      contended: Boolean): Unit = {
+      n: Int, nBatches: Int, reps: Int, gate: Bench.Gate): Unit = {
     import spark.implicits._
     val dim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
     val stash = java.nio.file.Files
@@ -378,6 +373,7 @@ object StreamStateBench {
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic lists across reps: ${runs.map(_._2)}")
     val sec = runs.map(_._1).min
+    val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val compactEveryKnob = sys.env.get("SPARK_GRAFT_ANN_COMPACT_EVERY")
       .map(_.toInt).getOrElse(0)
     val json =
@@ -388,8 +384,8 @@ object StreamStateBench {
         s""""list_rows":${runs.head._2},""" +
         s""""committed_batches":${runs.head._3},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
-        s""""reps":$reps,"load_before":$loadBefore,""" +
-        s""""contended":$contended}"""
+        s""""reps":$reps,""" +
+        Bench.gateJson(gate, loadAfter, busyAfter, contended) + "}"
     println(json)
     if (n >= 200000)
       record(json,
@@ -421,8 +417,8 @@ object StreamStateBench {
     * sink would hold n raw lines). Determinism gate: (rows, anomalies)
     * equal across reps. */
   private def runAnomaly(spark: org.apache.spark.sql.SparkSession,
-      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
-      contended: Boolean, provider: String): Unit = {
+      n: Int, nBatches: Int, reps: Int, gate: Bench.Gate,
+      provider: String): Unit = {
     import spark.implicits._
     val devices = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_ANOM_DEVICES", "1000000").toLong)
@@ -465,6 +461,7 @@ object StreamStateBench {
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic pipeline output across reps: ${runs.map(_._2)}")
     val sec = runs.map(_._1).min
+    val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val json =
       s"""{"metric":"stream_anomaly_rows_per_sec",""" +
         s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
@@ -473,7 +470,7 @@ object StreamStateBench {
         s""""state_rows":${runs.last._3},"state_bytes":${runs.last._4},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
         s""""provider":"$provider","reps":$reps,""" +
-        s""""load_before":$loadBefore,"contended":$contended}"""
+        Bench.gateJson(gate, loadAfter, busyAfter, contended) + "}"
     println(json)
     if (n >= 200000)
       record(json,
@@ -492,8 +489,8 @@ object StreamStateBench {
     * the regime this class is priced by. Determinism gate: emitted
     * match count equal across reps. */
   private def runAsof(spark: org.apache.spark.sql.SparkSession,
-      n: Int, nBatches: Int, reps: Int, loadBefore: Double,
-      contended: Boolean, provider: String): Unit = {
+      n: Int, nBatches: Int, reps: Int, gate: Bench.Gate,
+      provider: String): Unit = {
     import spark.implicits._
     val users = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_ASOF_USERS", "10000").toInt)
@@ -533,6 +530,7 @@ object StreamStateBench {
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic match output across reps: ${runs.map(_._2)}")
     val sec = runs.map(_._1).min
+    val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val json =
       s"""{"metric":"stream_asof_rows_per_sec",""" +
         s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
@@ -540,7 +538,7 @@ object StreamStateBench {
         s""""matches":${runs.head._2},"state_rows":${runs.last._3},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
         s""""provider":"$provider","reps":$reps,""" +
-        s""""load_before":$loadBefore,"contended":$contended}"""
+        Bench.gateJson(gate, loadAfter, busyAfter, contended) + "}"
     println(json)
     if (n >= 200000)
       record(json,

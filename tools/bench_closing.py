@@ -10,6 +10,13 @@ the loop: this tool ports bench_sf1.py's per-chunk `busy_frac`
 refuse-when-warm gate to the sf0.1 closing protocol and REFUSES or
 RE-QUEUES on a warm box by itself.
 
+Round 14: graft.Bench now carries the same protocol INTERNALLY
+(busy_frac + loadavg pre-gate with default LOAD_MAX 1.0, post-run
+busy re-sample, contended=true on either), so driver-invoked records
+are protected too. This tool remains the closing wrapper for what a
+main cannot do to itself: sample busy AFTER the JVM fully exits, and
+discard-restore-requeue instead of stamping a contended record.
+
 Protocol per attempt (max CLOSING_ATTEMPTS, default 3):
   1. wait (bounded) until the box is idle on BOTH signals —
      instantaneous /proc/stat busy fraction <= CLOSING_BUSY_MAX
@@ -97,6 +104,11 @@ for attempt in range(1, ATTEMPTS + 1):
         print(f"attempt {attempt} DISCARDED: " + "; ".join(reasons))
         if backup:
             shutil.move(backup, OUT)  # un-stamp the warm record
+        elif os.path.exists(OUT):
+            # no prior record to restore: delete what the discarded
+            # attempt just stamped (round-14 advice — a first-ever run
+            # on a warm box must not leave its record behind)
+            os.remove(OUT)
         continue
     rec["closing_gate"] = {
         "busy_pre": round(busy_pre, 3), "busy_post": round(busy_post, 3),
