@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -656,18 +657,17 @@ object Relational {
     //      q122's pair pass feeds: candidate triples are generated
     //      ONLY from frequent pairs (joined on a shared first item,
     //      then closed by requiring the third pair — the downward-
-    //      closure prune). Support counting GENERATES each basket's
-    //      own C(b,3) triples (baskets here are short — b ≈ 4 — so
-    //      per-basket generation is O(b³) tiny; the sf1 rehearsal
-    //      showed the alternative three-legged candidate⋈items join
-    //      going 100× superlinear as every item row fans out across
-    //      the candidate list), then semi-joins the broadcast
-    //      candidate set BEFORE the counting shuffle — the shuffle
-    //      carries only prune-surviving triples. For LONG baskets the
-    //      roles flip (C(b,3) explodes, the candidate join wins) —
-    //      the basket-length stats that pick the route are exactly
-    //      q87's profile. Integer supports, lexicographic item order;
-    //      support floor scales with basket count. ----
+    //      closure prune). Support counting is ROUTE-SWITCHED on the
+    //      measured max basket length ([[Apriori]], round 14 — the
+    //      q181/q182 discipline applied to the one remaining
+    //      documentation-only route): short baskets (b ≈ 4 here)
+    //      GENERATE each basket's own C(b,3) triples and semi-join
+    //      the broadcast candidate set BEFORE the counting shuffle;
+    //      long baskets take the three-legged candidate⋈items join,
+    //      where C(b,3) would explode. Both routes count identically
+    //      (AprioriRouteSpec pins equality on both corpus shapes).
+    //      Integer supports, lexicographic item order; support floor
+    //      scales with basket count. ----
     Q(
       "q166_apriori_triples",
       """WITH items AS (SELECT DISTINCT l.l_orderkey AS bid,
@@ -701,32 +701,7 @@ object Relational {
       // count action on the persisted basket table
       val thr = math.max(1L,
         items.select("bid").distinct().count() / 300)
-      val pairs = graft.Caches.persist(
-        items.toDF("bid", "i1")
-          .join(items.toDF("bid", "i2"), "bid")
-          .filter(col("i1") < col("i2"))
-          .groupBy("i1", "i2").agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= thr))
-      val cand = pairs.select(col("i1"), col("i2"))
-        .join(pairs.select(col("i1"), col("i2").as("i3")), Seq("i1"))
-        .filter(col("i2") < col("i3"))
-        .join(pairs.select(col("i1").as("i2"), col("i2").as("i3")),
-          Seq("i2", "i3"), "left_semi")
-      val basketTriples = items.groupBy("bid")
-        .agg(sort_array(collect_set(col("item"))).as("arr"))
-        .filter(size(col("arr")) >= 3)
-        .select(explode(expr(
-          "flatten(flatten(transform(sequence(0, size(arr) - 3), " +
-            "i -> transform(sequence(i + 1, size(arr) - 2), " +
-            "j -> transform(sequence(j + 1, size(arr) - 1), " +
-            "k -> struct(arr[i] AS i1, arr[j] AS i2, arr[k] AS i3))))))"))
-          .as("t"))
-        .select(col("t.i1").as("i1"), col("t.i2").as("i2"),
-          col("t.i3").as("i3"))
-      basketTriples
-        .join(broadcast(cand), Seq("i1", "i2", "i3"), "left_semi")
-        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= thr)
+      Apriori.triples(items, thr)
         .orderBy(col("sup").desc, col("i1"), col("i2"), col("i3"))
         .limit(20)
     },
@@ -1035,5 +1010,106 @@ object Rfm {
     }
     census(if (chosen == "window") codesWindow(rfmP)
            else codesSketch(rfmP))
+  }
+}
+
+/** q166's A-priori triple stage with the basket-length ROUTE SWITCH
+  * (round 14 — the last documentation-only route, wired): candidate
+  * triples come from frequent pairs closed downward
+  * (Agrawal–Srikant), and support counting picks between two plans by
+  * the MEASURED max basket length:
+  *
+  *   - `generate` (short baskets): explode each basket's own C(b,3)
+  *     triples and broadcast-semi-join the candidate set BEFORE the
+  *     counting shuffle — per-basket O(b³) is tiny at b ≈ 4, and the
+  *     sf1 rehearsal showed the candidate join going 100× superlinear
+  *     here (every item row fans out across the candidate list);
+  *   - `candidate` (long baskets): the three-legged candidate⋈items
+  *     join — C(b,3) explodes (b = 100 ⇒ 161,700 generated rows per
+  *     basket vs 100 item rows), so fan-out-by-candidate wins.
+  *
+  * The crossover bound is [[LongBasketAt]] = 32: C(32,3) ≈ 5k ≈ 150×
+  * the basket's own row count — already two orders past the b ≈ 4
+  * regime the generate route was measured right in, and well before
+  * the per-basket-million explosion. The exact crossover is
+  * data-dependent (candidate-set density moves it); the bound only
+  * needs to sit LEFT of the explosion, and both routes return
+  * identical counts (AprioriRouteSpec), so a conservative switch
+  * costs a constant factor, never correctness. The profile read is
+  * one max aggregate on the already-persisted basket table — q87's
+  * basket-length profile reduced to the one statistic the route
+  * needs. */
+object Apriori {
+  /** Max basket length at which support counting switches from
+    * per-basket C(b,3) generation to the candidate⋈items join. */
+  val LongBasketAt = 32
+
+  def route(maxBasket: Long, longBasketAt: Int = LongBasketAt): String =
+    if (maxBasket > longBasketAt) "candidate" else "generate"
+
+  /** Frequent-pair-closed candidate triples: (i1,i2) ⋈ (i1,i3) with
+    * i2 < i3, closed by requiring (i2,i3) frequent — the downward-
+    * closure prune. Bounded by the frequent-pair count, the broadcast
+    * side of both counting routes. */
+  def candidates(pairs: DataFrame): DataFrame =
+    pairs.select(col("i1"), col("i2"))
+      .join(pairs.select(col("i1"), col("i2").as("i3")), Seq("i1"))
+      .filter(col("i2") < col("i3"))
+      .join(pairs.select(col("i1").as("i2"), col("i2").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+
+  /** Support counts of the candidate triples over (bid, item) baskets
+    * — route ∈ generate | candidate, both returning identical
+    * (i1, i2, i3, sup) rows (spec-pinned). */
+  def countTriples(items: DataFrame, cand: DataFrame,
+      route: String): DataFrame = route match {
+    case "generate" =>
+      items.groupBy("bid")
+        .agg(sort_array(collect_set(col("item"))).as("arr"))
+        .filter(size(col("arr")) >= 3)
+        .select(explode(expr(
+          "flatten(flatten(transform(sequence(0, size(arr) - 3), " +
+            "i -> transform(sequence(i + 1, size(arr) - 2), " +
+            "j -> transform(sequence(j + 1, size(arr) - 1), " +
+            "k -> struct(arr[i] AS i1, arr[j] AS i2, arr[k] AS i3))))))"))
+          .as("t"))
+        .select(col("t.i1").as("i1"), col("t.i2").as("i2"),
+          col("t.i3").as("i3"))
+        .join(broadcast(cand), Seq("i1", "i2", "i3"), "left_semi")
+        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
+    case "candidate" =>
+      // fan baskets out over the broadcast candidates by first item,
+      // then close with two (bid, item) equi-joins — one row per
+      // (basket ⊇ candidate), counted per candidate; the shuffles are
+      // candidate-hit-sized, never C(b,3)-sized
+      items.toDF("bid", "i1")
+        .join(broadcast(cand), Seq("i1"))
+        .join(items.toDF("bid", "i2"), Seq("bid", "i2"), "left_semi")
+        .join(items.toDF("bid", "i3"), Seq("bid", "i3"), "left_semi")
+        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
+    case other => throw new IllegalArgumentException(
+      s"unknown apriori route: $other")
+  }
+
+  /** The full stage: frequent pairs at `thr` → closed candidates →
+    * route-switched support counting → threshold filter. `items` must
+    * be the DISTINCT (bid, item) basket table, persisted by the
+    * caller (the pair pass, the profile read, and the counting pass
+    * all reuse it). */
+  def triples(items: DataFrame, thr: Long,
+      forceRoute: Option[String] = None): DataFrame = {
+    val pairs = graft.Caches.persist(
+      items.toDF("bid", "i1")
+        .join(items.toDF("bid", "i2"), "bid")
+        .filter(col("i1") < col("i2"))
+        .groupBy("i1", "i2").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= thr))
+    val cand = candidates(pairs)
+    val chosen = forceRoute.getOrElse {
+      val maxBasket = items.groupBy("bid")
+        .agg(count(lit(1)).as("b")).agg(max("b")).head().getLong(0)
+      route(maxBasket)
+    }
+    countTriples(items, cand, chosen).filter(col("sup") >= thr)
   }
 }
