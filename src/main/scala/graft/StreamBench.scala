@@ -29,7 +29,22 @@ object StreamBench {
     * format. */
   private[graft] def syntheticEnvelope(
       id: org.apache.spark.sql.Column,
-      devices: Long): org.apache.spark.sql.Column = format_string(
+      devices: Long): org.apache.spark.sql.Column =
+    syntheticEnvelopeAt(id, id % devices,
+      (id.cast("long") / devices).cast("long"))
+
+  /** [[syntheticEnvelope]] with the device id and per-device step
+    * (event-time seconds) supplied by the caller — the seam the
+    * hot-set anomaly workload uses to mix a small spiking device set
+    * into a huge cold keyspace (round-14 verdict item 3) while keeping
+    * the WIRE FORMAT byte-identical to the uniform workload. Battery
+    * spikes stay hash-spread on the raw id, so the spike rate is a
+    * property of the event stream, not of the device mapping. */
+  private[graft] def syntheticEnvelopeAt(
+      id: org.apache.spark.sql.Column,
+      device: org.apache.spark.sql.Column,
+      stepSeconds: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = format_string(
     """{"applicationId":"app","component":"sensors","enqueuedTime":"%s",""" +
       """"messageSource":"telemetry","device":{"id":"dev%d","templateId":"tpl"},""" +
       """"telemetry":[{"name":"battery","value":%d},""" +
@@ -38,9 +53,9 @@ object StreamBench {
       """{"name":"geolocation","value":{"lat":1.0,"lon":2.0,"alt":3.0}}]}""",
     date_format(
       timestamp_micros(lit(1700000000000000L) +
-        (id.cast("long") / devices).cast("long") * 1000000L),
+        stepSeconds.cast("long") * 1000000L),
       "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-    id % devices,
+    device.cast("long"),
     (lit(100) + (id % 7) +
       when(pmod(hash(id), lit(997)) === 0, 5000).otherwise(0)).cast("long"),
     lit(1013.0) + (id % 5).cast("double"))

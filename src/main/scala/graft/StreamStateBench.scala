@@ -304,7 +304,24 @@ object StreamStateBench {
     * nBatches: halving the batch size doubles the per-row share of the
     * commit protocol (lock + markers + manifest rename), which is this
     * class's whole price — at production scale the trigger interval IS
-    * the throughput knob. */
+    * the throughput knob.
+    *
+    * `SPARK_GRAFT_ANN_SYNC_MID` (round-14 verdict stretch item 7)
+    * fires one [[graft.llmdata.AnnIndex.syncTo]] between the middle
+    * two micro-batches — the production retune-under-live-ingest
+    * sequence. The index covers streamed vectors, not the corpus, so
+    * the sync deterministically takes the REBUILD arm: the record's
+    * `sync_seconds` is the full generation build + swap wall (the
+    * latency a serialized stream waits behind), and
+    * `lock_hold_seconds` is the swap's ingest-lock window — the ONLY
+    * part a concurrent ingest contends with (it refuses/retries on
+    * exactly that lock), so it bounds the added per-commit latency of
+    * a rebuild racing live ingest. Throughput (`seconds`, rows/s)
+    * sums only the micro-batch sections, so the sync price is
+    * reported beside the steady-state rate, not smeared into it.
+    * Combining with SPARK_GRAFT_STREAM_PROFILE narrows that rep's
+    * phase split to the post-sync half (the sync isolates its own
+    * phase accounting). */
   private def runAnnIndex(spark: org.apache.spark.sql.SparkSession,
       n: Int, nBatches: Int, reps: Int, gate: Bench.Gate): Unit = {
     import spark.implicits._
@@ -320,6 +337,9 @@ object StreamStateBench {
       (0L until n.toLong).map(i => (i, vec(i)))
         .grouped((n + nBatches - 1) / nBatches).toSeq
     val profile = sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")
+    val syncMid = sys.env.contains("SPARK_GRAFT_ANN_SYNC_MID")
+    require(!syncMid || nBatches >= 2,
+      "SPARK_GRAFT_ANN_SYNC_MID needs at least 2 micro-batches")
     // per-phase commit decomposition (round-13 verdict item 5): split
     // the per-commit cost into fingerprint agg / batch parquet write /
     // sidecar marker writes / manifest rename / lock claim / manifest
@@ -345,14 +365,41 @@ object StreamStateBench {
         trigger = org.apache.spark.sql.streaming.Trigger
           .ProcessingTime("0 seconds"),
         compactEvery = compactEvery)
-      val t0 = System.nanoTime()
+      var timedNanos = 0L
+      var syncSecs = 0.0
+      var lockHold = 0.0
       batches.zipWithIndex.foreach { case (b, i) =>
         val tb = System.nanoTime()
         in.addData(b); q.processAllAvailable()
+        timedNanos += System.nanoTime() - tb
         if (profile) System.err.println(
           f"[ssb-annindex] batch $i: ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        if (syncMid && i == nBatches / 2 - 1) {
+          // the production retune-under-live-ingest sequence: a full
+          // syncTo rebuild between micro-batches (see scaladoc). The
+          // index covers streamed vectors, not the corpus, so the
+          // sync takes the rebuild arm deterministically; Phases is
+          // force-enabled for the window to extract the swap's
+          // lock-hold — the only section a concurrent ingest contends
+          // with.
+          val wasEnabled = graft.Phases.enabled
+          graft.Phases.enabled = true
+          graft.Phases.snapshotAndReset() // isolate the sync's phases
+          val ts = System.nanoTime()
+          val (_, action) = graft.llmdata.AnnIndex.syncTo(
+            spark, "/root/testdata/sf0.001", stash, idx)
+          syncSecs = (System.nanoTime() - ts) / 1e9
+          require(action == "rebuilt",
+            s"sync-mid expected the rebuild arm, got $action")
+          lockHold = graft.Phases.snapshotAndReset()
+            .getOrElse("rebuild_lock_hold", 0.0)
+          graft.Phases.enabled = wasEnabled
+          if (profile) System.err.println(
+            f"[ssb-annindex] mid-stream syncTo: $syncSecs%.2f s " +
+              f"(lock hold $lockHold%.3f s)")
+        }
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = timedNanos / 1e9
       q.stop()
       if (profile) {
         val ph = graft.Phases.snapshotAndReset()
@@ -368,7 +415,7 @@ object StreamStateBench {
       val rows = spark.read
         .parquet(dirs.map(b => s"$lists/$b"): _*).count()
       cleanup(ckpt, idxRoot)
-      (sec, rows, dirs.length)
+      (sec, rows, dirs.length, syncSecs, lockHold)
     }
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic lists across reps: ${runs.map(_._2)}")
@@ -376,11 +423,19 @@ object StreamStateBench {
     val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val compactEveryKnob = sys.env.get("SPARK_GRAFT_ANN_COMPACT_EVERY")
       .map(_.toInt).getOrElse(0)
+    val syncJson = if (!syncMid) """"sync_mid":false,""" else {
+      val syncSec = runs.map(_._4).min
+      val lockSec = runs.map(_._5).min
+      s""""sync_mid":true,"sync_seconds":${
+        math.round(syncSec * 1000) / 1000.0},""" +
+        s""""lock_hold_seconds":${
+          math.round(lockSec * 100000) / 100000.0},"""
+    }
     val json =
       s"""{"metric":"stream_annindex_rows_per_sec",""" +
         s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
         s""""batches":$nBatches,"dim":$dim,""" +
-        s""""compact_every":$compactEveryKnob,""" +
+        s""""compact_every":$compactEveryKnob,""" + syncJson +
         s""""list_rows":${runs.head._2},""" +
         s""""committed_batches":${runs.head._3},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
@@ -391,12 +446,15 @@ object StreamStateBench {
       record(json,
         k => k.contains(""""metric":"stream_annindex_rows_per_sec"""") &&
           k.contains(s""""batches":$nBatches,""") &&
-          // pre-knob records are implicitly compact_every=0: a 0-knob
-          // run supersedes them; a nonzero knob never does
+          // pre-knob records are implicitly compact_every=0 and
+          // sync_mid=false: a 0-knob run supersedes them; a nonzero
+          // knob never does
           (if (compactEveryKnob == 0)
             !k.contains(""""compact_every":""") ||
               k.contains(""""compact_every":0,""")
-          else k.contains(s""""compact_every":$compactEveryKnob,""")))
+          else k.contains(s""""compact_every":$compactEveryKnob,""")) &&
+          (if (!syncMid) !k.contains(""""sync_mid":true""")
+          else k.contains(""""sync_mid":true""")))
     cleanup(stash)
   }
 
@@ -415,13 +473,55 @@ object StreamStateBench {
     * where a global-key design would have funneled everything through
     * one task. Output counts ride foreachBatch aggregates (a memory
     * sink would hold n raw lines). Determinism gate: (rows, anomalies)
-    * equal across reps. */
+    * equal across reps AND equal to the BATCH pipeline on the
+    * identical lines (the 1,938-style bit-parity gate, run once
+    * outside the timed section — it doubles as JIT warm-up).
+    *
+    * `SPARK_GRAFT_ANOM_HOT` = H > 0 mixes a HOT SET into the keyspace
+    * (round-14 verdict item 3 — the uniform 1M-device workload lands
+    * 2 events/device, below any spike window, so it priced the
+    * fan-out but proved zero recall): even-id events cycle over H hot
+    * devices (n/2H events each, 1 s cadence — the same per-device
+    * shape as the 1k-device envelope bench, so their hash-spread
+    * battery spikes DO fire), odd-id events spread over the
+    * devices−H cold remainder at ~1 event each. Per-device event
+    * time stays monotone across micro-batches by construction, so
+    * batch parity is exact. The record's `anomalies` > 0 at
+    * devices=1M is the recall-at-cardinality datapoint. */
   private def runAnomaly(spark: org.apache.spark.sql.SparkSession,
       n: Int, nBatches: Int, reps: Int, gate: Bench.Gate,
       provider: String): Unit = {
     import spark.implicits._
     val devices = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_ANOM_DEVICES", "1000000").toLong)
+    val hot = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_ANOM_HOT", "0").toLong)
+    require(hot < devices,
+      s"SPARK_GRAFT_ANOM_HOT=$hot must be < devices=$devices")
+    def envelope(id: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      if (hot <= 0) StreamBench.syntheticEnvelope(id, devices)
+      else {
+        val half = (id.cast("long") / 2).cast("long")
+        val isHot = id % 2 === 0
+        StreamBench.syntheticEnvelopeAt(id,
+          when(isHot, pmod(half, lit(hot)))
+            .otherwise(lit(hot) + pmod(half, lit(devices - hot))),
+          when(isHot, (half / hot).cast("long"))
+            .otherwise((half / (devices - hot)).cast("long")))
+      }
+    // batch-parity reference on the IDENTICAL lines, once, untimed:
+    // the stream's (rows, anomalies) must match the batch pipeline's
+    val batchRef = {
+      val out = graft.streaming.CuratedPipeline.anomalyStage(
+        graft.streaming.CuratedPipeline.toPipeEvents(
+          spark.range(n.toLong)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(envelope(col("id")).as("value"))))
+      val r = out.toDF().agg(count(lit(1)),
+        coalesce(sum(col("anomaly")), lit(0L)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val ids: Seq[Seq[Long]] = (0L until n.toLong)
       .grouped((n + nBatches - 1) / nBatches).map(_.toSeq).toSeq
     val runs = (1 to reps).map { rep =>
@@ -430,8 +530,7 @@ object StreamStateBench {
       val in = MemoryStream[Long](spark)
       val raw = in.toDF().toDF("id")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(StreamBench.syntheticEnvelope(col("id"), devices)
-          .as("value"))
+        .select(envelope(col("id")).as("value"))
       val out = graft.streaming.CuratedPipeline.anomalyStage(
         graft.streaming.CuratedPipeline.toPipeEvents(raw))
       val rows = new java.util.concurrent.atomic.AtomicLong
@@ -460,13 +559,18 @@ object StreamStateBench {
     }
     require(runs.map(_._2).distinct.length == 1,
       s"non-deterministic pipeline output across reps: ${runs.map(_._2)}")
+    require(runs.head._2 == batchRef,
+      s"stream/batch divergence: stream=${runs.head._2} batch=$batchRef")
+    if (hot > 0) require(runs.head._2._2 > 0,
+      "hot-set workload emitted zero anomalies — no recall signal")
     val sec = runs.map(_._1).min
     val (loadAfter, busyAfter, contended) = Bench.postSample(gate)
     val json =
       s"""{"metric":"stream_anomaly_rows_per_sec",""" +
         s""""value":${(n / sec).toLong},"unit":"rows/sec","rows":$n,""" +
-        s""""batches":$nBatches,"devices":$devices,""" +
+        s""""batches":$nBatches,"devices":$devices,"hot":$hot,""" +
         s""""anomalies":${runs.head._2._2},""" +
+        s""""batch_anomalies":${batchRef._2},""" +
         s""""state_rows":${runs.last._3},"state_bytes":${runs.last._4},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
         s""""provider":"$provider","reps":$reps,""" +
@@ -474,9 +578,14 @@ object StreamStateBench {
     println(json)
     if (n >= 200000)
       record(json,
+        // pre-knob records are implicitly hot=0: a 0-knob run
+        // supersedes them; a hot-set run never does
         k => k.contains(""""metric":"stream_anomaly_rows_per_sec"""") &&
           k.contains(s""""devices":$devices,""") &&
-          k.contains(s""""provider":"$provider""""))
+          k.contains(s""""provider":"$provider"""") &&
+          (if (hot == 0) !k.contains(""""hot":""") ||
+            k.contains(""""hot":0,""")
+          else k.contains(s""""hot":$hot,""")))
   }
 
   /** Timer-heavy twin: [[graft.streaming.StreamingAsOfJoin]] as a real
