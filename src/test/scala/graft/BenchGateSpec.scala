@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the in-main refuse-when-warm protocol (round 14 — the
+  * round-13 verdict's item 1: the official per-round bench record was
+  * producible from a warm box because the only sentinel was a strict
+  * loadavg check with no post-run re-sample). Pins the sampler's
+  * domain and the contended decision — the parts a future edit could
+  * silently weaken back into the false-clean class. No SparkSession:
+  * the gate must run BEFORE the session spins any threads. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("busyFrac samples a fraction in [0,1] (or the -1 no-/proc sentinel)") {
+    val b = Bench.busyFrac(intervalMs = 50)
+    assert(b == -1.0 || (b >= 0.0 && b <= 1.0), s"got $b")
+    // on this platform /proc/stat exists — the gate must be LIVE here,
+    // not silently in fallback mode
+    if (new java.io.File("/proc/stat").exists()) assert(b >= 0.0)
+  }
+
+  test("a contended pre-gate self-incriminates regardless of the post-sample") {
+    val g = Bench.Gate(loadBefore = 9.0, busyBefore = 0.9,
+      loadMax = 1.0, busyMax = 0.15, contendedPre = true)
+    val (_, _, contended) = Bench.postSample(g)
+    assert(contended, "contendedPre must never be washed out post-run")
+  }
+
+  test("an idle pre-gate stays clean only while the post-sample is under the busy threshold") {
+    // busyMax = 1.0: a real busy fraction cannot exceed it, so the
+    // decision is deterministically clean — pins the polarity
+    val clean = Bench.Gate(0.1, 0.01, 1.0, 1.0, contendedPre = false)
+    assert(!Bench.postSample(clean)._3)
+    // busyMax = -0.5: any readable sample exceeds it (and the -1
+    // no-/proc sentinel must NOT trip it) — pins that the post-run
+    // re-sample alone can incriminate a record
+    val strict = Bench.Gate(0.1, 0.01, 1.0, -0.5, contendedPre = false)
+    val (_, busyAfter, contended) = Bench.postSample(strict)
+    assert(contended == (busyAfter >= 0),
+      "a mid-run burst must self-incriminate via the post-sample")
+  }
+
+  test("gateJson carries both samples, both thresholds, and the flag") {
+    val g = Bench.Gate(0.5, 0.01, 1.0, 0.15, contendedPre = false)
+    val json = Bench.gateJson(g, loadAfter = 0.7, busyAfter = 0.02,
+      contended = false)
+    for (k <- Seq("load_before", "busy_before", "load_after",
+        "busy_after", "load_max", "busy_max", "contended"))
+      assert(json.contains("\"" + k + "\":"), s"missing $k in $json")
+  }
+}
