@@ -696,12 +696,17 @@ object Relational {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
         .distinct())
-      // support floor scales with basket count (0.33% of baskets) so
-      // the operator is scale-parametric, not magic-numbered; one
-      // count action on the persisted basket table
-      val thr = math.max(1L,
-        items.select("bid").distinct().count() / 300)
-      Apriori.triples(items, thr)
+      // ONE profile pass over the persisted basket table feeds both
+      // knobs: the support floor (0.33% of baskets — scale-parametric,
+      // not magic-numbered) and the route switch's max basket length
+      // (round 14: folding the profile into the count the floor
+      // already paid keeps the switch free — a separate max aggregate
+      // measured +0.3 s at sf0.1)
+      val prof = items.groupBy("bid").agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("baskets"), max("b").as("max_b")).head()
+      val thr = math.max(1L, prof.getLong(0) / 300)
+      Apriori.triples(items, thr,
+        forceRoute = Some(Apriori.route(prof.getLong(1))))
         .orderBy(col("sup").desc, col("i1"), col("i2"), col("i3"))
         .limit(20)
     },
@@ -1095,7 +1100,12 @@ object Apriori {
     * route-switched support counting → threshold filter. `items` must
     * be the DISTINCT (bid, item) basket table, persisted by the
     * caller (the pair pass, the profile read, and the counting pass
-    * all reuse it). */
+    * all reuse it). `forceRoute` pins the counting route: the specs
+    * use it for route-equality, and q166 passes [[route]] over the
+    * max basket length it measured in the SAME profile pass that
+    * derives the support floor — identical to the auto decision,
+    * without paying the profile twice. Absent, `triples` profiles
+    * the basket table itself. */
   def triples(items: DataFrame, thr: Long,
       forceRoute: Option[String] = None): DataFrame = {
     val pairs = graft.Caches.persist(

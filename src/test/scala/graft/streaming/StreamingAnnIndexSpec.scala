@@ -106,6 +106,27 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(maxId >= 0) // anchor the fixture read
   }
 
+  test("a replayed micro-batch never triggers the in-loop compaction (round-14 advice)") {
+    val sp = spark
+    val dir = tempDir() + "/index"
+    val maxId = raw().agg(max("vec_id")).head().getLong(0)
+    val first = raw().filter(col("vec_id") <= maxId / 2)
+    StreamingAnnIndexMaintenance.ingestBatch(dir, art)(first, 0L)
+    StreamingAnnIndexMaintenance.ingestBatch(dir, art)(
+      raw().filter(col("vec_id") > maxId / 2), 1L)
+    val lists = AnnIndex.currentListsDir(sp, dir).get
+    val names0 = graft.sources.AppendLog.state(sp, lists)._2
+    assert(names0.length == 2)
+    // stale replay under a cadence that WOULD fire if checked: the
+    // gate must see the batch was skipped and leave the lists table
+    // byte-identical — the pre-fix code rewrote it here, a full
+    // compaction that bounded nothing
+    StreamingAnnIndexMaintenance
+      .ingestBatch(dir, art, compactEvery = Some(1))(first, 1L)
+    assert(graft.sources.AppendLog.state(sp, lists)._2 == names0,
+      "a replayed batch must not rewrite the lists table")
+  }
+
   test("compaction carries the replay high-water mark; serve stays green through it") {
     val sp = spark
     val dir = tempDir() + "/index"

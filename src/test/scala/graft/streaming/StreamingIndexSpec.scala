@@ -97,6 +97,27 @@ class StreamingIndexSpec extends SparkSpec {
     assert(IncrementalIndexing.maxStreamBatchId(sp, dir).contains(1L))
   }
 
+  test("a replayed micro-batch never triggers the in-loop compaction (round-14 advice)") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("simnocompact")
+      .toString + "/index"
+    val docs = graft.Tables.documents(sp, sf).select("doc_id", "text")
+    StreamingIndexMaintenance.ingestBatch(dir)(
+      docs.filter(col("doc_id") < 50), 0L)
+    StreamingIndexMaintenance.ingestBatch(dir)(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), 1L)
+    val names0 = graft.sources.AppendLog.state(sp, dir)._2
+    assert(names0.length == 2)
+    // stale replay under a cadence that WOULD fire if checked: the
+    // gate must see the batch was skipped and leave the segments
+    // byte-identical — the pre-fix code rewrote the whole index here,
+    // a full-table compaction that bounded nothing
+    StreamingIndexMaintenance.ingestBatch(dir, compactEvery = Some(1))(
+      docs.filter(col("doc_id") < 50), 1L)
+    assert(graft.sources.AppendLog.state(sp, dir)._2 == names0,
+      "a replayed batch must not rewrite the index")
+  }
+
   test("compaction carries the replay high-water mark forward") {
     val sp = spark
     val dir = java.nio.file.Files.createTempDirectory("simhwm")
