@@ -162,13 +162,27 @@ object Bench {
         .getOrElse(3))
     // fixed name order: Map hash order reshuffles whenever a query is
     // added, which silently changes each query's timing CONTEXT
-    // (predecessor's cache teardown, JIT state) between rounds
+    // (predecessor's cache teardown, JIT state) between rounds.
+    // Per-query exceptions are swallowed (one broken query must not
+    // lose the whole round record) but COUNTED and stamped into the
+    // JSON — a record of failures timing ~10 ms each reads like a
+    // fast clean run otherwise (measured, round 14: a wrong SF dir
+    // produced an all-green-looking 2.9 s "registry" where every
+    // query had thrown on its table read)
+    val errNames = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (rep == 1) {
+              errNames += name
+              System.err.println(s"[bench] WARNING: $name failed: " +
+                e.toString.linesIterator.next())
+            }
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // queries that persist intermediates (q28/q29/q52/q53/q55) must
@@ -194,10 +208,14 @@ object Bench {
       f"[bench] WARNING: post-run busy $busyAfter%.2f > " +
         f"${gate.busyMax}%.2f — an external burst may have landed " +
         "MID-RUN; the record carries contended=true")
+    if (errNames.nonEmpty) System.err.println(
+      s"[bench] WARNING: ${errNames.length} queries FAILED (timings " +
+        "are throw-latency, not work): " + errNames.take(8).mkString(", ") +
+        (if (errNames.length > 8) ", …" else ""))
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         gateJson(gate, loadAfter, busyAfter, contended) + "," +
-        s""""reps":$reps,"stat":"min"}"""
+        s""""errors":${errNames.length},"reps":$reps,"stat":"min"}"""
     // the driver scrapes stdout's tail; with 107 queries the single JSON
     // line can outgrow that capture window (round 5 lost the comparison
     // to exactly this). Persist the line to a known path as well, so the
@@ -208,8 +226,11 @@ object Bench {
     println(json)
     // ... and only at the driver's per-round scale: a full-registry run
     // at sf0.001/sf1 writing this path would replace the round record
-    // with numbers at the wrong scale (it did, in round 8 dev)
-    if (only.isEmpty && sfDir.contains("sf0.1")) try {
+    // with numbers at the wrong scale (it did, in round 8 dev) — and
+    // never a run with failed queries (their ~10 ms throw-latencies
+    // would clobber a good record with a fast-looking broken one; the
+    // stdout line above still carries the errors count for diagnosis)
+    if (only.isEmpty && sfDir.contains("sf0.1") && errNames.isEmpty) try {
       val p = java.nio.file.Paths.get("/root/repo/BENCH_LAST.json")
       java.nio.file.Files.write(p,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

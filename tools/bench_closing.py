@@ -97,6 +97,9 @@ for attempt in range(1, ATTEMPTS + 1):
     else:
         if rec.get("contended"):
             reasons.append("bench self-reported contended=true")
+        if rec.get("errors"):
+            reasons.append(f"{rec['errors']} queries failed inside the "
+                           "run (timings are throw-latency, not work)")
         if busy_post > BUSY_MAX:
             reasons.append(f"post-run busy {busy_post:.2f} > {BUSY_MAX}"
                            " (external burst may have landed mid-run)")
