@@ -173,11 +173,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { rep =>
+      // a failure on ANY rep taints the query: the throwing rep's
+      // ~ms latency would otherwise become the reported MIN and the
+      // record would stamp clean — the exact false-fast class the
+      // errors field exists to catch (round-14 review finding: the
+      // first cut only counted rep-1 failures)
+      var failed = false
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            if (rep == 1) {
+            if (!failed) {
+              failed = true
               errNames += name
               System.err.println(s"[bench] WARNING: $name failed: " +
                 e.toString.linesIterator.next())

@@ -374,7 +374,9 @@ object StreamStateBench {
         timedNanos += System.nanoTime() - tb
         if (profile) System.err.println(
           f"[ssb-annindex] batch $i: ${(System.nanoTime() - tb) / 1e9}%.2f s")
-        if (syncMid && i == nBatches / 2 - 1) {
+        if (syncMid && i == (nBatches - 1) / 2) {
+          // fires after batch ⌈n/2⌉ — centered for odd counts too
+          // (n/2 - 1 landed at 40% of an odd run; round-14 review)
           // the production retune-under-live-ingest sequence: a full
           // syncTo rebuild between micro-batches (see scaladoc). The
           // index covers streamed vectors, not the corpus, so the

@@ -370,8 +370,12 @@ object AnnIndex {
       case None => commitPointer(s, root, v, gen)
       case Some(g) =>
         val oldDir = s"$root/$g"
-        graft.Phases.time("rebuild_lock_hold") {
-          withIngestLockRetry(s, oldDir) {
+        // the timer sits INSIDE the lock body: it measures the HOLD
+        // (what a concurrent ingest contends with), never the
+        // bounded-retry WAIT for someone else's hold (round-14 review
+        // finding — waiting outside the lock blocks only this rebuild)
+        withIngestLockRetry(s, oldDir) {
+          graft.Phases.time("rebuild_lock_hold") {
             val mark2 = streamMarkMax(s, oldDir,
               graft.sources.AppendLog.state(s, oldDir)._2)
             if (mark2 != mark) restampMark(s, genDir, mark2)

@@ -705,8 +705,12 @@ object Relational {
       val prof = items.groupBy("bid").agg(count(lit(1)).as("b"))
         .agg(count(lit(1)).as("baskets"), max("b").as("max_b")).head()
       val thr = math.max(1L, prof.getLong(0) / 300)
+      // max over zero baskets is NULL (empty/partial source dir):
+      // route over 0 → generate, which returns empty — the old
+      // empty-safe behavior (round-14 review finding)
+      val maxB = if (prof.isNullAt(1)) 0L else prof.getLong(1)
       Apriori.triples(items, thr,
-        forceRoute = Some(Apriori.route(prof.getLong(1))))
+        forceRoute = Some(Apriori.route(maxB)))
         .orderBy(col("sup").desc, col("i1"), col("i2"), col("i3"))
         .limit(20)
     },
@@ -1116,9 +1120,9 @@ object Apriori {
         .filter(col("sup") >= thr))
     val cand = candidates(pairs)
     val chosen = forceRoute.getOrElse {
-      val maxBasket = items.groupBy("bid")
-        .agg(count(lit(1)).as("b")).agg(max("b")).head().getLong(0)
-      route(maxBasket)
+      val r = items.groupBy("bid")
+        .agg(count(lit(1)).as("b")).agg(max("b")).head()
+      route(if (r.isNullAt(0)) 0L else r.getLong(0)) // null = no baskets
     }
     countTriples(items, cand, chosen).filter(col("sup") >= thr)
   }

@@ -47,6 +47,13 @@ class AprioriRouteSpec extends graft.SparkSpec {
         r.getLong(3)))
       .toSeq.sorted
 
+  test("an empty basket table returns empty on every route — the auto profile's null max is not an NPE") {
+    val items = itemsOf(Seq.empty)
+    assert(Apriori.triples(items, 1).collect().isEmpty)
+    assert(Apriori.triples(items, 1, Some("generate")).collect().isEmpty)
+    assert(Apriori.triples(items, 1, Some("candidate")).collect().isEmpty)
+  }
+
   test("route picker: generate at TPC-H-ish basket lengths, candidate past the bound, boundary inclusive") {
     assert(Apriori.route(4) == "generate")
     assert(Apriori.route(Apriori.LongBasketAt) == "generate",

@@ -21,8 +21,9 @@ Protocol per attempt (max CLOSING_ATTEMPTS, default 3):
   1. wait (bounded) until the box is idle on BOTH signals —
      instantaneous /proc/stat busy fraction <= CLOSING_BUSY_MAX
      (default 0.15, the sf1 gate) AND 1-min loadavg <= CLOSING_LOAD_MAX
-     (default 1.0 — deliberately BELOW Bench's 2.0 sentinel, per the
-     round-12 verdict); never drains -> hard refuse, exit 2;
+     (default 1.0 — since r14 this MATCHES Bench's own in-main default;
+     historically it sat below the old 2.0 sentinel, per the round-12
+     verdict); never drains -> hard refuse, exit 2;
   2. run the full-registry graft.Bench (which persists BENCH_LAST.json
      itself on full sf0.1 runs) with the strict load max;
   3. re-sample busy_frac the moment the JVM exits — nothing of ours
