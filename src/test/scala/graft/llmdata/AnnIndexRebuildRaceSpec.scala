@@ -101,6 +101,34 @@ class AnnIndexRebuildRaceSpec extends graft.SparkSpec {
     assert(served.nonEmpty && served.toSeq == fresh.toSeq)
   }
 
+  test("a stream STARTING mid-rebuild (no prior mark) is re-stamped too — the None-to-Some transition") {
+    val stash = tempDir("ann-race-stash-")
+    val idx = tempDir("ann-race-idx-")
+    // batch-only index: no streaming lineage, so the rebuild's
+    // pre-build mark capture reads None
+    assert(AnnIndex.syncTo(spark, sf, stash, idx)._2 == "rebuilt")
+    assert(AnnIndex.maxStreamBatchId(spark, idx).isEmpty)
+    val art = AnnChoice.read(spark, stash).get
+    val stash2 = retunedStash(art, 1.0)
+    // micro-batch 0 of a brand-new stream lands in the old generation
+    // during the rebuild window: mark None → Some(0)
+    withHook("rebuild-built") {
+      graft.streaming.StreamingAnnIndexMaintenance
+        .ingestBatch(idx, art)(raw().limit(0), 0L)
+    } {
+      assert(AnnIndex.syncTo(spark, sf, stash2, idx)._2 == "rebuilt")
+    }
+    assert(AnnIndex.maxStreamBatchId(spark, idx).contains(0L),
+      "the swap must stamp a mark that APPEARED during the build")
+    // the new lineage's replay of batch 0 is recognized post-swap
+    val lists = AnnIndex.currentListsDir(spark, idx).get
+    val n0 = graft.sources.AppendLog.state(spark, lists)._2.length
+    graft.streaming.StreamingAnnIndexMaintenance
+      .ingestBatch(idx, retunedFrom(art, 1.0))(raw().limit(0), 0L)
+    assert(graft.sources.AppendLog.state(spark, lists)._2.length == n0,
+      "the new lineage's replay must stay a no-op across the swap")
+  }
+
   test("an ingest that lost the race to a pointer swap refuses on the liveness recheck; nothing commits to the superseded generation") {
     val stash = tempDir("ann-race-stash-")
     val idx = tempDir("ann-race-idx-")
