@@ -110,6 +110,27 @@ object Bench {
       s""""load_max":${g.loadMax},"busy_max":${g.busyMax},""" +
       s""""contended":$contended"""
 
+  /** Times `reps` executions of `run`, returning (min seconds, any
+    * rep failed). A failure on ANY rep taints the query — the
+    * throwing rep's ~ms latency would otherwise become the reported
+    * MIN and the record would stamp clean, the exact false-fast class
+    * the `errors` field exists to catch (round-14 review: the first
+    * cut only counted rep-1 failures). Extracted so BenchGateSpec can
+    * pin the accounting without a registry run. */
+  private[graft] def minTimeCounting(reps: Int, run: () => Unit,
+      onFirstFailure: Throwable => Unit = _ => ()): (Double, Boolean) = {
+    var failed = false
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      try run() catch {
+        case e: Throwable =>
+          if (!failed) { failed = true; onFirstFailure(e) }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    (times.head, failed)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contention gate (round-7 verdict, hardened round 14): sample
@@ -173,25 +194,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // a failure on ANY rep taints the query: the throwing rep's
-      // ~ms latency would otherwise become the reported MIN and the
-      // record would stamp clean — the exact false-fast class the
-      // errors field exists to catch (round-14 review finding: the
-      // first cut only counted rep-1 failures)
-      var failed = false
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            if (!failed) {
-              failed = true
-              errNames += name
-              System.err.println(s"[bench] WARNING: $name failed: " +
-                e.toString.linesIterator.next())
-            }
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+      val (minSecs, failed) = minTimeCounting(reps,
+        () => { fn(spark, sfDir).count(); () },
+        e => System.err.println(s"[bench] WARNING: $name failed: " +
+          e.toString.linesIterator.next()))
+      if (failed) errNames += name
       // queries that persist intermediates (q28/q29/q52/q53/q55) must
       // not leak cache into LATER queries: CacheManager holds strong
       // refs until an explicit unpersist. Cleared per query (not per
@@ -204,8 +211,8 @@ object Bench {
       // so one query's allocation debt cannot inflate the next
       // query's measured time via a mid-run GC pause
       System.gc()
-      // min-of-reps (see the reps rationale above); times is sorted
-      name -> times.head
+      // min-of-reps (see the reps rationale above)
+      name -> minSecs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -338,8 +338,14 @@ object StreamStateBench {
         .grouped((n + nBatches - 1) / nBatches).toSeq
     val profile = sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")
     val syncMid = sys.env.contains("SPARK_GRAFT_ANN_SYNC_MID")
-    require(!syncMid || nBatches >= 2,
-      "SPARK_GRAFT_ANN_SYNC_MID needs at least 2 micro-batches")
+    // the fire index keys on the ACTUAL group count, not the requested
+    // nBatches: grouped(ceil(n/nBatches)) can yield fewer groups for
+    // tiny n, and a fire index past the last group would silently emit
+    // a sync_mid:true record whose rebuild never ran (round-14 review)
+    require(!syncMid || batches.length >= 2,
+      s"SPARK_GRAFT_ANN_SYNC_MID needs >= 2 micro-batches, got " +
+        s"${batches.length} groups from rows=$n, batches=$nBatches")
+    val syncAfter = (batches.length - 1) / 2
     // per-phase commit decomposition (round-13 verdict item 5): split
     // the per-commit cost into fingerprint agg / batch parquet write /
     // sidecar marker writes / manifest rename / lock claim / manifest
@@ -374,9 +380,8 @@ object StreamStateBench {
         timedNanos += System.nanoTime() - tb
         if (profile) System.err.println(
           f"[ssb-annindex] batch $i: ${(System.nanoTime() - tb) / 1e9}%.2f s")
-        if (syncMid && i == (nBatches - 1) / 2) {
-          // fires after batch ⌈n/2⌉ — centered for odd counts too
-          // (n/2 - 1 landed at 40% of an odd run; round-14 review)
+        if (syncMid && i == syncAfter) {
+          // fires after group ⌈groups/2⌉ — centered for odd counts too
           // the production retune-under-live-ingest sequence: a full
           // syncTo rebuild between micro-batches (see scaladoc). The
           // index covers streamed vectors, not the corpus, so the

@@ -40,6 +40,27 @@ class BenchGateSpec extends AnyFunSuite {
       "a mid-run burst must self-incriminate via the post-sample")
   }
 
+  test("a failure on ANY rep taints the query exactly once and never becomes the min") {
+    // rep 2 of 3 throws: the first cut counted only rep-1 failures,
+    // so the throwing rep's ~ms latency became the reported MIN and
+    // the record stamped clean (round-14 review finding)
+    var rep = 0
+    var reported = 0
+    val (minSecs, failed) = Bench.minTimeCounting(3, () => {
+      rep += 1
+      if (rep == 2) throw new RuntimeException("transient")
+      Thread.sleep(25)
+    }, _ => reported += 1)
+    assert(failed, "a rep-2 failure must taint the query")
+    assert(reported == 1, "one warning per query, not per failing rep")
+    // the min is still reported (the record survives) — the taint
+    // flag, not the timing, is what guards persistence
+    assert(minSecs >= 0.0)
+    val (okSecs, okFailed) =
+      Bench.minTimeCounting(2, () => Thread.sleep(10))
+    assert(!okFailed && okSecs >= 0.01)
+  }
+
   test("gateJson carries both samples, both thresholds, and the flag") {
     val g = Bench.Gate(0.5, 0.01, 1.0, 0.15, contendedPre = false)
     val json = Bench.gateJson(g, loadAfter = 0.7, busyAfter = 0.02,
