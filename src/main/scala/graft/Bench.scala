@@ -31,13 +31,66 @@ object Bench {
           java.nio.file.Paths.get("/proc/stat")),
           java.nio.charset.StandardCharsets.UTF_8)
           .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-        (v.sum, v(3) + v(4)) // total, idle+iowait
+        // user..steal only (first 8): guest/guest_nice are already
+        // folded into user/nice by the kernel, so summing them
+        // double-counts guest time on VM hosts and over-reads busy
+        // (round-15 advice — conservative bias, but it discards
+        // records needlessly)
+        (v.take(8).sum, v(3) + v(4)) // total, idle+iowait
       }
       val (t0, i0) = snap()
       Thread.sleep(intervalMs)
       val (t1, i1) = snap()
       if (t1 == t0) 0.0 else 1.0 - (i1 - i0).toDouble / (t1 - t0)
     } catch { case _: Throwable => -1.0 }
+
+  /** One aggregate-CPU + this-JVM tick snapshot, the raw material of
+    * the IN-RUN contention sampler (round-15 verdict item 1: the
+    * round-14 record passed the pre-gate AND the post-sample clean yet
+    * carried 11.6 s of inflation concentrated in registry segments —
+    * a burst that starts after the pre-gate and ends before the
+    * post-sample is invisible to both by construction). Raw busy
+    * fraction cannot localize it either: DURING the run our own
+    * local[32] work keeps the box ~100% busy, so the only separable
+    * signal is busy ticks NOT charged to this process —
+    * `/proc/stat`'s aggregate minus `/proc/self/stat`'s utime+stime
+    * (same USER_HZ unit; self covers every thread of the JVM,
+    * including GC and JIT, so engine work is never misread as a
+    * contender). All fields -1 where /proc is unreadable. */
+  private[graft] final case class CpuSnap(total: Long, idle: Long,
+      self: Long)
+
+  private[graft] def cpuSnap(): CpuSnap =
+    try {
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      val st = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // comm (field 2) may contain spaces — parse after the last ')'
+      val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
+      // fields 14 (utime) + 15 (stime), 0-indexed from field 3
+      CpuSnap(v.take(8).sum, v(3) + v(4),
+        rest(11).toLong + rest(12).toLong)
+    } catch { case _: Throwable => CpuSnap(-1, -1, -1) }
+
+  /** External-process busy fraction between two snapshots:
+    * (busy − self) / total ticks, clamped at 0 (tick-rounding can put
+    * self a hair above busy on an idle box). −1 when either snapshot
+    * was unreadable or no ticks elapsed — the caller skips the sample
+    * rather than treating it as clean. This is the per-query
+    * incrimination signal: an idle box reads ~0 even while the bench
+    * saturates all cores, and a contender reads its actual CPU share
+    * — exactly the fraction by which it can inflate the timing. */
+  private[graft] def othersBusyFrac(a: CpuSnap, b: CpuSnap): Double =
+    if (a.total < 0 || b.total < 0 || b.total <= a.total) -1.0
+    else {
+      val total = (b.total - a.total).toDouble
+      val busy = total - (b.idle - a.idle)
+      math.max(0.0, (busy - (b.self - a.self)) / total)
+    }
 
   /** Pre-run contention gate readings + the thresholds they were
     * judged against. `contendedPre` means the box never drained inside
@@ -115,20 +168,28 @@ object Bench {
     * throwing rep's ~ms latency would otherwise become the reported
     * MIN and the record would stamp clean, the exact false-fast class
     * the `errors` field exists to catch (round-14 review: the first
-    * cut only counted rep-1 failures). Extracted so BenchGateSpec can
-    * pin the accounting without a registry run. */
+    * cut only counted rep-1 failures). Successful-rep times are
+    * tracked SEPARATELY (round-15 advice): a query that succeeds on
+    * reps 1 and 3 but throws transiently on rep 2 reports the min of
+    * its REAL timings (still flagged failed=true, so persistence
+    * stays blocked); throw latency is the reported min only when
+    * every rep failed. Extracted so BenchGateSpec can pin the
+    * accounting without a registry run. */
   private[graft] def minTimeCounting(reps: Int, run: () => Unit,
       onFirstFailure: Throwable => Unit = _ => ()): (Double, Boolean) = {
     var failed = false
-    val times = (1 to reps).map { _ =>
+    val ok = scala.collection.mutable.ListBuffer.empty[Double]
+    val bad = scala.collection.mutable.ListBuffer.empty[Double]
+    (1 to reps).foreach { _ =>
       val t0 = System.nanoTime()
-      try run() catch {
+      val succeeded = try { run(); true } catch {
         case e: Throwable =>
           if (!failed) { failed = true; onFirstFailure(e) }
+          false
       }
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    (times.head, failed)
+      (if (succeeded) ok else bad) += (System.nanoTime() - t0) / 1e9
+    }
+    (if (ok.nonEmpty) ok.min else bad.min, failed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -191,13 +252,21 @@ object Bench {
     // produced an all-green-looking 2.9 s "registry" where every
     // query had thrown on its table read)
     val errNames = scala.collection.mutable.ListBuffer.empty[String]
+    // in-run contention samples: external-process busy fraction across
+    // each query's reps (see cpuSnap/othersBusyFrac) — the pre-gate
+    // and post-sample bracket the run, this brackets each QUERY, so a
+    // mid-run burst localizes itself to the segment it inflated
+    // instead of hiding between the two run-level samples
+    val inrun = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val snap0 = cpuSnap()
       val (minSecs, failed) = minTimeCounting(reps,
         () => { fn(spark, sfDir).count(); () },
         e => System.err.println(s"[bench] WARNING: $name failed: " +
           e.toString.linesIterator.next()))
+      inrun += name -> othersBusyFrac(snap0, cpuSnap())
       if (failed) errNames += name
       // queries that persist intermediates (q28/q29/q52/q53/q55) must
       // not leak cache into LATER queries: CacheManager holds strong
@@ -217,8 +286,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val (loadAfter, busyAfter, contended) = postSample(gate)
-    if (contended && !gate.contendedPre) System.err.println(
+    val (loadAfter, busyAfter, postContended) = postSample(gate)
+    // the in-run samples incriminate a burst the bracketing samples
+    // cannot see; threshold = the same busyMax the gate uses (the
+    // sampler measures EXTERNAL share only, so engine saturation
+    // never trips it)
+    val readable = inrun.filter(_._2 >= 0)
+    val (inrunMaxQ, inrunMax) =
+      if (readable.isEmpty) ("", -1.0) else readable.maxBy(_._2)
+    val contended = postContended || inrunMax > gate.busyMax
+    if (inrunMax > gate.busyMax) System.err.println(
+      f"[bench] WARNING: in-run external busy peaked at $inrunMax%.3f" +
+        f" > ${gate.busyMax}%.2f during $inrunMaxQ — a mid-run burst " +
+        "landed there; the record carries contended=true and the " +
+        "per-query inrun map localizes it")
+    else if (contended && !gate.contendedPre) System.err.println(
       f"[bench] WARNING: post-run busy $busyAfter%.2f > " +
         f"${gate.busyMax}%.2f — an external burst may have landed " +
         "MID-RUN; the record carries contended=true")
@@ -226,9 +308,19 @@ object Bench {
       s"[bench] WARNING: ${errNames.length} queries FAILED (timings " +
         "are throw-latency, not work): " + errNames.take(8).mkString(", ") +
         (if (errNames.length > 8) ", …" else ""))
+    // per-query external-busy map (4 decimals keeps the 214-entry map
+    // compact; -1 = /proc unreadable for that window) + the max and
+    // its query — the adjudication stamp: a clean record shows the
+    // map flat near 0, an inflated segment self-incriminates
+    val inrunJs = inrun.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 10000) / 10000.0)
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         gateJson(gate, loadAfter, busyAfter, contended) + "," +
+        s""""busy_inrun_max":${
+          if (inrunMax < 0) "-1" else math.round(inrunMax * 10000) / 10000.0
+        },"busy_inrun_max_q":"$inrunMaxQ","inrun":$inrunJs,""" +
         s""""errors":${errNames.length},"reps":$reps,"stat":"min"}"""
     // the driver scrapes stdout's tail; with 107 queries the single JSON
     // line can outgrow that capture window (round 5 lost the comparison

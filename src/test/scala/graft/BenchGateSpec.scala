@@ -43,7 +43,10 @@ class BenchGateSpec extends AnyFunSuite {
   test("a failure on ANY rep taints the query exactly once and never becomes the min") {
     // rep 2 of 3 throws: the first cut counted only rep-1 failures,
     // so the throwing rep's ~ms latency became the reported MIN and
-    // the record stamped clean (round-14 review finding)
+    // the record stamped clean (round-14 review finding). Round-15
+    // advice sharpened the min itself: the throwing rep's latency is
+    // excluded — the reported min is the min of the SUCCESSFUL reps
+    // (the real timings), with the taint flag still set.
     var rep = 0
     var reported = 0
     val (minSecs, failed) = Bench.minTimeCounting(3, () => {
@@ -53,12 +56,46 @@ class BenchGateSpec extends AnyFunSuite {
     }, _ => reported += 1)
     assert(failed, "a rep-2 failure must taint the query")
     assert(reported == 1, "one warning per query, not per failing rep")
-    // the min is still reported (the record survives) — the taint
-    // flag, not the timing, is what guards persistence
-    assert(minSecs >= 0.0)
+    assert(minSecs >= 0.025,
+      "a transient rep's ~ms throw latency must not become the min " +
+        "when successful reps exist")
     val (okSecs, okFailed) =
       Bench.minTimeCounting(2, () => Thread.sleep(10))
     assert(!okFailed && okSecs >= 0.01)
+    // every rep failed: throw latency is all there is — report it,
+    // tainted (the errors count blocks persistence either way)
+    val (allBadSecs, allBadFailed) = Bench.minTimeCounting(2,
+      () => throw new RuntimeException("down"))
+    assert(allBadFailed && allBadSecs >= 0.0)
+  }
+
+  test("cpuSnap is live on this platform and self ticks never exceed the aggregate") {
+    val a = Bench.cpuSnap()
+    if (new java.io.File("/proc/stat").exists()) {
+      assert(a.total > 0 && a.idle >= 0 && a.self >= 0,
+        s"sampler must be LIVE here, got $a")
+      assert(a.self <= a.total, "self is charged inside the aggregate")
+    } else assert(a.total == -1)
+  }
+
+  test("othersBusyFrac charges only ticks NOT billed to this process, clamped and sentineled") {
+    import Bench.{CpuSnap, othersBusyFrac}
+    // 1000 ticks elapse, 400 idle → 600 busy; this JVM burned 500 →
+    // the external contender's share is 100/1000
+    val f = othersBusyFrac(CpuSnap(10000, 5000, 2000),
+      CpuSnap(11000, 5400, 2500))
+    assert(math.abs(f - 0.1) < 1e-9, s"got $f")
+    // an idle box under a saturating bench: busy == self → 0, and
+    // tick rounding putting self a hair ABOVE busy must clamp, not
+    // go negative (a negative sample would corrupt the max)
+    assert(othersBusyFrac(CpuSnap(0, 0, 0),
+      CpuSnap(3200, 0, 3200)) == 0.0)
+    assert(othersBusyFrac(CpuSnap(0, 0, 0),
+      CpuSnap(3200, 0, 3201)) == 0.0)
+    // unreadable or empty windows are the -1 sentinel, never "clean"
+    assert(othersBusyFrac(CpuSnap(-1, -1, -1), CpuSnap(100, 0, 0)) == -1.0)
+    assert(othersBusyFrac(CpuSnap(100, 0, 0), CpuSnap(-1, -1, -1)) == -1.0)
+    assert(othersBusyFrac(CpuSnap(100, 50, 10), CpuSnap(100, 50, 10)) == -1.0)
   }
 
   test("gateJson carries both samples, both thresholds, and the flag") {
