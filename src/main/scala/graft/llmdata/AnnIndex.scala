@@ -40,12 +40,13 @@ import org.apache.spark.sql.functions._
   * named by the `keepGenerations` newest pointers", which retains
   * in-flight serves' snapshots and still sweeps crashed-rebuild
   * orphans (never pointer-named). A serve that out-lives
-  * `keepGenerations - 1` rebuilds loses its snapshot: the COMMON case
-  * (generation expired before the serve's probe action) now refuses
-  * with a named expired-generation message pointing at the knob; a
-  * generation expiring MID-SCAN still surfaces as the executor's raw
-  * read error — the residual horizon, traded against unbounded disk
-  * and sized by the knob.
+  * `keepGenerations - 1` rebuilds loses its snapshot: BOTH detection
+  * points refuse with the named expired-generation message pointing
+  * at the knob — at the serve's first probe action (pre-flight) and,
+  * since round 15, mid-scan too ([[namedExpiryGuard]] renames the
+  * executor's missing-file failure at the point it surfaces). The
+  * snapshot loss itself remains the horizon the knob sizes, traded
+  * against one lists table of disk per retained generation.
   *
   * Each committed batch inside a generation carries two sidecar
   * markers (the IncrementalIndexing `_stream_batch_id` device):
@@ -391,19 +392,37 @@ object AnnIndex {
     * ingests — concurrent ingests are a protocol violation), but the
     * rebuild's pre-swap section must serialize against a LEGITIMATE
     * streaming ingest that happens to hold the lock for one
-    * micro-batch. Retry for up to `timeoutMs`, then propagate the
-    * loud refusal (which carries the crashed-ingest recovery
-    * instruction — a lock held longer than the timeout is that case,
-    * not a live micro-batch). */
-  private def withIngestLockRetry[T](s: SparkSession, dir: String,
-      timeoutMs: Long = 30000)(body: => T): T = {
+    * micro-batch. Retry for up to `timeoutMs` — default from
+    * `SPARK_GRAFT_ANN_SWAP_WAIT_MS` (30 s absent), configurable
+    * because "held longer than the deadline" does NOT prove a crashed
+    * ingest: a large micro-batch (or a batch-path ingest at scale)
+    * can legitimately hold the lock for minutes (round-15 advice,
+    * medium). On timeout the refusal is REBUILD-SPECIFIC: the first
+    * cut re-surfaced AppendLog's crashed-ingest recovery text
+    * verbatim, whose "remove the lock" instruction would corrupt the
+    * manifest protocol if an operator followed it against a lock a
+    * live ingest still holds. */
+  private[llmdata] def swapWaitMs(): Long = scala.util.Try(
+    sys.env.getOrElse("SPARK_GRAFT_ANN_SWAP_WAIT_MS", "30000").toLong)
+    .getOrElse(30000L)
+
+  private[llmdata] def withIngestLockRetry[T](s: SparkSession,
+      dir: String, timeoutMs: Long = swapWaitMs())(body: => T): T = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (true) {
       try return graft.sources.AppendLog.withIngestLock(s, dir)(body)
       catch {
         case e: IllegalStateException
-            if e.getMessage.contains(".ingest-lock") &&
-              System.nanoTime() < deadline =>
+            if e.getMessage.contains(".ingest-lock") =>
+          if (System.nanoTime() >= deadline)
+            throw new IllegalStateException(
+              s"ann index rebuild swap could not claim the ingest " +
+                s"lock at $dir within ${timeoutMs} ms — a live ingest " +
+                "(e.g. a large micro-batch) may legitimately hold it " +
+                "this long. VERIFY no ingest is running before " +
+                "removing the lock file; if one is, raise " +
+                "SPARK_GRAFT_ANN_SWAP_WAIT_MS (or pass a larger " +
+                "timeout) and re-run the sync instead", e)
           Thread.sleep(200)
       }
     }
@@ -787,8 +806,9 @@ object AnnIndex {
     * policy while a reader still held it — every expired-generation
     * detection point raises THIS, so the failure names its cause and
     * its knob instead of surfacing as a raw executor read error. */
-  private def expiredGeneration(root: String, genDir: String): Nothing =
-    throw new IllegalStateException(
+  private def expiredGenerationError(root: String, genDir: String,
+      cause: Throwable = null): IllegalStateException =
+    new IllegalStateException(
       s"ann index generation ${genDir.split('/').last} at $root has " +
         "EXPIRED under this reader: retention keeps only the " +
         "generations named by the `keepGenerations` newest pointers " +
@@ -796,19 +816,64 @@ object AnnIndex {
         "outlives keepGenerations-1 rebuilds loses its snapshot. " +
         "Re-construct the serve (it pins the live generation), or " +
         "raise keepGenerations on AnnIndex.syncTo for serves that " +
-        "must outlive multiple rebuilds")
+        "must outlive multiple rebuilds", cause)
+
+  private def expiredGeneration(root: String, genDir: String): Nothing =
+    throw expiredGenerationError(root, genDir)
 
   /** Refuses with the named expired-generation error if `genDir` no
     * longer exists — the serve-path pre-flight, run at the serve's
     * first ACTION (the probe collect) rather than only at
     * construction, so the common expire-under-a-resolved-serve case
-    * fails named. A generation expiring after this check, mid-scan,
-    * still dies with the executor's raw FileNotFoundException — the
-    * documented residual horizon `keepGenerations` sizes. */
+    * fails named before any scan starts. Expiry landing AFTER this
+    * check, mid-scan, is caught by [[namedExpiryGuard]]. */
   private def preflightGeneration(s: SparkSession, root: String,
       genDir: String): Unit =
     if (!fsOf(s, genDir).exists(new org.apache.hadoop.fs.Path(genDir)))
       expiredGeneration(root, genDir)
+
+  /** Renames a lists-scan read failure caused by retention sweeping
+    * the pinned generation MID-SCAN into the named expired-generation
+    * refusal (round 15, closing the residual the round-14 pre-flight
+    * documented): the long-scan + aggressive-rebuild-cadence case at
+    * production scale, where the sweep lands between the pre-flight
+    * and scan completion and previously surfaced as a raw
+    * FileNotFoundException far from its cause. The guard is an
+    * iterator shim inserted ABOVE the scan's pushed-down filter
+    * (pushdown preserved — the filter stays adjacent to the scan) and
+    * INSIDE the scan's stage: parquet opens files lazily as the task's
+    * iterator advances, so a missing-batch-file failure flows up
+    * through this wrapper's hasNext/next on the executor and is
+    * re-raised named WITH the original as cause. A post-shuffle catch
+    * could not do this — the scan fails in the map stage and reaches
+    * later stages only as an opaque stage-failure. Only
+    * missing-file failures are renamed (anything on this branch reads
+    * exclusively the pinned generation's paths — the embeddings scans
+    * live in other stage branches); every other error propagates
+    * untouched. Cost: one row round-trip over the already
+    * probed-lists-bounded (serve) / lists-bounded (audit) branch. */
+  private def namedExpiryGuard(root: String, genDir: String,
+      df: DataFrame): DataFrame = {
+    def missingFile(e: Throwable): Boolean = {
+      var t = e
+      while (t != null) {
+        if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+        t = t.getCause
+      }
+      false
+    }
+    df.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private def named[T](b: => T): T =
+          try b catch {
+            case e: Throwable if missingFile(e) =>
+              throw expiredGenerationError(root, genDir, e)
+          }
+        def hasNext: Boolean = named(it.hasNext)
+        def next(): org.apache.spark.sql.Row = named(it.next())
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
 
   /** Committed (vec_id, list_id) rows + the derived coverage
     * fingerprint + the (single, asserted) choice fingerprint + the
@@ -955,11 +1020,15 @@ object AnnIndex {
     * coverage fingerprint (which proves the right VECTORS are present,
     * not that they sit in the right lists). */
   private[llmdata] def auditWith(s: SparkSession, fp: (Long, Long),
-      art: AnnChoice.Artifact, indexDir: String): DataFrame =
-    gatedLists(s, fp, art, indexDir)._1
-      .filter(col("list_id") >= 0)
+      art: AnnChoice.Artifact, indexDir: String): DataFrame = {
+    val (lists, genDir) = gatedLists(s, fp, art, indexDir)
+    val base = lists.filter(col("list_id") >= 0)
+    // same mid-scan expiry naming as the serve: the audit reads the
+    // full lists table, so it holds its generation even longer
+    genDir.fold(base)(g => namedExpiryGuard(indexDir, g, base))
       .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
       .orderBy("list_id")
+  }
 
   /** q214's registry body: build-if-absent + audit with the shared
     * one-rebuild self-repair. */
@@ -1047,7 +1116,13 @@ object AnnIndex {
     // read error on the lists scan below, far from its cause
     genDir.foreach(g => preflightGeneration(s, root, g))
     val probedIds = probeRows.map(_.getLong(3)).distinct
-    val cand = lists.filter(col("list_id").isin(probedIds: _*))
+    // guard the lists scan itself: a sweep landing AFTER the
+    // pre-flight above, mid-scan, renames at the executor instead of
+    // dying as a raw read error (round 15; the guard sits above the
+    // pushed-down isin filter, so the probed-lists scan pruning is
+    // untouched)
+    val probed = lists.filter(col("list_id").isin(probedIds: _*))
+    val cand = genDir.fold(probed)(g => namedExpiryGuard(root, g, probed))
       .join(broadcast(s.createDataFrame(
           s.sparkContext.parallelize(probeRows, 1), probes.schema)),
         Seq("list_id")).filter(col("vec_id") =!= col("q_id"))

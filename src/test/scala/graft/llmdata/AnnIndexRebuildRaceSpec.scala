@@ -201,4 +201,68 @@ class AnnIndexRebuildRaceSpec extends graft.SparkSpec {
       e.getMessage.contains("keepGenerations"),
       s"expiry under a resolved serve must refuse NAMED, got: $e")
   }
+
+  private def chainMessages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
+  test("a generation swept MID-SCAN (after the pre-flight) surfaces the named expired-generation message, not a raw read error") {
+    val stash = tempDir("ann-race-stash-")
+    val idx = tempDir("ann-race-idx-")
+    assert(AnnIndex.syncTo(spark, sf, stash, idx)._2 == "rebuilt")
+    val art = AnnChoice.read(spark, stash).get
+    // construct the serve: search() runs the gates, the probe collect,
+    // and the pre-flight NOW — all pass against the live gen-1 — and
+    // returns a plan still pinned to gen-1's concrete batch paths.
+    // `pinned` is NOT executed before the sweep: AQE caches a
+    // materialized plan's query stages inside the Dataset, so a
+    // pre-sweep collect would let the post-sweep one answer from the
+    // first run's shuffle outputs without ever re-reading the swept
+    // parquet (found building this spec); a sibling plan proves the
+    // serve is green without touching pinned's stages
+    val pinned = AnnIndex.search(spark, sf, stash, idx)
+    assert(AnnIndex.search(spark, sf, stash, idx).collect().nonEmpty)
+    // two rebuilds at keepGenerations=2 sweep gen-1 — landing AFTER
+    // every pre-flight this serve will ever run (they already ran),
+    // i.e. the round-14 residual: expiry between pre-flight and scan
+    assert(AnnIndex.syncTo(spark, sf, retunedStash(art, 1.0),
+      idx)._2 == "rebuilt")
+    assert(AnnIndex.syncTo(spark, sf, retunedStash(art, 2.0),
+      idx)._2 == "rebuilt")
+    assert(genDirs(idx) == Set("gen-2", "gen-3"))
+    val e = intercept[Exception] { pinned.collect() }
+    val msgs = chainMessages(e)
+    assert(msgs.exists(m => m.contains("EXPIRED") &&
+        m.contains("keepGenerations")),
+      s"a mid-scan sweep must surface the NAMED refusal somewhere in " +
+        s"the chain, got: ${msgs.mkString(" | ")}")
+    // the cause is preserved for forensics: the original missing-file
+    // failure sits below the named refusal
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      "the raw read failure must remain attached as the cause")
+  }
+
+  test("the swap's lock-retry timeout refuses REBUILD-SPECIFIC, never the crashed-ingest recovery text verbatim") {
+    val stash = tempDir("ann-race-stash-")
+    val idx = tempDir("ann-race-idx-")
+    assert(AnnIndex.syncTo(spark, sf, stash, idx)._2 == "rebuilt")
+    val lists = AnnIndex.currentListsDir(spark, idx).get
+    // a live ingest legitimately holding the lock past the deadline —
+    // the advice's case: AppendLog's refusal text instructs removing
+    // the lock, which against a LIVE holder corrupts the manifest
+    // protocol; the rebuild's timeout must say "verify first" instead
+    val e = intercept[IllegalStateException] {
+      graft.sources.AppendLog.withIngestLock(spark, lists) {
+        AnnIndex.withIngestLockRetry(spark, lists, timeoutMs = 300)(())
+      }
+    }
+    assert(e.getMessage.contains("SPARK_GRAFT_ANN_SWAP_WAIT_MS") &&
+      e.getMessage.contains("VERIFY no ingest is running"),
+      s"timeout must name the knob and the verify-first instruction, got: $e")
+    assert(e.getCause != null &&
+      e.getCause.getMessage.contains(".ingest-lock"),
+      "the underlying lock refusal must remain attached as the cause")
+  }
 }
