@@ -389,18 +389,28 @@ object StreamStateBench {
           // force-enabled for the window to extract the swap's
           // lock-hold — the only section a concurrent ingest contends
           // with.
+          // try/finally so a throwing syncTo (e.g. lock-retry timeout)
+          // or a failing require cannot leave the GLOBAL phase
+          // accounting force-enabled with a dirty snapshot — today the
+          // exception kills the bench anyway, but a future catch/retry
+          // around the rep would inherit corrupted state (round-15
+          // advice, low)
           val wasEnabled = graft.Phases.enabled
           graft.Phases.enabled = true
           graft.Phases.snapshotAndReset() // isolate the sync's phases
-          val ts = System.nanoTime()
-          val (_, action) = graft.llmdata.AnnIndex.syncTo(
-            spark, "/root/testdata/sf0.001", stash, idx)
-          syncSecs = (System.nanoTime() - ts) / 1e9
-          require(action == "rebuilt",
-            s"sync-mid expected the rebuild arm, got $action")
-          lockHold = graft.Phases.snapshotAndReset()
-            .getOrElse("rebuild_lock_hold", 0.0)
-          graft.Phases.enabled = wasEnabled
+          try {
+            val ts = System.nanoTime()
+            val (_, action) = graft.llmdata.AnnIndex.syncTo(
+              spark, "/root/testdata/sf0.001", stash, idx)
+            syncSecs = (System.nanoTime() - ts) / 1e9
+            require(action == "rebuilt",
+              s"sync-mid expected the rebuild arm, got $action")
+            lockHold = graft.Phases.snapshotAndReset()
+              .getOrElse("rebuild_lock_hold", 0.0)
+          } finally {
+            graft.Phases.snapshotAndReset() // drop a dirty snapshot
+            graft.Phases.enabled = wasEnabled
+          }
           if (profile) System.err.println(
             f"[ssb-annindex] mid-stream syncTo: $syncSecs%.2f s " +
               f"(lock hold $lockHold%.3f s)")
