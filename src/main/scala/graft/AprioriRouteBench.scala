@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   * (bid, item) rows land ≈ 0.7 × slots per basket, max ≥ 64.
   * Deterministic by construction (hash of (bid, slot), no RNG), so
   * both routes see bit-identical input and their row counts are
-  * asserted equal. Threshold follows q166's scale-parametric contract
-  * (baskets / 300, floor 1).
+  * asserted equal. Threshold = baskets / `SPARK_GRAFT_APRIORI_DENOM`
+  * (default 100 = 1% support, floor 1) — NOT q166's baskets/300:
+  * at 0.3% support this corpus's density admits **41M** candidate
+  * triples (measured round 15 — the run that exposed the
+  * unconditional candidate broadcast and motivated
+  * [[graft.relational.Apriori.CandBroadcastAt]]), which makes the
+  * timing candidate-explosion-bound on BOTH routes instead of
+  * measuring the C(b,3)-vs-candidate-fanout crossover the record is
+  * for. At 1% the same corpus admits ~780k candidates — inside the
+  * broadcast bound, route-bound timing.
   *
   * Timing discipline: [[Bench.preGate]] + min-of-`SPARK_GRAFT_REPS`
   * (default 2 — each rep is a full route execution over the persisted
@@ -64,7 +72,18 @@ object AprioriRouteBench {
     val maxB = prof.getLong(1)
     require(maxB > graft.relational.Apriori.LongBasketAt,
       s"long-basket corpus must exceed the switch bound, got max $maxB")
-    val thr = math.max(1L, baskets / 300)
+    val denom = sys.env.getOrElse("SPARK_GRAFT_APRIORI_DENOM",
+      "100").toLong
+    val thr = math.max(1L, baskets / denom)
+    // candidate-level profile for the record (the routes re-derive it
+    // inside triples; one extra pass on a harness is fine) — the
+    // candidate count states which regime the timing measured and
+    // which broadcast arm the guard took
+    val nPairs = graft.relational.Apriori
+      .frequentPairs(items, thr).count()
+    val nCand = graft.relational.Apriori
+      .candidates(graft.relational.Apriori.frequentPairs(items, thr))
+      .count()
 
     def time(route: String): (Double, Long) = {
       var rows = -1L
@@ -85,6 +104,7 @@ object AprioriRouteBench {
       s"""{"metric":"apriori_route_secs","unit":"sec",""" +
         s""""baskets":$baskets,"item_rows":${items.count()},""" +
         s""""max_basket":$maxB,"catalog":$catalog,"thr":$thr,""" +
+        s""""freq_pairs":$nPairs,"candidates":$nCand,""" +
         s""""triples":$genRows,""" +
         s""""generate_sec":${math.round(genSec * 1000) / 1000.0},""" +
         s""""candidate_sec":${math.round(candSec * 1000) / 1000.0},""" +

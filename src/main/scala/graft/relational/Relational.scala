@@ -1053,6 +1053,23 @@ object Apriori {
     * per-basket C(b,3) generation to the candidate⋈items join. */
   val LongBasketAt = 32
 
+  /** Candidate-set row bound above which BOTH counting routes join
+    * the candidates by shuffle instead of broadcast. The candidate
+    * count is DATA-dependent (frequent-pair density cubes into it),
+    * not basket-length-dependent, so the route switch alone cannot
+    * guard it: measured on a dense long-basket corpus (2k baskets,
+    * b ≈ 91, 0.3% support), downward closure admits 41M candidate
+    * triples and the unconditional broadcast kills the driver's 8 GB
+    * heap building the hash relation — on a cluster it would also
+    * resident that relation on every executor. 2M rows of three
+    * longs is a ~100–200 MB hash relation, comfortably inside both
+    * budgets; past it a candidate-keyed shuffle is the plan that
+    * survives, at the price of shuffling the probe side once.
+    * [[triples]] measures the count on the persisted candidate set
+    * (one cheap job — the set is frequent-pair-derived, orders
+    * smaller than the counting pass it gates) and picks per run. */
+  val CandBroadcastAt = 2000000L
+
   def route(maxBasket: Long, longBasketAt: Int = LongBasketAt): String =
     if (maxBasket > longBasketAt) "candidate" else "generate"
 
@@ -1069,35 +1086,42 @@ object Apriori {
 
   /** Support counts of the candidate triples over (bid, item) baskets
     * — route ∈ generate | candidate, both returning identical
-    * (i1, i2, i3, sup) rows (spec-pinned). */
+    * (i1, i2, i3, sup) rows (spec-pinned). `broadcastCand` gates the
+    * candidate side's broadcast hint ([[CandBroadcastAt]] — callers
+    * pass the MEASURED candidate count's verdict; the shuffle arm is
+    * plan-different but count-identical, spec-pinned alongside the
+    * routes). */
   def countTriples(items: DataFrame, cand: DataFrame,
-      route: String): DataFrame = route match {
-    case "generate" =>
-      items.groupBy("bid")
-        .agg(sort_array(collect_set(col("item"))).as("arr"))
-        .filter(size(col("arr")) >= 3)
-        .select(explode(expr(
-          "flatten(flatten(transform(sequence(0, size(arr) - 3), " +
-            "i -> transform(sequence(i + 1, size(arr) - 2), " +
-            "j -> transform(sequence(j + 1, size(arr) - 1), " +
-            "k -> struct(arr[i] AS i1, arr[j] AS i2, arr[k] AS i3))))))"))
-          .as("t"))
-        .select(col("t.i1").as("i1"), col("t.i2").as("i2"),
-          col("t.i3").as("i3"))
-        .join(broadcast(cand), Seq("i1", "i2", "i3"), "left_semi")
-        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
-    case "candidate" =>
-      // fan baskets out over the broadcast candidates by first item,
-      // then close with two (bid, item) equi-joins — one row per
-      // (basket ⊇ candidate), counted per candidate; the shuffles are
-      // candidate-hit-sized, never C(b,3)-sized
-      items.toDF("bid", "i1")
-        .join(broadcast(cand), Seq("i1"))
-        .join(items.toDF("bid", "i2"), Seq("bid", "i2"), "left_semi")
-        .join(items.toDF("bid", "i3"), Seq("bid", "i3"), "left_semi")
-        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
-    case other => throw new IllegalArgumentException(
-      s"unknown apriori route: $other")
+      route: String, broadcastCand: Boolean = true): DataFrame = {
+    val candSide = if (broadcastCand) broadcast(cand) else cand
+    route match {
+      case "generate" =>
+        items.groupBy("bid")
+          .agg(sort_array(collect_set(col("item"))).as("arr"))
+          .filter(size(col("arr")) >= 3)
+          .select(explode(expr(
+            "flatten(flatten(transform(sequence(0, size(arr) - 3), " +
+              "i -> transform(sequence(i + 1, size(arr) - 2), " +
+              "j -> transform(sequence(j + 1, size(arr) - 1), " +
+              "k -> struct(arr[i] AS i1, arr[j] AS i2, arr[k] AS i3))))))"))
+            .as("t"))
+          .select(col("t.i1").as("i1"), col("t.i2").as("i2"),
+            col("t.i3").as("i3"))
+          .join(candSide, Seq("i1", "i2", "i3"), "left_semi")
+          .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
+      case "candidate" =>
+        // fan baskets out over the candidates by first item, then
+        // close with two (bid, item) equi-joins — one row per
+        // (basket ⊇ candidate), counted per candidate; the shuffles
+        // are candidate-hit-sized, never C(b,3)-sized
+        items.toDF("bid", "i1")
+          .join(candSide, Seq("i1"))
+          .join(items.toDF("bid", "i2"), Seq("bid", "i2"), "left_semi")
+          .join(items.toDF("bid", "i3"), Seq("bid", "i3"), "left_semi")
+          .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("sup"))
+      case other => throw new IllegalArgumentException(
+        s"unknown apriori route: $other")
+    }
   }
 
   /** The full stage: frequent pairs at `thr` → closed candidates →
@@ -1110,20 +1134,32 @@ object Apriori {
     * derives the support floor — identical to the auto decision,
     * without paying the profile twice. Absent, `triples` profiles
     * the basket table itself. */
+  /** Frequent (i1, i2) pairs at support `thr` — the candidate
+    * generation's input and the first Apriori level. */
+  def frequentPairs(items: DataFrame, thr: Long): DataFrame =
+    items.toDF("bid", "i1")
+      .join(items.toDF("bid", "i2"), "bid")
+      .filter(col("i1") < col("i2"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= thr)
+
   def triples(items: DataFrame, thr: Long,
       forceRoute: Option[String] = None): DataFrame = {
-    val pairs = graft.Caches.persist(
-      items.toDF("bid", "i1")
-        .join(items.toDF("bid", "i2"), "bid")
-        .filter(col("i1") < col("i2"))
-        .groupBy("i1", "i2").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= thr))
-    val cand = candidates(pairs)
+    val pairs = graft.Caches.persist(frequentPairs(items, thr))
+    // persist + count the candidate set: the count is the broadcast
+    // guard's input ([[CandBroadcastAt]] scaladoc — candidate density
+    // is data-dependent and can reach 41M rows where an unconditional
+    // broadcast kills the driver), and the persist makes the counting
+    // pass read the measured set instead of re-deriving the pair
+    // joins. One extra job over a frequent-pair-bounded frame.
+    val cand = graft.Caches.persist(candidates(pairs))
+    val nCand = cand.count()
     val chosen = forceRoute.getOrElse {
       val r = items.groupBy("bid")
         .agg(count(lit(1)).as("b")).agg(max("b")).head()
       route(if (r.isNullAt(0)) 0L else r.getLong(0)) // null = no baskets
     }
-    countTriples(items, cand, chosen).filter(col("sup") >= thr)
+    countTriples(items, cand, chosen, nCand <= CandBroadcastAt)
+      .filter(col("sup") >= thr)
   }
 }

@@ -89,4 +89,28 @@ class AprioriRouteSpec extends graft.SparkSpec {
       .agg(count(lit(1)).as("b")).agg(max("b")).head().getLong(0)
     assert(Apriori.route(maxBasket) == "candidate")
   }
+
+  test("the shuffle candidate-join arm counts identically to the broadcast arm on both routes") {
+    // the CandBroadcastAt guard's fallback (round 15: a dense corpus
+    // admitted 41M candidates and the unconditional broadcast killed
+    // an 8 GB driver) — plan-different, count-identical
+    val items = graft.Caches.persist(itemsOf(longBaskets))
+    val thr = 2L
+    val cand = graft.Caches.persist(
+      Apriori.candidates(Apriori.frequentPairs(items, thr)))
+    assert(cand.count() > 0, "the fallback must be exercised on a " +
+      "non-trivial candidate set")
+    def sup(route: String, bcast: Boolean) =
+      Apriori.countTriples(items, cand, route, broadcastCand = bcast)
+        .filter(col("sup") >= thr).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq.sorted
+    for (route <- Seq("generate", "candidate")) {
+      val b = sup(route, bcast = true)
+      val s = sup(route, bcast = false)
+      assert(b.nonEmpty)
+      assert(b == s,
+        s"broadcast and shuffle arms diverged on $route: $b vs $s")
+    }
+  }
 }
