@@ -127,17 +127,23 @@ object Dedup {
     // distinct tokens) so the collapse key costs no extra pass, and the
     // distinct-per-doc token rows behind it are persisted — the vocab
     // scan and the per-doc aggregate below both read this cache, never
-    // the raw corpus again. fp is materialized in its own projection
-    // BEFORE the explode so it evaluates once per DOC, not once per
-    // token row (ExtractGenerator keeps it below the Generate; inlining
-    // it next to the explode re-ran the sort+md5 per token — measured
-    // ~50× more fp work for nothing), and the scan rides the spread
-    // floor so the tokenize+fp stage parallelizes even off one file.
+    // the raw corpus again. Per-doc token dedup is ROW-LOCAL too
+    // (round 15, guide §2.4): the old explode-then-`.distinct()` paid
+    // a full-token-table exchange to dedup a key set that never
+    // crosses rows — doc_id is unique per document, so distinct
+    // (doc, lang, fp, w) ≡ array_distinct before the explode, zero
+    // shuffle. fp and the deduped array are materialized in their own
+    // projection BEFORE the explode so both evaluate once per DOC, not
+    // once per token row (ExtractGenerator keeps them below the
+    // Generate; inlining next to the explode re-ran the sort+md5 per
+    // token — measured ~50× more fp work for nothing), and the scan
+    // rides the spread floor so the tokenize+fp stage parallelizes
+    // even off one file.
     val ts = Caches.persist(Tables.documentsSpread(s, d)
-      .withColumn("fp", Text.setFp)
+      .withColumn("dw", array_distinct(split(col("text"), " ")))
+      .withColumn("fp", md5(concat_ws(" ", array_sort(col("dw")))))
       .select(col("doc_id"), col("lang"), col("fp"),
-        explode(split(col("text"), " ")).as("w"))
-      .distinct())
+        explode(col("dw")).as("w")))
     // Dense ids via zipWithIndex (per-partition offsets from one count
     // job) instead of a global row_number() window — no single-partition
     // sort at a real vocabulary size. Bit positions are internal: no
@@ -160,13 +166,20 @@ object Dedup {
         .withColumn("bucket", (col("wid") / 64).cast("int"))
         .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
     } else ts
-    // df (the PPJoin rarest-first prefix order) rides the same pass as
-    // a window count over the (lang, w) exchange the aggregate needs
-    // anyway — the groupBy+self-join alternative would shuffle the
-    // token table twice
+    // df (the PPJoin rarest-first prefix order) comes from a
+    // pre-aggregated (lang, w) count joined back onto the token rows
+    // (round 15, guide §2.3 aggregate-before-shuffle): the window
+    // rendering exchanged the FULL token table by (lang, w) and
+    // sorted it just to stamp a per-key count; the groupBy's partial
+    // aggregation collapses that exchange to |vocab|·|langs| rows and
+    // AQE broadcasts the count table back (at open-vocab scale it
+    // degrades to the same (lang, w) shuffle the window paid, minus
+    // the sort). Values are identical: base is 1:1 with ts (the vocab
+    // join is injective on w), so count-per-(lang, w) is the same
+    // integer either way.
     val bits = if (withPrefix)
-      base.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("lang", "w")))
+      base.join(ts.groupBy("lang", "w").agg(count(lit(1)).as("df")),
+        Seq("lang", "w"))
     else base
     val maskAggs = if (bitmap)
       (0 until nBuckets).map(b =>
@@ -198,14 +211,18 @@ object Dedup {
         .withColumn("mask", array((0 until nBuckets).map(b => col(s"m$b")): _*))
         .drop((0 until nBuckets).map(b => s"m$b"): _*)
       else agged)
-    // (doc_id, gid) over the persisted per-doc rows — the window runs
-    // over doc-count rows, not tokens, and only enters the RETURNED
-    // plan when the collapse engages (expansion joins); the decision
-    // itself is two cheap counts on this cached base.
-    val members = sets
-      .withColumn("gid",
-        min("doc_id").over(Window.partitionBy(fpKey.map(col): _*)))
-      .select("doc_id", "gid")
+    // (doc_id, gid) over the persisted per-doc rows, PERSISTED itself
+    // (round 15): the old min-over-(fpKey) window re-ran its exchange
+    // + single-task sort on EVERY action that touched members — the
+    // collapse decision, the work semi-join, and both expansion joins
+    // each repaid it (4 recomputes visible in the q213 stage profile).
+    // The aggregate-then-join shape (guide §2.3) shuffles only the
+    // partial-aggregated group minima (AQE broadcasts them back), and
+    // the persist makes every later consumer a cache scan.
+    val members = Caches.persist(sets
+      .join(sets.groupBy(fpKey.map(col): _*)
+        .agg(min("doc_id").as("gid")), fpKey)
+      .select("doc_id", "gid"))
     SetSim(sets, members, shouldCollapse(members), ts, bitmap, nBuckets)
   }
 
@@ -299,14 +316,17 @@ object Dedup {
     * representatives only when the collapse actually shrinks the input
     * (≥ 20% fewer groups than docs — below that the rep indirection's
     * two expansion joins cost more than they save). `members` derives
-    * from the persisted per-doc `sets`, so the decision costs two
-    * doc-count-sized actions on cached data — never a corpus scan. The
+    * from the persisted per-doc `sets`, so the decision costs one
+    * doc-count-sized action on cached data — never a corpus scan. The
     * same AQE-style measure-then-plan pattern Catalyst applies to join
     * strategy, applied to dedup topology. */
   private def shouldCollapse(members: DataFrame): Boolean = {
-    val docs = members.count()
-    val groups = members.filter(col("doc_id") === col("gid")).count()
-    groups * 5 <= docs * 4
+    // one action, not two: both counts ride a single aggregate over
+    // the (persisted) members base (round 15 — each extra action was
+    // a full job submission inside the timed section)
+    val r = members.agg(count(lit(1)).as("docs"),
+      count(when(col("doc_id") === col("gid"), 1)).as("groups")).head()
+    r.getLong(1) * 5 <= r.getLong(0) * 4
   }
 
   /** Shared DuckDB CTE: per-doc 16-bit SimHash (`sh(doc_id, simhash)`),
