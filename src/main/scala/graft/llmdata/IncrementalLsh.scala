@@ -106,9 +106,12 @@ object IncrementalLsh {
     * pass; `nw` (distinct-token count) rides the same aggregation so
     * the verify's size terms need no second scan. */
   def bandIndex(docs: DataFrame): DataFrame = {
+    // per-doc token dedup is row-local (round 15, the setSim change):
+    // doc_id never crosses rows, so array_distinct before the explode
+    // replaces the full-token-table distinct exchange with zero shuffle
     val sigs = Tables.spread(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nw"),
         (0 until 8).map(i =>
@@ -163,8 +166,8 @@ object IncrementalLsh {
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
     val toks = graft.Caches.persist(
       docs.join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .distinct())
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w")))
     val nw = index.select("doc_id", "nw")
       .unionByName(newIdx.select("doc_id", "nw")).distinct()
     // Verify regime is MEASURED per ingest (the q28/q75/q29 auto-switch,

@@ -140,18 +140,21 @@ object Linkage {
             expr("substr(p_name, 1, length(p_name) - 1)"))
           .when(col("p_partkey") % 4 === 2, expr("substr(p_name, 2)"))
           .otherwise(concat(col("p_name"), lit("x"))).as("dname"))
+      // blocking keys dedup ROW-LOCALLY (round 15, the setSim change):
+      // record_id/entity_id are unique per input row, so the distinct
+      // over (id, …, blk) never crosses rows — array_distinct over the
+      // transformed token array replaces the full-blocking-table
+      // exchange with zero shuffle
       val db = dirty
         .select(col("record_id"), col("dname"), col("true_name"),
-          explode(split(col("dname"), " ")).as("tok"))
-        .select(col("record_id"), col("dname"), col("true_name"),
-          substring(col("tok"), 1, 3).as("blk"))
-        .distinct()
+          explode(array_distinct(expr(
+            "transform(split(dname, ' '), t -> substring(t, 1, 3))")))
+            .as("blk"))
       val cb = cat
         .select(col("entity_id"), col("name"),
-          explode(split(col("name"), " ")).as("tok"))
-        .select(col("entity_id"), col("name"),
-          substring(col("tok"), 1, 3).as("blk"))
-        .distinct()
+          explode(array_distinct(expr(
+            "transform(split(name, ' '), t -> substring(t, 1, 3))")))
+            .as("blk"))
       val w = Window.partitionBy("record_id")
         .orderBy(col("dist"), col("entity_id"))
       blockedCandidates(db, cb, PairBudget)
@@ -317,18 +320,19 @@ object Linkage {
             expr("substr(p_name, 1, length(p_name) - 1)"))
           .when(col("p_partkey") % 4 === 2, expr("substr(p_name, 2)"))
           .otherwise(concat(col("p_name"), lit("x"))).as("dname"))
+      // row-local blocking-key dedup (see q144 — same rationale)
       val dsz = dirty
         .select(col("record_id"),
-          explode(split(col("dname"), " ")).as("tok"))
-        .select(col("record_id"), substring(col("tok"), 1, 3).as("blk"))
-        .distinct()
+          explode(array_distinct(expr(
+            "transform(split(dname, ' '), t -> substring(t, 1, 3))")))
+            .as("blk"))
         .groupBy("blk").agg(count(lit(1)).as("nd"))
       val csz = part.groupBy(col("p_name"))
         .agg(min("p_partkey").as("entity_id"))
         .select(col("entity_id"),
-          explode(split(col("p_name"), " ")).as("tok"))
-        .select(col("entity_id"), substring(col("tok"), 1, 3).as("blk"))
-        .distinct()
+          explode(array_distinct(expr(
+            "transform(split(p_name, ' '), t -> substring(t, 1, 3))")))
+            .as("blk"))
         .groupBy("blk").agg(countDistinct("entity_id").as("nc"))
       val j = graft.Caches.persist(dsz.join(csz, "blk")
         .withColumn("pairs", col("nd") * col("nc")))

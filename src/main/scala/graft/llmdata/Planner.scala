@@ -113,9 +113,10 @@ object Planner {
       val samp = broadcast(docs.select(col("doc_id"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         .limit(SampleN))
+      // per-doc token dedup is row-local (round 15, the setSim change)
       val words = docs.join(samp, "doc_id")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
       val wc = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
       val pairs = samp.select(col("doc_id").as("a_id"))
         .join(samp.select(col("doc_id").as("b_id")),
