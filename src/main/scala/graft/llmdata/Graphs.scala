@@ -349,18 +349,26 @@ object Graphs {
           count(lit(1)).over(Window.partitionBy("src")).cast("long")))
       val w0 = nb.filter(col("src") % 7 === 0)
         .select(col("src").as("walk"), col("src").as("cur")).distinct()
+      // each step CARRIES the accumulated step columns instead of
+      // being a separate branch re-joined on walk at the end
+      // (round 15): the branch shape recomputed step k inside every
+      // later step's lineage plus three final walk-joins — 6 step
+      // joins + 3 re-joins for a 3-step walk; the chain pays exactly
+      // one join per step and the final projection is free. Same
+      // rows: rn === pick matches exactly one neighbor (rn covers
+      // 1..deg and pick ∈ [1, deg]), so each step emits one row per
+      // surviving walker in both shapes.
       def step(wk: DataFrame, k: Int): DataFrame = {
         val pick = lit(1) + conv(substring(md5(
           concat_ws("|", col("walk"), lit(k), col("cur"))), 1, 15),
           16, 10).cast("long") % col("deg")
+        val keep = wk.columns.toSeq.collect { case c if c != "cur" => wk(c) }
         wk.join(nb, nb("src") === wk("cur") && col("rn") === pick)
-          .select(col("walk"), col("dst").as("cur"))
+          .select(keep ++ Seq(col("dst").as(s"s${k + 1}"),
+            col("dst").as("cur")): _*)
       }
-      val w1 = step(w0, 0); val w2 = step(w1, 1); val w3 = step(w2, 2)
-      w0.select(col("walk"))
-        .join(w1.select(col("walk"), col("cur").as("s1")), Seq("walk"))
-        .join(w2.select(col("walk"), col("cur").as("s2")), Seq("walk"))
-        .join(w3.select(col("walk"), col("cur").as("s3")), Seq("walk"))
+      step(step(step(w0, 0), 1), 2)
+        .select(col("walk"), col("s1"), col("s2"), col("s3"))
         .orderBy("walk")
     },
   )
