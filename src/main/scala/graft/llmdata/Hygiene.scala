@@ -373,18 +373,32 @@ object Hygiene {
         |FROM db JOIN c2 USING (b) JOIN c1 USING (w1)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
+      // round 15: (1) the prefix count c1(w1) = Σ_b c2(w1, b), so it
+      // re-aggregates the (tiny) bigram-count table instead of paying
+      // a second full-occurrence shuffle; (2) the per-doc distinct is
+      // ROW-LOCAL (doc_id never crosses rows) — array_distinct before
+      // the explode, no distinct exchange; (3) two corpus explodes
+      // (occurrences + per-doc distinct) instead of three.
+      // bigrams ride as plain STRINGS (w1 re-derives as the prefix of
+      // b via substring_index — exact, since split-on-space tokens
+      // contain no space): array_distinct on an atomic type keeps its
+      // hash-set fast path, where the struct rendering fell back to
+      // the O(n²) complex-type comparison loop (measured slower than
+      // the exchange it replaced).
       val w = col("w")
-      val bg = Tables.documents(s, d)
+      def bigrams(c: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), size(c) - 2),
+          i => concat_ws(" ", c(i), c(i + 1)))
+      val tl = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(w) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(w) - 2),
-            i => struct(w(i).as("w1"),
-              concat_ws(" ", w(i), w(i + 1)).as("b")))).as("x"))
-        .select(col("doc_id"), col("x.w1").as("w1"), col("x.b").as("b"))
-      val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      bg.distinct()
+      val c2 = tl.select(explode(bigrams(w)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c2"))
+      val c1 = c2
+        .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+        .agg(sum("c2").as("c1"))
+      tl.select(col("doc_id"), explode(array_distinct(bigrams(w))).as("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
         .join(c2, "b").join(c1, "w1")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_distinct_bigrams"),
