@@ -187,7 +187,14 @@ object Curation {
       val n = sh.groupBy("source")
         .agg(countDistinct("doc_id").as("n_docs"))
       val df = sh.groupBy("source", "g").agg(count(lit(1)).as("df"))
-      val b = df.join(n, "source").filter(col("df") * 20 >= col("n_docs"))
+      // b is output-bounded (threshold survivors) but feeds TWO
+      // subtrees (membership semi-join + the per-source report) whose
+      // different column pruning defeated exchange reuse — the full
+      // (source, g) df aggregate ran twice (two 5.5 MB exchanges in
+      // the stage profile). Persisting the tiny survivor set computes
+      // it once (round 15).
+      val b = graft.Caches.persist(
+        df.join(n, "source").filter(col("df") * 20 >= col("n_docs")))
       val aff = sh.join(b.select("source", "g"), Seq("source", "g"),
           "left_semi")
         .groupBy("source").agg(countDistinct("doc_id").as("n_affected"))
