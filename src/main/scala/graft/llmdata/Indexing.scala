@@ -317,10 +317,18 @@ object Indexing {
         lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
       val su = floor(lit(1000000.0) * idf *
         ((col("tf").cast("double") * lit(2.2)) / den)).cast("long")
-      val sc = tf.join(broadcast(dfT), "w").join(broadcast(st))
-        .select(col("doc_id"), col("w"), su.as("su"))
-        .transform(graft.Caches.persist)
-      val fb = sc.filter(col("w").isin(seed: _*))
+      // score only the tf rows a consumer actually reads (round 15):
+      // the old shape persisted su for EVERY (doc, term) pair, but the
+      // seed pass touches 2 terms and the final pass 5 — scoring
+      // term-filtered slices of the cached tf table prunes the join +
+      // float work to matching occurrences (the su tree is identical
+      // per row, so values are unchanged; the full-score table was
+      // the oracle's rendering, never a plan requirement)
+      def scored(sub: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        sub.join(broadcast(dfT), "w").join(broadcast(st))
+          .select(col("doc_id"), col("w"), su.as("su"))
+      val fb = scored(tf.filter(col("w").isin(seed: _*)))
         .groupBy("doc_id").agg(sum("su").as("score0"))
         .orderBy(col("score0").desc, col("doc_id")).limit(5)
         .select("doc_id")
@@ -333,7 +341,7 @@ object Indexing {
         .orderBy(col("rsv").desc, col("w")).limit(3)
         .select("w")
       val qt = seed.toDF("w").unionAll(expT)
-      sc.join(broadcast(qt), "w")
+      scored(tf.join(broadcast(qt), "w"))
         .groupBy("doc_id")
         .agg(sum("su").as("micro"), count(lit(1)).as("n_terms"))
         .select(col("doc_id"), col("micro"), col("n_terms"),
