@@ -669,44 +669,68 @@ object Dedup {
       if (ccEdgeBudget > 0)
         vp.select(col("va"), col("vb")).limit(ccEdgeBudget + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
-    val labels: DataFrame =
-      if (ccEdgeBudget > 0 && probe.length <= ccEdgeBudget) {
-        // union-find, path halving; union-by-min keeps root = min(component)
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x0: Long): Long = {
-          var x = x0
-          var p = parent.getOrDefault(x, x)
-          while (p != x) {
-            val gp = parent.getOrDefault(p, p)
-            parent.put(x, gp)
-            x = gp
-            p = parent.getOrDefault(x, x)
-          }
-          x
+    if (ccEdgeBudget > 0 && probe.length <= ccEdgeBudget) {
+      // union-find, path halving; union-by-min keeps root = min(component)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
         }
-        probe.foreach { r =>
-          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-          if (ra < rb) parent.put(rb, ra)
-          else if (rb < ra) parent.put(ra, rb)
-        }
-        val nodes = probe.iterator
-          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
-        import s.implicits._
-        nodes.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
-      } else distributedMinLabel(s, vp)
-    // value → component (isolated values are their own component),
-    // component → min doc_id over its member values, doc → cluster
-    // via its own fingerprint.
-    val vmin = sh.groupBy("simhash").agg(min("doc_id").as("vmin"))
-    val vlab = vmin
-      .join(labels.toDF("simhash", "comp"), Seq("simhash"), "left")
-      .withColumn("comp", coalesce(col("comp"), col("simhash")))
-    val cmin = vlab.groupBy("comp").agg(min("vmin").as("cluster_id"))
-    sh.join(vlab.join(cmin, "comp").select("simhash", "cluster_id"),
-        "simhash")
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
-      .orderBy("doc_id")
+        x
+      }
+      probe.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      // value → cluster computed ON THE DRIVER too (round 15): the
+      // old tail attached labels through four value-count exchanges
+      // (vmin, the label join, the component min, the re-attach), but
+      // the per-value min doc is itself bounded by the fingerprint
+      // domain (≤ 2^16 rows of two longs — the same bound that
+      // admitted the edge collect), so one bounded collect + the
+      // union-find map yields the (simhash → cluster_id) table and
+      // the only distributed step left is a broadcast join onto the
+      // cached per-doc fingerprints. find(v) = v for values that
+      // never appeared in an edge — the isolated-value identity the
+      // old coalesce provided.
+      val vmin = sh.groupBy("simhash").agg(min("doc_id").as("vmin"))
+        .collect()
+      val cmin = new java.util.HashMap[Long, Long]()
+      vmin.foreach { r =>
+        val c = find(r.getLong(0))
+        val m = r.getLong(1)
+        if (m < cmin.getOrDefault(c, Long.MaxValue)) cmin.put(c, m)
+      }
+      import s.implicits._
+      val vmap = vmin.toSeq
+        .map(r => (r.getLong(0), cmin.get(find(r.getLong(0)))))
+        .toDF("simhash", "cluster_id")
+      sh.join(broadcast(vmap), "simhash")
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+        .orderBy("doc_id")
+    } else {
+      val labels = distributedMinLabel(s, vp)
+      // value → component (isolated values are their own component),
+      // component → min doc_id over its member values, doc → cluster
+      // via its own fingerprint.
+      val vmin = sh.groupBy("simhash").agg(min("doc_id").as("vmin"))
+      val vlab = vmin
+        .join(labels.toDF("simhash", "comp"), Seq("simhash"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("simhash")))
+      val cmin = vlab.groupBy("comp").agg(min("vmin").as("cluster_id"))
+      sh.join(vlab.join(cmin, "comp").select("simhash", "cluster_id"),
+          "simhash")
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }
   }
 
   /** The distributed route of [[dupClusters]]: min-label propagation
