@@ -90,16 +90,24 @@ object Curation {
         |  min(doc_id) AS first_id
         |FROM b GROUP BY 1, 2 ORDER BY pred_lang, split""".stripMargin,
     ) { (s, d) =>
-      // one tokenize + one doc-keyed shuffle: every per-doc stat the
-      // pipeline needs, language hits included, in a single aggregate
-      val hitAggs = byLang.map { case (l, ws) =>
-        sum(when(col("w").isin(ws: _*), 1L).otherwise(0L)).as(s"h_$l")
+      // round 15: every per-doc stat is ROW-LOCAL — the token count,
+      // the distinct-token count, and the profile-hit sums are all
+      // functions of the doc's own token array, so the old explode +
+      // doc-keyed shuffle + count-distinct expand + join back to
+      // documents collapse into one narrow projection over the scan
+      // (zero pre-dedup shuffles; a null text drops in both shapes —
+      // no token rows before, a null gate predicate now)
+      val arr = col("toks")
+      val hitCols = byLang.map { case (l, ws) =>
+        size(filter(arr, x => x.isInCollection(ws))).cast("long")
+          .as(s"h_$l")
       }
-      val aggs = Seq(count(lit(1)).as("n_tokens"),
-        countDistinct("w").as("n_distinct")) ++ hitAggs
-      val stats = Text.tokens(s, d)
-        .groupBy("doc_id")
-        .agg(aggs.head, aggs.tail: _*)
+      val scored = Tables.documentsSpread(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(Seq(col("doc_id"), md5(col("text")).as("fp"),
+          size(arr).cast("long").as("n_tokens"),
+          size(array_distinct(arr)).cast("long").as("n_distinct")) ++
+          hitCols: _*)
         .withColumn("m",
           greatest(byLang.map { case (l, _) => col(s"h_$l") }: _*))
         // argmax with q33's contract: lexicographically-first language
@@ -108,9 +116,6 @@ object Curation {
           byLang.init.foldRight(lit(byLang.last._1)) { case ((l, _), e) =>
             when(col(s"h_$l") === col("m"), l).otherwise(e)
           })
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("fp"))
-        .join(stats, "doc_id")
         .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
         // quality gate FIRST: stopword-saturated docs (profile-hit
         // ratio > 0.12, q34's 'low' bucket) never reach the dedup
