@@ -53,19 +53,33 @@ object TextAnalysis {
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) = 1
         |ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      import s.implicits._
-      val prof = profiles.toDF("plang", "w")
-      val hits = Text.tokens(s, d)
-        .join(broadcast(prof), "w")
-        .groupBy("doc_id", "plang").agg(count(lit(1)).as("h"))
-      val allc = Tables.documents(s, d).select("doc_id")
-        .crossJoin(broadcast(prof.select("plang").distinct()))
-      val sc = allc.join(hits, Seq("doc_id", "plang"), "left")
-        .select(col("doc_id"), col("plang"), coalesce(col("h"), lit(0L)).as("hits"))
-      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
-      sc.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("plang").as("pred_lang"), col("hits"))
+      // round 15 (the q60 collapse): per-language hit counts are
+      // row-local functions of the doc's own token array, so the
+      // profile join, per-(doc, lang) aggregate, dense cross join and
+      // per-doc argmax window fold into one narrow projection — zero
+      // shuffles before the contract's orderBy. The argmax fold picks
+      // the lexicographically-first language among the max-hit ones,
+      // exactly the window's (hits DESC, plang) row_number = 1.
+      val byL = profiles.groupBy(_._1).view.mapValues(_.map(_._2))
+        .toSeq.sortBy(_._1)
+      val arr = col("toks")
+      val hitCols = byL.map { case (l, ws) =>
+        size(filter(arr, x => x.isInCollection(ws))).cast("long")
+          .as(s"h_$l")
+      }
+      Tables.documentsSpread(s, d)
+        // a null text keeps its doc with zero hits (the oracle's dense
+        // doc × lang frame does): null split → empty token array
+        .withColumn("toks",
+          coalesce(split(col("text"), " "), array().cast("array<string>")))
+        .select(col("doc_id") +: hitCols: _*)
+        .withColumn("hits",
+          greatest(byL.map { case (l, _) => col(s"h_$l") }: _*))
+        .withColumn("pred_lang",
+          byL.init.foldRight(lit(byL.last._1)) { case ((l, _), e) =>
+            when(col(s"h_$l") === col("hits"), l).otherwise(e)
+          })
+        .select(col("doc_id"), col("pred_lang"), col("hits"))
         .orderBy("doc_id")
     },
 
@@ -88,13 +102,25 @@ object TextAnalysis {
         |       ELSE 'high' END AS quality_bucket
         |FROM ag ORDER BY doc_id""".stripMargin,
     ) { (s, d) =>
-      val ag = Text.tokens(s, d)
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct("w").as("n_distinct"),
-          sum(length(col("w"))).as("sum_len"),
-          sum(when(col("w").isin("the", "a"), 1).otherwise(0)).as("stop"))
+      // round 15 (the q60 collapse): all four per-doc stats are
+      // row-local. sum_len is EXACT arithmetic, not a fold: split on
+      // one space loses exactly n_tokens − 1 separator chars, so
+      // Σ length(w) = length(text) − (n_tokens − 1) for every text
+      // (empty tokens from repeated spaces contribute 0 on both
+      // sides; an empty text is one empty token, 0 = 0 − 0).
+      val arr = col("toks")
+      val ag = Tables.documentsSpread(s, d)
+        // a null text contributed no token rows to the old aggregate,
+        // so its doc was absent — keep that contract
+        .filter(col("text").isNotNull)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(arr).cast("long").as("n_tokens"),
+          size(array_distinct(arr)).cast("long").as("n_distinct"),
+          (length(col("text")).cast("long") -
+            (size(arr).cast("long") - 1)).as("sum_len"),
+          size(filter(arr, x => x.isInCollection(Seq("the", "a"))))
+            .cast("long").as("stop"))
       val ttr = col("n_distinct").cast("double") / col("n_tokens")
       val stopRatio = col("stop").cast("double") / col("n_tokens")
       ag.select(
