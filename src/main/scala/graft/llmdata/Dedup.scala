@@ -219,8 +219,13 @@ object Dedup {
     // The aggregate-then-join shape (guide §2.3) shuffles only the
     // partial-aggregated group minima (AQE broadcasts them back), and
     // the persist makes every later consumer a cache scan.
-    val members = Caches.persist(sets
-      .join(sets.groupBy(fpKey.map(col): _*)
+    // project to the key columns BEFORE the join (guide §2.3): the
+    // per-doc rows carry the toks/mask payload, and joining the full
+    // width would push ~10× the bytes through the join's exchange for
+    // columns members never emits
+    val slim = sets.select((fpKey :+ "doc_id").map(col): _*)
+    val members = Caches.persist(slim
+      .join(slim.groupBy(fpKey.map(col): _*)
         .agg(min("doc_id").as("gid")), fpKey)
       .select("doc_id", "gid"))
     SetSim(sets, members, shouldCollapse(members), ts, bitmap, nBuckets)
