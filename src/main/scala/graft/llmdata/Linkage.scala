@@ -145,31 +145,21 @@ object Linkage {
       // over (id, …, blk) never crosses rows — array_distinct over the
       // transformed token array replaces the full-blocking-table
       // exchange with zero shuffle
-      // the blocking join and candidate distinct move IDS ONLY
-      // (round 15, guide §8's decide-on-proxies rule): the name
-      // strings used to ride every exploded blocking row and the
-      // candidate exchange; now the distinct dedups two longs and the
-      // names re-attach via broadcast joins to the tiny base frames
-      // exactly once, at scoring
       val db = dirty
-        .select(col("record_id"),
+        .select(col("record_id"), col("dname"), col("true_name"),
           explode(array_distinct(expr(
             "transform(split(dname, ' '), t -> substring(t, 1, 3))")))
             .as("blk"))
       val cb = cat
-        .select(col("entity_id"),
+        .select(col("entity_id"), col("name"),
           explode(array_distinct(expr(
             "transform(split(name, ' '), t -> substring(t, 1, 3))")))
             .as("blk"))
       val w = Window.partitionBy("record_id")
         .orderBy(col("dist"), col("entity_id"))
       blockedCandidates(db, cb, PairBudget)
-        .select("record_id", "entity_id")
+        .select("record_id", "dname", "true_name", "entity_id", "name")
         .distinct()
-        // no broadcast hints: dirty is record-count-sized, so a forced
-        // broadcast would OOM at scale — AQE broadcasts while small
-        .join(dirty, "record_id")
-        .join(cat, "entity_id")
         .withColumn("dist", levenshtein(col("dname"), col("name")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
