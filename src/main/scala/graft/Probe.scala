@@ -28,9 +28,13 @@ object Probe {
     })
     val q = SparkEntry.queries(name)
     var lastDf: org.apache.spark.sql.DataFrame = null
+    // SPARK_GRAFT_PROBE_WARM: keep per-query caches across runs (the
+    // bench's reps share them the same way), so the LAST run's stage
+    // profile shows the warm path the bench min actually times
+    val warm = sys.env.contains("SPARK_GRAFT_PROBE_WARM")
     for (i <- 1 to n) {
       stages.clear()
-      Caches.release(blocking = true)
+      if (!warm) Caches.release(blocking = true)
       val t0 = System.nanoTime()
       lastDf = q(spark, dir)
       val cnt = lastDf.count()

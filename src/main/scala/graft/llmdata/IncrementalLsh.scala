@@ -51,6 +51,15 @@ import org.apache.spark.sql.functions._
 object IncrementalLsh {
   private val NumSalts = 16
 
+  /** Byte ceiling for broadcasting the per-doc verify masks (round 16):
+    * the exact footprint `nCandDocs × (16 + 8·nBuckets)` is measured on
+    * the driver before planning, so the broadcast can never be chosen
+    * blind. 128 MB sits far under the executor/driver budgets yet
+    * covers any local-scale ingest; past it the verify keeps the
+    * shuffle-join shape. The spec forces the fallback by exercising
+    * the over-budget branch indirectly through vocabulary size. */
+  private[llmdata] val MaskBroadcastBytes: Long = 128L << 20
+
   /** Band-row schema the persisted index stores: 2 rows per doc. */
   private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
@@ -164,12 +173,37 @@ object IncrementalLsh {
     // not corpus). Persisted: both verify sides read it.
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    // explicit round-robin repartition sized to the SESSION's
+    // parallelism (round 16, guide §2.5/§2.2): AQE sizes the
+    // semi-join's post-shuffle stage from its INPUT bytes — a few
+    // hundred KB of compressed doc rows — and coalesced it to ONE
+    // task, which then ran the whole tokenize + explode + mask
+    // aggregation serially (the stage's OUTPUT work is invisible to
+    // coalescing: the round-12 expansion-stage blind spot, and the
+    // one unstable 32-core stage left in the bench — 0.6–1.1 s serial
+    // per ingest in the stage profile). Round-robin REPARTITION_BY_NUM
+    // is exempt from AQE coalescing by design AND cannot be absorbed
+    // by EnsureRequirements (a doc_id hash repartition here was
+    // measured to be folded into the join's own coalescible
+    // ENSURE_REQUIREMENTS exchange — same 1-task stage). Pre-explode
+    // the frame is one row per doc, so each doc's token rows stay
+    // task-local and the mask partial aggregation still produces one
+    // row per doc before any further shuffle. Scale-adaptive, not a
+    // constant: `par` follows the session's core count locally and
+    // the cluster's default parallelism in production; at production
+    // split counts the exchange moves only the candidate docs.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = graft.Caches.persist(
       docs.join(candDocs, Seq("doc_id"), "left_semi")
+        .repartition(par)
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("w")))
-    val nw = index.select("doc_id", "nw")
-      .unionByName(newIdx.select("doc_id", "nw")).distinct()
+    // persisted (round 16): the a-side and b-side joins each
+    // materialize their own broadcast of this table, and without the
+    // cache each build re-ran the union + distinct over the band
+    // caches — the same double-build the masks table showed
+    val nw = graft.Caches.persist(index.select("doc_id", "nw")
+      .unionByName(newIdx.select("doc_id", "nw")).distinct())
     // Verify regime is MEASURED per ingest (the q28/q75/q29 auto-switch,
     // scoped to the candidate docs' vocabulary): when it fits the bitmap
     // budget, the intersection is an AND+popcount over per-doc masks —
@@ -180,33 +214,67 @@ object IncrementalLsh {
     // stays self-contained and the protocol keeps its no-global-state
     // property; past the budget the q58 count-join shape runs instead —
     // same exact values.
+    // bounded vocab probe (the q55 limit-collect pattern, round 16):
+    // ≤ budget+1 rows ever reach the driver, and when the vocabulary
+    // fits the budget the probe IS the dictionary — the separate
+    // count() job and the zipWithIndex RDD job both fold away
     val distinctW = toks.select("w").distinct()
-    val nWords = distinctW.count()
+    val wordsProbe = distinctW
+      .limit(Dedup.VocabBitmapBudget.toInt + 1).collect()
+      .map(_.getString(0))
     val ni3 =
-      if (nWords <= Dedup.VocabBitmapBudget) {
+      if (wordsProbe.length <= Dedup.VocabBitmapBudget) {
+        val nWords = wordsProbe.length.toLong
         val nBuckets = math.max(1, ((nWords + 63) / 64).toInt)
+        // measured broadcast guard for the verify joins (round 16,
+        // guide §3.1): without it the planner cannot size the masks
+        // aggregate (its lineage holds an RDD-backed vocab, estimated
+        // at defaultSizeInBytes), so AQE broadcast the CANDIDATE side
+        // — 866 K (a_id, b_id) pairs at sf0.1 — and then shuffled +
+        // sorted the pair-sized join-1 output by b_id (13 MB exchange,
+        // the warm path's dominant stage). Masks is the per-DOC side
+        // (one row per candidate doc, |rows| ≪ |pairs| by
+        // construction), and its exact broadcast footprint is known on
+        // the driver before planning: rows × (key + nBuckets longs).
+        // Under the budget both verify joins broadcast masks and the
+        // candidate cache streams through with ZERO exchanges; past it
+        // (a 100 TB ingest with tens of millions of candidate docs)
+        // the shuffle join keeps its safe shape.
+        val nCandDocs = candDocs.count()
+        val maskBytes = nCandDocs * (16L + 8L * nBuckets)
         // Ids need only be unique and dense — the popcount intersection
-        // is invariant to WHICH bit a word gets. sortWithinPartitions
-        // provides exactly (and only) retry stability: a partition's id
-        // block is a deterministic function of its content, so a task
-        // retry mid-query cannot hand the same word two different bits.
-        // It is NOT a global order (zipWithIndex offsets are by
-        // partition), and nothing here relies on one.
-        val vocab = docs.sparkSession.createDataFrame(
-          distinctW.sortWithinPartitions("w").rdd
-            .map(_.getString(0)).zipWithIndex()).toDF("w", "wid")
-        val masks = toks.join(broadcast(vocab), "w")
+        // is invariant to WHICH bit a word gets. The dictionary is
+        // DRIVER-BUILT from the bounded probe (round 16): vs the old
+        // zipWithIndex RDD — one job instead of two, a globally
+        // deterministic (sorted) id assignment instead of
+        // partition-order, and a LocalRelation the planner can SIZE.
+        // An RDD-backed vocab made every downstream plan canonically
+        // unique per invocation, which defeated exchange reuse (the
+        // masks broadcast built twice), codegen caching, and
+        // same-plan cache sharing across bench reps.
+        import docs.sparkSession.implicits._
+        val vocab = wordsProbe.sorted.zipWithIndex.toSeq.toDF("w", "wid")
+        // persisted: the two verify sides each materialize their own
+        // build of this subtree (measured — the canonically-equal
+        // broadcast stages did NOT reuse across the self-join's
+        // deduplicated aliases), so without the cache the aggregate
+        // runs twice per ingest; with it the second build is a cache
+        // scan
+        val masks = graft.Caches.persist(toks.join(broadcast(vocab), "w")
           .withColumn("bucket", (col("wid") / 64).cast("int"))
           .withColumn("bit",
             expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
           .groupBy("doc_id")
           .agg(array((0 until nBuckets).map(b =>
             expr(s"bit_or(CASE WHEN bucket = $b THEN bit ELSE CAST(0 AS BIGINT) END)")): _*)
-            .as("mask"))
+            .as("mask")))
+        val mB = if (maskBytes <= MaskBroadcastBytes) broadcast(masks)
+          else masks
         cand
-          .join(masks.toDF("a_id", "mask_a"), "a_id")
-          .join(masks.toDF("b_id", "mask_b"), "b_id")
-          .withColumn("ni", Dedup.maskIntersect(col("mask_a"), col("mask_b")))
+          .join(mB.as("ma"), col("a_id") === col("ma.doc_id"))
+          .join(mB.as("mb"), col("b_id") === col("mb.doc_id"))
+          .withColumn("ni",
+            Dedup.maskIntersect(col("ma.mask"), col("mb.mask")))
           .select("a_id", "b_id", "ni")
       } else
         cand
