@@ -144,24 +144,30 @@ object Dedup {
       .withColumn("fp", md5(concat_ws(" ", array_sort(col("dw")))))
       .select(col("doc_id"), col("lang"), col("fp"),
         explode(col("dw")).as("w")))
-    // Dense ids via zipWithIndex (per-partition offsets from one count
-    // job) instead of a global row_number() window — no single-partition
-    // sort at a real vocabulary size. Bit positions are internal: no
-    // output depends on which bit a word gets, only that the assignment
-    // is injective; sortWithinPartitions pins the within-partition order
-    // so a task retry cannot reshuffle ids mid-query.
-    val distinctW = Caches.persist(ts.select("w").distinct())
-    val nWords = distinctW.count() // tiny driver action: |vocab|
-    // the one measured scalar that picks the verify regime — the
-    // AQE-style measure-then-plan pattern applied to the dictionary
-    // decision (round-5 VERDICT: a manual-only fallback is a driver
-    // OOM waiting for the first open-vocabulary corpus)
-    val bitmap = nWords <= vocabBudget
-    val nBuckets = math.max(1, ((nWords + 63) / 64).toInt)
+    // Bounded vocabulary probe (round 16, the q55 limit-collect
+    // pattern): at most budget+1 rows ever reach the driver — the one
+    // measured scalar that picks the verify regime (the AQE-style
+    // measure-then-plan pattern; round-5 VERDICT: a manual-only
+    // fallback is a driver OOM waiting for the first open-vocabulary
+    // corpus) — and when the vocabulary fits, the probe IS the
+    // dictionary. vs the old zipWithIndex RDD: one job instead of
+    // three (count + zipWithIndex's own count job + the build), a
+    // globally deterministic sorted id assignment instead of
+    // partition-order, and a LocalRelation vocab whose downstream
+    // plans are canonically STABLE across invocations — an RDD-backed
+    // vocab made every per-rep plan unique, which defeated exchange
+    // reuse, codegen caching, and same-plan cache sharing (measured on
+    // q109, the same dictionary shape). Bit positions stay internal:
+    // no output depends on which bit a word gets, only injectivity.
+    val probeLim = (math.min(vocabBudget, VocabBitmapBudget) + 1).toInt
+    val wordsProbe = ts.select("w").distinct()
+      .limit(probeLim).collect().map(_.getString(0))
+    val bitmap = wordsProbe.length < probeLim
+    val nBuckets =
+      if (bitmap) math.max(1, (wordsProbe.length + 63) / 64) else 1
     val base = if (bitmap) {
-      val vocab = s.createDataFrame(
-        distinctW.sortWithinPartitions("w").rdd
-          .map(_.getString(0)).zipWithIndex()).toDF("w", "wid")
+      import s.implicits._
+      val vocab = wordsProbe.sorted.zipWithIndex.toSeq.toDF("w", "wid")
       ts.join(broadcast(vocab), "w")
         .withColumn("bucket", (col("wid") / 64).cast("int"))
         .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(wid % 64 AS INT))"))
