@@ -187,7 +187,17 @@ object Relational {
         |  FROM orders)
         |WHERE rn > 500 AND rn <= 1000 ORDER BY rn""".stripMargin,
     ) { (s, d) =>
+      // limit BEFORE the global window (round 16, guide §2.4): rn is
+      // capped at 1000 by the declared page, so orderBy+limit — a
+      // parallel TakeOrderedAndProject (per-partition top-k + one
+      // driver-side merge of 1000 rows) — bounds the input first and
+      // the unpartitioned window sorts ≤1000 rows instead of moving
+      // the whole fact table to one partition. o_orderkey is the
+      // table's unique key, so the top-1000 set and the row numbers
+      // over it are exactly the full sort's first 1000.
       Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey").limit(1000)
         .select(
           row_number().over(Window.orderBy("o_orderkey")).as("rn"),
           col("o_orderkey"), col("o_totalprice"))
