@@ -57,36 +57,62 @@ object Similarity {
   private[llmdata] val trainCalls =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  private def normalizeCent(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n > 0) c.map(_ / n) else c
+  }
+
   private[llmdata] def trainCentroids(vn: DataFrame, k: Int, iters: Int,
-      dim: Int): Seq[Seq[Double]] = {
-    trainCalls.incrementAndGet()
-    def normalize(c: Seq[Double]): Seq[Double] = {
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n > 0) c.map(_ / n) else c
-    }
-    // init: the k sample vectors with smallest vec_id (deterministic)
-    var cents: Seq[Seq[Double]] = vn.orderBy("vec_id").limit(k)
+      dim: Int): Seq[Seq[Double]] =
+    trainCentroidsMulti(vn, Seq(k), iters, dim).head
+
+  /** [[trainCentroids]] for SEVERAL k at once — the q210 sweep's three
+    * quantizers train on the same sample, and their per-iteration
+    * statistics passes are independent, so one union-fused job computes
+    * every codebook's update (round-16 optimization: the serial
+    * per-quantizer loop paid 9 driver actions per sweep — 3 inits + 6
+    * update collects — each a full job-submission latency; now 2:
+    * one shared init collect, one fused update collect per iteration).
+    * Per (k, cluster) the grouped rows, the sorted fold and the
+    * driver-side normalize are exactly the single-k path's, so every
+    * codebook is bit-identical to training it alone: the init for k is
+    * the first k rows of the shared ks.max init (same orderBy, same
+    * prefix), and the union legs partition by the `qi` literal. */
+  private[llmdata] def trainCentroidsMulti(vn: DataFrame, ks: Seq[Int],
+      iters: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    trainCalls.addAndGet(ks.length)
+    // init: the k sample vectors with smallest vec_id (deterministic) —
+    // collected once at ks.max, each k takes its prefix
+    val initRows: Seq[Seq[Double]] = vn.orderBy("vec_id").limit(ks.max)
       .select("vn").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var cents: Seq[Seq[Seq[Double]]] = ks.map(k => initRows.take(k))
     for (_ <- 0 until iters) {
-      val cl = typedlit(cents)
-      val assigned = vn
-        .withColumn("sims", transform(cl, c => dot(c, col("vn"))))
-        .withColumn("cid",
-          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      val legs = ks.indices.map { qi =>
+        val cl = typedlit(cents(qi))
+        vn.withColumn("sims", transform(cl, c => dot(c, col("vn"))))
+          .withColumn("cid",
+            (array_position(col("sims"), array_max(col("sims"))) - 1)
+              .cast("int"))
+          .select(lit(qi).as("qi"), col("cid"), col("vec_id"), col("vn"))
+      }
       // sorted fold: collect_list order varies with partition order, but
       // sort_array pins it, so the float sum order is fixed ⇒ bit-stable
-      val upd = assigned.groupBy("cid")
+      val upd = legs.reduce(_ unionByName _)
+        .groupBy("qi", "cid")
         .agg(sort_array(collect_list(struct(col("vec_id"), col("vn")))).as("xs"))
-        .select(col("cid"), size(col("xs")).as("n"),
+        .select(col("qi"), col("cid"), size(col("xs")).as("n"),
           aggregate(col("xs"), array_repeat(lit(0.0), lit(dim)),
             (acc, x) => zip_with(acc, x.getField("vn"), (a, b) => a + b)).as("sum"))
-        .select(col("cid"),
+        .select(col("qi"), col("cid"),
           transform(col("sum"), x => x / col("n")).as("c"))
       val byId = upd.collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+        .toMap
       // an empty cluster keeps its previous centroid
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        byId.get(i).map(normalize).getOrElse(old)
+      cents = cents.zipWithIndex.map { case (cs, qi) =>
+        cs.zipWithIndex.map { case (old, i) =>
+          byId.get((qi, i)).map(normalizeCent).getOrElse(old)
+        }
       }
     }
     cents
@@ -656,8 +682,9 @@ object Similarity {
     val stride = math.max(1L, n / 4096)
     val sample = e0.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    val multi = trainCentroidsMulti(sample, ivfListGrid, iters = 2, dim)
     val trained = ivfListGrid.zipWithIndex.map { case (k, i) =>
-      val qc = quantizeCentroids(trainCentroids(sample, k, iters = 2, dim))
+      val qc = quantizeCentroids(multi(i))
       IvfQuant(i, qc.length, qc, qc.map(c => c.map(x => x * x).sum))
     }
     // a corpus with fewer trainable vectors than some k collapses
