@@ -447,9 +447,9 @@ object Dedup {
       .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
       .select("doc_id", "lang", "nw", "pre")
     val pre = sets.select(col("doc_id"), col("lang"), col("nw"),
-      explode(col("pre")).as("pw"))
-    val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pw")
-    val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pw_b")
+      posexplode(col("pre")).as(Seq("pi", "pw")))
+    val a = pre.toDF("doc_id_a", "lang_a", "nw_a", "pi_a", "pw")
+    val b = pre.toDF("doc_id_b", "lang_b", "nw_b", "pi_b", "pw_b")
     // J ≥ 0.95 also forces 20·min(|a|,|b|) ≥ 19·max(|a|,|b|): prune
     // size-incompatible pairs inside the join (output-preserving).
     // NO distinct here: a pair surfacing through several shared
@@ -458,11 +458,22 @@ object Dedup {
     // so the dedup shuffle moves orders of magnitude fewer rows than
     // a candidate-level distinct would. (The count-join regime
     // dedups candidates itself — SetSim.verified scaladoc.)
+    // POSITIONAL upper bound (round 16, PPJoin positional filter —
+    // output-preserving): J ≥ 0.95 needs ni ≥ ⌈19·(nw_a+nw_b)/39⌉,
+    // and at a pair's FIRST shared token (within both prefixes for
+    // any qualifying pair — the size filter makes the required
+    // overlap exceed nw − plen on both sides) the overlap is at most
+    // 1 + min(remaining_a, remaining_b). Emissions that cannot reach
+    // the threshold never enter the verify; the first-match emission
+    // of every qualifying pair always passes.
     val cand = a.join(b,
       col("pw") === col("pw_b") && col("lang_a") === col("lang_b") &&
         col("doc_id_a") < col("doc_id_b") &&
         least(col("nw_a"), col("nw_b")) * 20 >=
-          greatest(col("nw_a"), col("nw_b")) * 19)
+          greatest(col("nw_a"), col("nw_b")) * 19 &&
+        lit(1) + least(col("nw_a") - col("pi_a") - 1,
+          col("nw_b") - col("pi_b") - 1) >=
+          expr("(19 * (nw_a + nw_b) + 38) div 39"))
       .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
     // exact verify on candidates only; no broadcast hints — AQE picks
     // broadcast while sets is small, shuffle join past that
@@ -500,14 +511,18 @@ object Dedup {
         (col("nw") - expr("(19 * nw + 19) div 20") + lit(1)).cast("int"))
       .withColumn("pre", expr("transform(slice(toks, 1, plen), t -> t.w)"))
       .select("doc_id", "lang", "nw", "pre", "toks")
+    // positions ride both explodes (round 16, PPJoin's positional
+    // filter — Xiao et al., public literature): pi/pj are each token's
+    // 0-based rank in its doc's (df, w)-sorted list, i.e. ranks under
+    // the SAME total order on both sides
     val pre = sets.select(col("doc_id").as("doc_id_a"),
       col("lang").as("lang_a"), col("nw").as("pnw_a"),
-      explode(col("pre")).as("pw"))
+      posexplode(col("pre")).as(Seq("pi", "pw")))
     // the container side re-explodes the cached per-doc token list —
     // no second pass over the raw corpus, no doc-count join
     val full = sets.select(col("doc_id").as("doc_id_b"),
       col("lang").as("lang_b"), col("nw").as("pnw_b"),
-      explode(expr("transform(toks, t -> t.w)")).as("w"))
+      posexplode(expr("transform(toks, t -> t.w)")).as(Seq("pj", "w")))
     // probe = smaller set (ties broken by id); verify decides the
     // passing direction(s). The candidate distinct stays here
     // (unlike q28): the container side explodes FULL token lists, so
@@ -516,11 +531,27 @@ object Dedup {
     // exchange is what lets AQE rebalance before the verify joins;
     // without it the verify fuses into the skewed join's stage and
     // stragglers own the whole pipeline (measured 4–5× slower).
+    //
+    // POSITIONAL upper bound (output-preserving, guide §2.3 — shuffle
+    // fewer bytes): every surviving pair needs ni ≥ ⌈0.95·nw_a⌉
+    // (nw_a ≤ nw_b, so either passing direction implies it), and at
+    // the pair's FIRST shared token under the global order — which is
+    // in A's prefix by the prefix-filter theorem, with zero common
+    // tokens before it on either side by minimality — the overlap is
+    // at most 1 + min(remaining in A, remaining in B). Emissions
+    // whose (pi, pj) cannot reach the threshold are dropped BEFORE
+    // the candidate exchange; the first-match emission of every
+    // qualifying pair always passes, so the post-distinct pair set is
+    // unchanged (later-match emissions of a kept pair were duplicates
+    // the distinct ate anyway).
     val cand = pre.join(full,
       col("pw") === col("w") && col("lang_a") === col("lang_b") &&
         (col("pnw_a") < col("pnw_b") ||
           (col("pnw_a") === col("pnw_b") &&
-            col("doc_id_a") < col("doc_id_b"))))
+            col("doc_id_a") < col("doc_id_b"))) &&
+        lit(1) + least(col("pnw_a") - col("pi") - 1,
+          col("pnw_b") - col("pj") - 1) >=
+          expr("(19 * pnw_a + 19) div 20"))
       .select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"))
       .distinct()
     val verified = f.verified(cand)
