@@ -271,6 +271,11 @@ object Mixing {
         |SELECT c AS c_custkey, CAST(rk AS INT) AS rk, p AS p_partkey
         |FROM r WHERE rk <= 5 ORDER BY c_custkey, rk""".stripMargin,
     ) { (s, d) =>
+      // NOT spread (measured, round 16): round-robining the lineitem
+      // side before the join moves ~10 MB of raw join input to save a
+      // 556 ms 3-task stage — min-of-6 regressed 1.51 → 1.79 s. The
+      // 3-way underparallelism is the local one-row-group file layout,
+      // which production split counts fix for free.
       val pos = Tables.orders(s, d)
         .join(Tables.lineitem(s, d),
           col("l_orderkey") === col("o_orderkey"))
@@ -278,8 +283,13 @@ object Mixing {
         .distinct()
       val pmax = Tables.part(s, d).agg(max("p_partkey").as("pmax"))
       val rkW = Window.partitionBy("c").orderBy("slot")
-      Tables.customer(s, d)
-        .select(col("c_custkey").as("c"))
+      // spread floor (round 16, guide §2.5): the candidate build runs
+      // 8 md5s per customer, and the local single-split customer scan
+      // ran all of it on ONE task (440 ms serial in the stage
+      // profile); the repartition moves only (c_custkey) longs and is
+      // a no-op once the scan splits exceed the core count
+      Tables.spread(Tables.customer(s, d)
+        .select(col("c_custkey").as("c")))
         .select(col("c"), explode(sequence(lit(1), lit(8))).as("slot"))
         .crossJoin(broadcast(pmax))
         .withColumn("p",
